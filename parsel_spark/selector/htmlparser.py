@@ -1,0 +1,239 @@
+"""Tolerant HTML parser producing the engine DOM.
+
+From-scratch equivalent of the recovering libxml2 HTML parse the
+reference relies on (parsel/selector.py:90-119, ``recover=True``): never
+raises on bad markup, implies ``<html>``/``<head>``/``<body>``, auto-closes
+``<p>``/``<li>``-style elements, treats void elements as childless and
+keeps all whitespace inside the body (golden: tests/test_selector.py:428-430).
+
+Built on the stdlib ``html.parser`` tokenizer (entity decoding, script/
+style CDATA modes) with our own tree construction on top.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .dom import Comment, Document, Element, TextNode
+
+VOID_ELEMENTS = frozenset(
+    """area base basefont br col embed frame hr img input isindex keygen
+    link meta param source track wbr""".split()
+)
+
+RAW_TEXT_ELEMENTS = frozenset({"script", "style"})
+
+HEAD_ELEMENTS = frozenset({"title", "base", "link", "meta", "style", "script", "isindex"})
+
+# start tag -> set of open elements it implicitly closes (innermost-first).
+_P_CLOSERS = frozenset(
+    """address article aside blockquote center dir div dl fieldset? figure
+    footer form h1 h2 h3 h4 h5 h6 header hr listing main menu nav ol p pre
+    section table ul xmp""".replace("fieldset?", "").split()
+)
+
+AUTO_CLOSE: dict[str, frozenset[str]] = {}
+for _t in _P_CLOSERS:
+    AUTO_CLOSE.setdefault(_t, frozenset({"p"}))
+AUTO_CLOSE["li"] = frozenset({"li", "p"})
+AUTO_CLOSE["dt"] = frozenset({"dt", "dd", "p"})
+AUTO_CLOSE["dd"] = frozenset({"dt", "dd", "p"})
+AUTO_CLOSE["option"] = frozenset({"option"})
+AUTO_CLOSE["optgroup"] = frozenset({"option", "optgroup"})
+AUTO_CLOSE["tr"] = frozenset({"tr", "td", "th"})
+AUTO_CLOSE["td"] = frozenset({"td", "th"})
+AUTO_CLOSE["th"] = frozenset({"td", "th"})
+AUTO_CLOSE["thead"] = frozenset({"tr", "td", "th", "tbody", "tfoot"})
+AUTO_CLOSE["tbody"] = frozenset({"tr", "td", "th", "thead", "tfoot"})
+AUTO_CLOSE["tfoot"] = frozenset({"tr", "td", "th", "thead", "tbody"})
+AUTO_CLOSE["a"] = frozenset({"a"})
+AUTO_CLOSE["hr"] = frozenset({"p"})
+
+# Elements whose implicit closing must not punch through these containers.
+_SCOPE_BOUNDARIES = frozenset({"html", "body", "head", "table", "td", "th"})
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.document = Document()
+        self.html: Element | None = None
+        self.head: Element | None = None
+        self.body: Element | None = None
+        self.body_closed = False
+        self.stack: list[Element] = []
+
+    # -- insertion helpers -----------------------------------------------
+    def _ensure_html(self) -> Element:
+        if self.html is None:
+            self.html = Element("html")
+            self.document.append(self.html)
+            self.stack = [self.html]
+        return self.html
+
+    def _ensure_head(self) -> Element:
+        self._ensure_html()
+        if self.head is None:
+            self.head = Element("head")
+            assert self.html is not None
+            self.html.append(self.head)
+        return self.head
+
+    def _ensure_body(self) -> Element:
+        self._ensure_html()
+        if self.body is None:
+            self.body = Element("body")
+            assert self.html is not None
+            self.html.append(self.body)
+            self.stack = [self.html, self.body]
+        elif self.body_closed:
+            self.body_closed = False
+            self.stack = [self.html, self.body]  # type: ignore[list-item]
+        return self.body
+
+    def _insertion_point(self) -> Element:
+        if self.stack:
+            return self.stack[-1]
+        return self._ensure_html()
+
+    def _in_body(self) -> bool:
+        return self.body is not None and not self.body_closed and any(
+            el is self.body for el in self.stack
+        )
+
+    def _append_text(self, data: str) -> None:
+        parent = self._insertion_point()
+        children = parent.children
+        if children and isinstance(children[-1], TextNode):
+            children[-1].data += data
+        else:
+            parent.append(TextNode(data))
+
+    # -- token handlers ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "html":
+            if self.html is None:
+                self._ensure_html()
+                for name, value in attrs:
+                    self.html.attrib.setdefault(name, value if value is not None else "")  # type: ignore[union-attr]
+            return
+        if tag == "head":
+            if self.head is None:
+                head = self._ensure_head()
+                for name, value in attrs:
+                    head.attrib.setdefault(name, value if value is not None else "")
+                self.stack = [self.html, head]  # type: ignore[list-item]
+            return
+        if tag == "body":
+            if self.body is None:
+                body = self._ensure_body()
+                for name, value in attrs:
+                    body.attrib.setdefault(name, value if value is not None else "")
+            else:
+                self._ensure_body()
+            return
+
+        # route head-only elements into an implied <head> before the body
+        if self.body is None and tag in HEAD_ELEMENTS:
+            head = self._ensure_head()
+            if not self.stack or self.stack[-1] is self.html:
+                self.stack = [self.html, head]  # type: ignore[list-item]
+        elif self.body is None or not self.stack or self.stack[-1] in (self.html, self.head):
+            self._ensure_body()
+
+        closers = AUTO_CLOSE.get(tag)
+        if closers:
+            while self.stack and self.stack[-1].tag in closers:
+                if self.stack[-1].tag in _SCOPE_BOUNDARIES:
+                    break
+                self.stack.pop()
+
+        attrib: dict[str, str] = {}
+        for name, value in attrs:
+            if name not in attrib:
+                attrib[name] = value if value is not None else ""
+        element = Element(tag, attrib)
+        self._insertion_point().append(element)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(element)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "html":
+            return
+        if tag == "body":
+            if self.body is not None:
+                self.body_closed = True
+                self.stack = [self.html]  # type: ignore[list-item]
+            return
+        if tag == "head":
+            if self.head is not None and self.stack and self.stack[-1] is not self.body:
+                self.stack = [self.html]  # type: ignore[list-item]
+            return
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            el = self.stack[i]
+            if el.tag == tag:
+                del self.stack[i:]
+                return
+            if el.tag in ("html", "body", "head"):
+                return
+        # unmatched end tag: ignored (recovery)
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        point = self.stack[-1] if self.stack else None
+        if point is None or point is self.html or (
+            self.head is not None and point is self.head and data.strip() == ""
+        ):
+            if data.strip() == "":
+                return
+            # bare text at document level: implied <body><p> (libxml2 style)
+            self._ensure_body()
+            if self.stack and self.stack[-1] is self.body:
+                p = Element("p")
+                self.body.append(p)  # type: ignore[union-attr]
+                self.stack.append(p)
+            self._append_text(data)
+            return
+        if point is self.head:
+            if data.strip() == "":
+                return
+            self._ensure_body()
+            self._append_text(data)
+            return
+        self._append_text(data)
+
+    def handle_comment(self, data: str) -> None:
+        parent = self.stack[-1] if self.stack else self._ensure_html()
+        parent.append(Comment(data))
+
+    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...>
+        return
+
+    def unknown_decl(self, data: str) -> None:
+        return
+
+    def handle_pi(self, data: str) -> None:
+        return
+
+
+def parse_html(text: str, base_url: str | None = None) -> Document:
+    """Parse ``text`` into a Document; never raises on bad markup."""
+    text = text.replace("\x00", "")
+    builder = _TreeBuilder()
+    if text.strip():
+        try:
+            builder.feed(text)
+            builder.close()
+        except Exception:
+            # recovery guarantee: whatever was built so far is the result
+            pass
+    builder._ensure_html()
+    doc = builder.document
+    doc.base = base_url
+    root = doc.root_element
+    if root is not None:
+        root.base = base_url
+    return doc

@@ -1,0 +1,422 @@
+"""XPath 1.0 core function library, EXSLT extensions and the custom
+extension-function registry.
+
+Mirrors the reference surface: the core set exercised by its suite
+(tests/test_selector.py:55-141,571-580,717-727), ``has-class``
+(parsel/xpathfuncs.py:41-60), EXSLT ``re:test``/``re:match``/``re:replace``
+and ``set:difference`` (parsel/selector.py:418-427, behaviors pinned at
+tests/test_selector.py:1096-1202), and ``set_xpathfunc``
+(parsel/xpathfuncs.py:16-34).
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+from typing import Any, Callable
+
+from ..dom import (
+    AttributeNode,
+    Document,
+    Element,
+    NamespaceNode,
+    TextNode,
+    sort_document_order,
+)
+from .errors import XPathEvalError
+from . import evaluator as _ev
+
+RE_NAMESPACE = "http://exslt.org/regular-expressions"
+SET_NAMESPACE = "http://exslt.org/sets"
+
+HTML5_WHITESPACE = " \t\n\x0c\r"
+_WS_RE = _re.compile(f"[{HTML5_WHITESPACE}]+")
+
+
+class ExtensionContext:
+    """The ``context`` object passed to extension functions — exposes the
+    same attributes lxml's does (``context_node``, ``eval_context``),
+    which the reference's ``has_class`` relies on
+    (parsel/xpathfuncs.py:47-55)."""
+
+    __slots__ = ("_ctx",)
+
+    def __init__(self, ctx: "_ev.EvalContext") -> None:
+        self._ctx = ctx
+
+    @property
+    def context_node(self) -> Any:
+        return self._ctx.node
+
+    @property
+    def eval_context(self) -> dict[str, Any]:
+        return self._ctx.eval_context
+
+
+# ---------------------------------------------------------------------------
+# core functions  (ctx is the evaluator's EvalContext)
+# ---------------------------------------------------------------------------
+
+
+def _arg_string(ctx: "_ev.EvalContext", args: tuple, index: int = 0) -> str:
+    if len(args) > index:
+        return _ev.to_string(args[index])
+    return _ev.string_value(ctx.node)
+
+
+def _fn_last(ctx, *args):
+    return float(ctx.size)
+
+
+def _fn_position(ctx, *args):
+    return float(ctx.position)
+
+
+def _fn_count(ctx, *args):
+    if len(args) != 1 or not isinstance(args[0], list):
+        raise XPathEvalError("Invalid number of arguments for count()")
+    return float(len(args[0]))
+
+
+def _node_name(node: Any) -> str:
+    if isinstance(node, Element):
+        return node.qname()
+    if isinstance(node, AttributeNode):
+        name = node.name
+        if name.startswith("{"):
+            return node.local_name
+        return name
+    if isinstance(node, NamespaceNode):
+        return node.prefix or ""
+    return ""
+
+
+def _first_in_doc_order(value: list) -> Any:
+    if not value:
+        return None
+    return sort_document_order(value)[0]
+
+
+def _fn_name(ctx, *args):
+    if args:
+        node = _first_in_doc_order(args[0]) if isinstance(args[0], list) else None
+        return _node_name(node) if node is not None else ""
+    return _node_name(ctx.node)
+
+
+def _fn_local_name(ctx, *args):
+    if args:
+        node = _first_in_doc_order(args[0]) if isinstance(args[0], list) else None
+    else:
+        node = ctx.node
+    if node is None:
+        return ""
+    if isinstance(node, (Element, AttributeNode)):
+        return node.local_name
+    if isinstance(node, NamespaceNode):
+        return node.prefix or ""
+    return ""
+
+
+def _fn_namespace_uri(ctx, *args):
+    if args:
+        node = _first_in_doc_order(args[0]) if isinstance(args[0], list) else None
+    else:
+        node = ctx.node
+    if node is None:
+        return ""
+    if isinstance(node, (Element, AttributeNode)):
+        return node.namespace_uri or ""
+    return ""
+
+
+def _fn_string(ctx, *args):
+    if args:
+        return _ev.to_string(args[0])
+    return _ev.string_value(ctx.node)
+
+
+def _fn_concat(ctx, *args):
+    if len(args) < 2:
+        raise XPathEvalError("Invalid number of arguments for concat()")
+    return "".join(_ev.to_string(a) for a in args)
+
+
+def _fn_starts_with(ctx, *args):
+    return _ev.to_string(args[0]).startswith(_ev.to_string(args[1]))
+
+
+def _fn_contains(ctx, *args):
+    return _ev.to_string(args[1]) in _ev.to_string(args[0])
+
+
+def _fn_substring_before(ctx, *args):
+    haystack = _ev.to_string(args[0])
+    needle = _ev.to_string(args[1])
+    index = haystack.find(needle)
+    return haystack[:index] if index >= 0 else ""
+
+
+def _fn_substring_after(ctx, *args):
+    haystack = _ev.to_string(args[0])
+    needle = _ev.to_string(args[1])
+    index = haystack.find(needle)
+    return haystack[index + len(needle) :] if index >= 0 else ""
+
+
+def _xpath_round(value: float) -> float:
+    if math.isnan(value) or math.isinf(value):
+        return value
+    return math.floor(value + 0.5)
+
+
+def _fn_substring(ctx, *args):
+    source = _ev.to_string(args[0])
+    start = _xpath_round(_ev.to_number(args[1]))
+    if math.isnan(start):
+        return ""
+    if len(args) > 2:
+        length = _xpath_round(_ev.to_number(args[2]))
+        if math.isnan(length):
+            return ""
+        end = start + length
+    else:
+        end = math.inf
+    out = []
+    for position, char in enumerate(source, start=1):
+        if position >= start and position < end:
+            out.append(char)
+    return "".join(out)
+
+
+def _fn_string_length(ctx, *args):
+    return float(len(_arg_string(ctx, args)))
+
+
+def _fn_normalize_space(ctx, *args):
+    return " ".join(_arg_string(ctx, args).split())
+
+
+def _fn_translate(ctx, *args):
+    source = _ev.to_string(args[0])
+    from_chars = _ev.to_string(args[1])
+    to_chars = _ev.to_string(args[2])
+    table: dict[int, int | None] = {}
+    for index, char in enumerate(from_chars):
+        if ord(char) in table:
+            continue
+        table[ord(char)] = ord(to_chars[index]) if index < len(to_chars) else None
+    return source.translate(table)
+
+
+def _fn_boolean(ctx, *args):
+    return _ev.to_boolean(args[0])
+
+
+def _fn_not(ctx, *args):
+    return not _ev.to_boolean(args[0])
+
+
+def _fn_true(ctx, *args):
+    return True
+
+
+def _fn_false(ctx, *args):
+    return False
+
+
+def _fn_number(ctx, *args):
+    if args:
+        return _ev.to_number(args[0])
+    return _ev.to_number(_ev.string_value(ctx.node))
+
+
+def _fn_sum(ctx, *args):
+    if not isinstance(args[0], list):
+        raise XPathEvalError("sum() requires a node-set")
+    return float(sum(_ev.to_number(_ev.string_value(n)) for n in args[0]))
+
+
+def _fn_floor(ctx, *args):
+    value = _ev.to_number(args[0])
+    if math.isnan(value) or math.isinf(value):
+        return value
+    return float(math.floor(value))
+
+
+def _fn_ceiling(ctx, *args):
+    value = _ev.to_number(args[0])
+    if math.isnan(value) or math.isinf(value):
+        return value
+    return float(math.ceil(value))
+
+
+def _fn_round(ctx, *args):
+    return float(_xpath_round(_ev.to_number(args[0])))
+
+
+def _fn_lang(ctx, *args):
+    wanted = _ev.to_string(args[0]).lower()
+    node = ctx.node
+    while node is not None:
+        if isinstance(node, Element):
+            lang = node.attrib.get("{http://www.w3.org/XML/1998/namespace}lang") or (
+                node.attrib.get("lang")
+            )
+            if lang:
+                lang = lang.lower()
+                return lang == wanted or lang.startswith(wanted + "-")
+        node = getattr(node, "parent", None)
+    return False
+
+
+CORE_FUNCTIONS: dict[str, Callable[..., Any]] = {
+    "last": _fn_last,
+    "position": _fn_position,
+    "count": _fn_count,
+    "local-name": _fn_local_name,
+    "namespace-uri": _fn_namespace_uri,
+    "name": _fn_name,
+    "string": _fn_string,
+    "concat": _fn_concat,
+    "starts-with": _fn_starts_with,
+    "contains": _fn_contains,
+    "substring-before": _fn_substring_before,
+    "substring-after": _fn_substring_after,
+    "substring": _fn_substring,
+    "string-length": _fn_string_length,
+    "normalize-space": _fn_normalize_space,
+    "translate": _fn_translate,
+    "boolean": _fn_boolean,
+    "not": _fn_not,
+    "true": _fn_true,
+    "false": _fn_false,
+    "number": _fn_number,
+    "sum": _fn_sum,
+    "floor": _fn_floor,
+    "ceiling": _fn_ceiling,
+    "round": _fn_round,
+    "lang": _fn_lang,
+}
+
+
+# ---------------------------------------------------------------------------
+# has-class + user extension registry
+# ---------------------------------------------------------------------------
+
+
+def has_class(context: ExtensionContext, *classes: Any) -> bool:
+    """Return True when every given class is present in the context
+    element's ``class`` attribute (HTML5 whitespace rules)."""
+    if not context.eval_context.get("args_checked"):
+        if not classes:
+            raise ValueError("XPath error: has-class must have at least 1 argument")
+        for cls in classes:
+            if not isinstance(cls, str):
+                raise ValueError("XPath error: has-class arguments must be strings")
+        context.eval_context["args_checked"] = True
+
+    node = context.context_node
+    node_cls = node.get("class") if isinstance(node, Element) else None
+    if node_cls is None:
+        return False
+    padded = _WS_RE.sub(" ", f" {node_cls} ")
+    return all(f" {cls} " in padded for cls in classes)
+
+
+# ---------------------------------------------------------------------------
+# EXSLT regular expressions / sets
+# ---------------------------------------------------------------------------
+
+
+def _re_flags(flags: str) -> int:
+    value = 0
+    if "i" in flags:
+        value |= _re.IGNORECASE
+    return value
+
+
+def _exslt_input_string(value: Any) -> str:
+    return _ev.to_string(value)
+
+
+def _re_test(context: ExtensionContext, value: Any, pattern: Any, flags: Any = "") -> bool:
+    text = _exslt_input_string(value)
+    compiled = _re.compile(_ev.to_string(pattern), _re_flags(_ev.to_string(flags)))
+    return compiled.search(text) is not None
+
+
+def _re_match(context: ExtensionContext, value: Any, pattern: Any, flags: Any = "") -> list:
+    text = _exslt_input_string(value)
+    flag_str = _ev.to_string(flags)
+    compiled = _re.compile(_ev.to_string(pattern), _re_flags(flag_str))
+    document = Document()  # synthetic tree keeps document-order stable
+    out: list[Any] = []
+
+    def emit(match: _re.Match[str]) -> None:
+        groups = [match.group(0), *match.groups()]
+        for value_ in groups:
+            element = Element("match")
+            if value_:
+                element.append(TextNode(value_))
+            document.append(element)
+            out.append(element)
+
+    if "g" in flag_str:
+        for match in compiled.finditer(text):
+            emit(match)
+    else:
+        match = compiled.search(text)
+        if match is not None:
+            emit(match)
+    return out
+
+
+def _re_replace(
+    context: ExtensionContext, value: Any, pattern: Any, flags: Any = "", repl: Any = ""
+) -> str:
+    text = _exslt_input_string(value)
+    flag_str = _ev.to_string(flags)
+    compiled = _re.compile(_ev.to_string(pattern), _re_flags(flag_str))
+    count = 0 if "g" in flag_str else 1
+    return compiled.sub(_ev.to_string(repl), text, count=count)
+
+
+def _set_difference(context: ExtensionContext, left: Any, right: Any) -> list:
+    if not isinstance(left, list) or not isinstance(right, list):
+        raise XPathEvalError("set:difference requires node-sets")
+    excluded = {id(node) for node in right}
+    return [node for node in left if id(node) not in excluded]
+
+
+DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
+    (None, "has-class"): has_class,
+    (RE_NAMESPACE, "test"): _re_test,
+    (RE_NAMESPACE, "match"): _re_match,
+    (RE_NAMESPACE, "replace"): _re_replace,
+    (SET_NAMESPACE, "difference"): _set_difference,
+}
+
+_USER_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {}
+
+
+def set_xpathfunc(fname: str, func: Callable[..., Any] | None) -> None:
+    """Register (or with ``func=None`` unregister) a global extension
+    function, mirroring the reference API (parsel/xpathfuncs.py:16-34)."""
+    key = (None, fname)
+    if func is not None:
+        DEFAULT_EXTENSIONS[key] = func
+        _USER_EXTENSIONS[key] = func
+    else:
+        if key not in _USER_EXTENSIONS and key not in DEFAULT_EXTENSIONS:
+            raise KeyError(fname)
+        DEFAULT_EXTENSIONS.pop(key, None)
+        _USER_EXTENSIONS.pop(key, None)
+        if fname == "has-class":
+            DEFAULT_EXTENSIONS[key] = has_class
+
+
+def setup() -> None:
+    """Kept for API parity with ``parsel.xpathfuncs.setup`` — the default
+    extensions are always registered."""
+    DEFAULT_EXTENSIONS[(None, "has-class")] = has_class
