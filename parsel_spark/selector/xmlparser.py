@@ -175,7 +175,14 @@ class _XMLBuilder:
                 if not self.stack:
                     self.root_done = True
                 return
-        # unmatched end tag: ignored (recovery)
+        # libxml2-style recovery: a mismatched end tag still closes the
+        # innermost open element (tests/test_selector.py:433-443 pins this:
+        # "<somens:a>take this</a>" closes at "</a>")
+        if self.stack:
+            self.stack.pop()
+            self.scope_stack.pop()
+            if not self.stack:
+                self.root_done = True
 
     def finish(self) -> Document:
         self.stack.clear()

@@ -357,8 +357,10 @@ def _re_match(context: ExtensionContext, value: Any, pattern: Any, flags: Any = 
         groups = [match.group(0), *match.groups()]
         for value_ in groups:
             element = Element("match")
-            if value_:
-                element.append(TextNode(value_))
+            # non-participating/empty groups still carry an (empty) text
+            # node so a trailing /text() yields "" (ref golden:
+            # tests/test_selector.py:1128-1136)
+            element.append(TextNode(value_ or ""))
             document.append(element)
             out.append(element)
 

@@ -307,6 +307,8 @@ class _Parser:
         if token.kind != "name":
             return self.fail()
         value = self.advance().value
+        if value == "*":
+            return ("wild",)
         if ":" in value:
             prefix, local = value.split(":", 1)
             if local == "*":
