@@ -1,0 +1,233 @@
+"""Vectorized selector UDFs — the Spark face of the selector core.
+
+Design (SURVEY.md §3.3, §4.2):
+
+* all row processing flows through Arrow-batched ``pandas_udf`` — never
+  row-at-a-time Python UDFs (driver mandate: "no per-row Python" at the
+  API boundary);
+* CSS→XPath translation and XPath compilation happen **once** per worker
+  process (module-level ``lru_cache`` in the selector core) and the
+  query *string* is what ships in the UDF closure — compile errors
+  surface on the driver before any job is submitted;
+* chained queries (``css().xpath().re()``) are composed on the driver
+  into a single pipeline spec executed in one UDF pass, so each document
+  is parsed exactly once per stage (the reference re-uses one lxml tree
+  per ``Selector`` the same way, parsel/selector.py:562-623).
+
+At 100 TB scale the html payload column never shuffles: these UDFs run
+map-side against the parquet scan and only their (much smaller) string
+array results flow downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..selector import Selector
+from ..selector.css import translator_for
+
+# ---------------------------------------------------------------------------
+# pipeline spec: a tuple of ops, each ("xpath"|"css"|"jmespath"|"re", arg)
+# terminated implicitly by the extraction mode of the calling helper.
+# ---------------------------------------------------------------------------
+
+
+def compile_css(query: str, type_: str = "html") -> str:
+    """Driver-side CSS→XPath translation (fails fast on bad queries)."""
+    return translator_for(type_).css_to_xpath(query)
+
+
+def _run_pipeline(sel: Selector, ops: tuple) -> Any:
+    result: Any = sel
+    for kind, arg in ops:
+        if kind == "xpath":
+            result = result.xpath(arg)
+        elif kind == "css":
+            result = result.css(arg)
+        elif kind == "jmespath":
+            result = result.jmespath(arg)
+        elif kind == "re":
+            return result.re(arg)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown pipeline op {kind}")
+    return result
+
+
+def _make_selector(payload: Any, type_: str | None) -> Selector | None:
+    if payload is None:
+        return None
+    try:
+        return Selector(text=payload, type=type_)
+    except Exception:
+        return None
+
+
+def select_getall(column: Column | str, *ops: tuple, type: str | None = None) -> Column:
+    """``ARRAY<STRING>`` of ``getall()`` results after running the op
+    pipeline against each document; one parse per row."""
+    # validate driver-side so bad queries fail before job submit
+    for kind, arg in ops:
+        if kind == "css":
+            compile_css(arg, type or "html")
+        elif kind == "xpath":
+            from ..selector.xpath.parser import compile_xpath
+
+            compile_xpath(arg)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, type)
+            if sel is None:
+                out.append([])
+                continue
+            try:
+                result = _run_pipeline(sel, ops)
+                if isinstance(result, list):  # .re() terminal
+                    out.append([str(v) for v in result])
+                else:
+                    out.append([str(v) for v in result.getall()])
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return _udf(column)
+
+
+def xpath_getall(column: Column | str, query: str, type: str | None = None) -> Column:
+    """Vectorized ``Selector(html).xpath(query).getall()``."""
+    return select_getall(column, ("xpath", query), type=type)
+
+
+def css_getall(column: Column | str, query: str, type: str | None = None) -> Column:
+    """Vectorized ``Selector(html).css(query).getall()``."""
+    return select_getall(column, ("css", query), type=type)
+
+
+def re_extract(
+    column: Column | str, pattern: str, replace_entities: bool = True
+) -> Column:
+    """Vectorized ``Selector(html).re(pattern)`` (full policy: named
+    ``extract`` group, entity replacement except ``&amp;``/``&lt;``)."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, None)
+            if sel is None:
+                out.append([])
+                continue
+            try:
+                out.append(sel.re(pattern, replace_entities=replace_entities))
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return _udf(column)
+
+
+def attrib_map(column: Column | str, query: str, type: str | None = None) -> Column:
+    """``MAP<STRING,STRING>`` of the first matched element's attributes
+    (SelectorList.attrib semantics, parsel/selector.py:277-284)."""
+    compile_css(query, type or "html")
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, type)
+            if sel is None:
+                out.append({})
+                continue
+            try:
+                out.append(dict(sel.css(query).attrib))
+            except Exception:
+                out.append({})
+        return pd.Series(out)
+
+    return _udf(column)
+
+
+def jmespath_getall(column: Column | str, query: str) -> Column:
+    """Vectorized JMESPath over a JSON string column; results stringified
+    like ``getall()`` does."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, "json")
+            if sel is None:
+                out.append([])
+                continue
+            try:
+                out.append([str(v) for v in sel.jmespath(query).getall()])
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return _udf(column)
+
+
+def extract_struct(
+    column: Column | str,
+    fields: dict[str, tuple],
+    type: str | None = None,
+) -> Column:
+    """Run several pipelines against ONE parse of each document and return
+    ``STRUCT<name: ARRAY<STRING>, ...>`` — the vectorized analog of
+    chaining many queries off one ``Selector`` (parse amortization)."""
+    for ops in fields.values():
+        for kind, arg in ops:
+            if kind == "css":
+                compile_css(arg, type or "html")
+
+    names = list(fields)
+    schema = T.StructType(
+        [T.StructField(n, T.ArrayType(T.StringType())) for n in names]
+    )
+
+    @pandas_udf(schema)
+    def _udf(payloads: pd.Series) -> pd.DataFrame:
+        rows: dict[str, list] = {n: [] for n in names}
+        for payload in payloads:
+            sel = _make_selector(payload, type)
+            for name in names:
+                if sel is None:
+                    rows[name].append([])
+                    continue
+                try:
+                    result = _run_pipeline(sel, fields[name])
+                    if isinstance(result, list):
+                        rows[name].append([str(v) for v in result])
+                    else:
+                        rows[name].append([str(v) for v in result.getall()])
+                except Exception:
+                    rows[name].append([])
+        return pd.DataFrame(rows)
+
+    return _udf(column)
+
+
+def extract_links(column: Column | str) -> Column:
+    """Anchor hrefs (``a::attr(href)``) — the crawl engine's hot path."""
+    return css_getall(column, "a::attr(href)")
+
+
+def extract_images(column: Column | str) -> Column:
+    """``img`` src + alt pairs as a struct of arrays (single parse)."""
+    return extract_struct(
+        column,
+        {
+            "src": (("css", "img::attr(src)"),),
+            "alt": (("css", "img::attr(alt)"),),
+        },
+    )

@@ -1,0 +1,301 @@
+"""Distributed URL frontier: politeness-gated dequeue, link extraction,
+sharded-bloom + exact dedup, deterministic ordering.
+
+Determinism contract (north rule: exact crawl order + seen set vs the
+single-process oracle): every choice is a pure function of
+``(priority DESC, seq ASC, url_hash ASC, url ASC)`` total order and
+wave-synchronous token-bucket state — never of partitioning, timing or
+wall-clock.  Any parallelism level yields identical results.
+
+Scale shape (10^10-URL frontier):
+
+* dequeue is two-phase: a SALTED per-(host, salt) window prunes each
+  host's candidates to ≤ 16×cap rows before the per-host shuffle, so a
+  Zipf-skewed host cannot create a straggler task (AQE skew-join stays
+  on as a backstop);
+* the html payload column stays in the map stage that extracts links;
+  only (url, host, hash, priority) tuples shuffle;
+* seen-set: bloom shards pre-filter (definitely-new URLs skip the join
+  entirely); the exact ``left_anti`` join runs only on bloom-positive
+  survivors, hash-partitioned by url.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.canonical import resolve_udf
+from ..functions.udfs import css_getall
+from .bloom import DEFAULT_BITS_PER_SHARD, DEFAULT_NUM_HASHES, BloomShard
+
+# politeness constants (shared with the oracle — plans/oracle.py)
+TOKEN_CAP = 3.0
+INITIAL_TOKENS = 1.0
+NEW_PRIORITY_BASE = 1.0  # new links get priority 1/(wave+2) < any seed priority
+DEQUEUE_SALT_BUCKETS = 16
+MAX_FETCH_CAP = 8  # global upper bound on per-host per-wave fetches
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, host string, priority double, seq long, "
+    "discovered_wave int"
+)
+HOST_STATE_SCHEMA = (
+    "host string, tokens double, crawl_delay double, max_fetch_per_wave int"
+)
+BLOOM_SCHEMA = "shard_id int, bitmap binary, n_items long, shard_hash long"
+
+
+def refill_tokens(tokens: float, crawl_delay: float) -> float:
+    return min(TOKEN_CAP, tokens + 1.0 / crawl_delay)
+
+
+def allowed_fetches(tokens: float, max_fetch_per_wave: int, available: int) -> int:
+    return min(int(math.floor(tokens)), int(max_fetch_per_wave), available, MAX_FETCH_CAP)
+
+
+def politeness_dequeue(
+    frontier: DataFrame, host_state: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Per-host priority-queue dequeue under token-bucket politeness.
+
+    Returns (dequeued frontier rows, updated host_state).  Phase 1 is a
+    salted window (bounds skew); phase 2 a cogrouped ``applyInPandas``
+    that applies the exact total order + token arithmetic per host.
+    """
+    from pyspark.sql import Window
+
+    salted = frontier.withColumn(
+        "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
+    )
+    window = Window.partitionBy("host", "salt").orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
+    )
+    pruned = (
+        salted.withColumn("rn", F.row_number().over(window))
+        .filter(F.col("rn") <= MAX_FETCH_CAP)
+        .drop("rn", "salt")
+    )
+
+    out_schema = (
+        "host string, kind string, url string, url_hash long, priority double, "
+        "seq long, discovered_wave int, tokens double, crawl_delay double, "
+        "max_fetch_per_wave int"
+    )
+
+    def gate(key, frontier_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        host = key[0]
+        if len(state_pdf):
+            tokens = float(state_pdf["tokens"].iloc[0])
+            crawl_delay = float(state_pdf["crawl_delay"].iloc[0])
+            max_fetch = int(state_pdf["max_fetch_per_wave"].iloc[0])
+        else:
+            # host appearing without registered state: defaults
+            tokens, crawl_delay, max_fetch = INITIAL_TOKENS, 1.0, 1
+        tokens = refill_tokens(tokens, crawl_delay)
+        k = allowed_fetches(tokens, max_fetch, len(frontier_pdf))
+        rows = []
+        if k > 0:
+            ordered = frontier_pdf.sort_values(
+                by=["priority", "seq", "url_hash", "url"],
+                ascending=[False, True, True, True],
+                kind="mergesort",
+            ).head(k)
+            for row in ordered.itertuples(index=False):
+                rows.append(
+                    {
+                        "host": host,
+                        "kind": "deq",
+                        "url": row.url,
+                        "url_hash": int(row.url_hash),
+                        "priority": float(row.priority),
+                        "seq": int(row.seq),
+                        "discovered_wave": int(row.discovered_wave),
+                        "tokens": 0.0,
+                        "crawl_delay": crawl_delay,
+                        "max_fetch_per_wave": max_fetch,
+                    }
+                )
+        tokens -= k
+        rows.append(
+            {
+                "host": host,
+                "kind": "state",
+                "url": "",
+                "url_hash": 0,
+                "priority": 0.0,
+                "seq": 0,
+                "discovered_wave": 0,
+                "tokens": tokens,
+                "crawl_delay": crawl_delay,
+                "max_fetch_per_wave": max_fetch,
+            }
+        )
+        return pd.DataFrame(rows)
+
+    gated = (
+        pruned.groupBy("host")
+        .cogroup(host_state.groupBy("host"))
+        .applyInPandas(gate, schema=out_schema)
+    )
+    dequeued = gated.filter(F.col("kind") == "deq").select(
+        "url", "url_hash", "host", "priority", "seq", "discovered_wave"
+    )
+    new_state = gated.filter(F.col("kind") == "state").select(
+        "host", "tokens", "crawl_delay", "max_fetch_per_wave"
+    )
+    return dequeued, new_state
+
+
+def extract_wave_links(fetched: DataFrame) -> DataFrame:
+    """html → exploded, resolved, canonicalized link URLs.
+
+    Runs map-side against the fetch join output; the html column is
+    projected away before any shuffle."""
+    links = fetched.select(
+        F.col("url").alias("src_url"),
+        F.explode(css_getall("html", "a::attr(href)")).alias("href"),
+    )
+    return (
+        links.select(
+            resolve_udf("src_url", "href").alias("url"),
+        )
+        .filter(F.col("url").isNotNull())
+        .select("url", F.xxhash64("url").alias("url_hash"))
+    )
+
+
+def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop robots-denied URLs (broadcast dim join + JVM-side prefix
+    check via the ``exists`` higher-order function)."""
+    with_host = links.withColumn("host", F.parse_url("url", F.lit("HOST"))).withColumn(
+        "path", F.parse_url("url", F.lit("PATH"))
+    )
+    joined = with_host.join(F.broadcast(robots), "host", "left")
+    allowed = joined.filter(
+        F.col("deny_prefixes").isNull()
+        | ~F.exists(
+            "deny_prefixes", lambda p: F.col("path").startswith(p)
+        )
+    )
+    return allowed.select("url", "url_hash", "host")
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    bloom_state: DataFrame,
+    num_shards: int,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Adds ``maybe_seen`` to candidates via the sharded bloom state.
+
+    Cogrouped by shard_id: one task touches one bitmap; bloom-negative
+    rows are definitely new."""
+    with_shard = candidates.withColumn(
+        "shard_id", F.pmod(F.hash("url"), F.lit(num_shards))
+    )
+
+    out_schema = "url string, url_hash long, host string, maybe_seen boolean"
+
+    def probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=["url", "url_hash", "host", "maybe_seen"])
+        if len(state_pdf):
+            shard = BloomShard(m_bits, k, bitmap=bytes(state_pdf["bitmap"].iloc[0]))
+            maybe = shard.maybe_contains(cand_pdf["url_hash"].to_numpy())
+        else:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        return pd.DataFrame(
+            {
+                "url": cand_pdf["url"].to_numpy(),
+                "url_hash": cand_pdf["url_hash"].to_numpy(),
+                "host": cand_pdf["host"].to_numpy(),
+                "maybe_seen": maybe,
+            }
+        )
+
+    return (
+        with_shard.groupBy("shard_id")
+        .cogroup(bloom_state.groupBy("shard_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def bloom_update(
+    added: DataFrame,
+    bloom_state: DataFrame,
+    num_shards: int,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Fold newly-seen url hashes into the shard bitmaps; returns the new
+    bloom state (shard_id, bitmap, n_items, shard_hash) — the shard_hash
+    doubles as per-partition lineage."""
+    with_shard = added.select(
+        F.pmod(F.hash("url"), F.lit(num_shards)).alias("shard_id"), "url_hash"
+    )
+
+    def fold(key, new_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(key[0])
+        if len(state_pdf):
+            shard = BloomShard(
+                m_bits,
+                k,
+                bitmap=bytes(state_pdf["bitmap"].iloc[0]),
+                n_items=int(state_pdf["n_items"].iloc[0]),
+            )
+        else:
+            shard = BloomShard(m_bits, k)
+        if len(new_pdf):
+            shard.add_hashes(new_pdf["url_hash"].to_numpy())
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard_id,
+                    "bitmap": shard.to_bytes(),
+                    "n_items": shard.n_items,
+                    "shard_hash": shard.content_hash(),
+                }
+            ]
+        )
+
+    return (
+        with_shard.groupBy("shard_id")
+        .cogroup(bloom_state.groupBy("shard_id"))
+        .applyInPandas(fold, schema=BLOOM_SCHEMA)
+    )
+
+
+def exact_new_filter(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Split bloom-positive candidates with the exact seen-set anti-join;
+    bloom-negative rows bypass the join entirely."""
+    definite_new = candidates.filter(~F.col("maybe_seen")).select(
+        "url", "url_hash", "host"
+    )
+    survivors = (
+        candidates.filter(F.col("maybe_seen"))
+        .select("url", "url_hash", "host")
+        .join(seen.select("url"), "url", "left_anti")
+    )
+    return definite_new.unionByName(survivors)
+
+
+def new_frontier_rows(new_urls: DataFrame, wave: int) -> DataFrame:
+    """Frontier rows for wave ``wave+1``: priority = 1/(wave+2); seq =
+    url_hash — a pure function of the URL, so no global ranking shuffle
+    is needed for deterministic ordering."""
+    priority = NEW_PRIORITY_BASE / float(wave + 2)
+    return new_urls.select(
+        "url",
+        "url_hash",
+        "host",
+        F.lit(priority).alias("priority"),
+        F.col("url_hash").alias("seq"),
+        F.lit(wave + 1).alias("discovered_wave"),
+    )
