@@ -1,38 +1,640 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query.  The
+crawl/selector queries synthesize their html input deterministically
+FROM the ``documents`` table (pure column expressions), so the oracle
+can state the expected extraction output in closed form — the planted
+ground truth checks the whole parse→select→canonicalize pipeline.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOC_HOSTS = 7
+N_SEED_DOCS = 10
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic html corpus derived from `documents` (shared ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _clean_caption():
+    # identical normalization exists in the oracle SQL
+    return F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), 1, 40
+    )
+
+
+def _doc_url(doc_id_col):
+    return F.concat(
+        F.lit("http://docs-"),
+        F.pmod(doc_id_col, F.lit(N_DOC_HOSTS)),
+        F.lit(".test/d/"),
+        doc_id_col,
+    )
+
+
+def _doc_pages(docs: DataFrame, n_total: int) -> DataFrame:
+    """documents → (doc_id, url, html) with three planted out-links per
+    doc in rotating un-canonical trap forms (upper-case host, :80 port,
+    dot-segments) that all canonicalize to the closed-form target URL."""
+    doc_id = F.col("doc_id")
+    targets = [F.pmod(doc_id * 7 + j * 11 + 1, F.lit(n_total)) for j in range(3)]
+
+    def trap(j: int, target):
+        canonical = _doc_url(target)
+        upper = F.concat(
+            F.lit("HTTP://DOCS-"),
+            F.pmod(target, F.lit(N_DOC_HOSTS)),
+            F.lit(".TEST/d/"),
+            target,
+        )
+        port = F.concat(
+            F.lit("http://docs-"),
+            F.pmod(target, F.lit(N_DOC_HOSTS)),
+            F.lit(".test:80/d/"),
+            target,
+        )
+        dots = F.concat(
+            F.lit("http://docs-"),
+            F.pmod(target, F.lit(N_DOC_HOSTS)),
+            F.lit(".test/d/x/../"),
+            target,
+        )
+        variant = F.pmod(doc_id + j, F.lit(3))
+        return (
+            F.when(variant == 0, canonical)
+            .when(variant == 1, upper)
+            .otherwise(dots if j % 2 else port)
+        )
+
+    # NOTE: variant 2 alternates between port/dot traps by link index
+    anchors = [
+        F.concat(
+            F.lit(f'<a href="'), trap(j, targets[j]), F.lit(f'" class="l{j}">x</a>')
+        )
+        for j in range(3)
+    ]
+    html = F.concat(
+        F.lit('<html><body><h1 class="t">'),
+        _clean_caption(),
+        F.lit("</h1>\n"),
+        anchors[0],
+        F.lit("\n"),
+        anchors[1],
+        F.lit("\n"),
+        anchors[2],
+        F.lit("\n</body></html>"),
+    )
+    return docs.select(
+        "doc_id", _doc_url(doc_id).alias("url"), html.alias("html")
+    )
+
+
+def _oracle_doc_targets(j_values: str = "(0),(1),(2)") -> str:
+    """SQL fragment producing (doc_id, url) planted-link ground truth."""
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+         js(j) AS (VALUES {j_values})
+    SELECT d.doc_id AS doc_id,
+           'http://docs-' || (((d.doc_id*7 + js.j*11 + 1) % n.n) % {N_DOC_HOSTS})
+             || '.test/d/' || ((d.doc_id*7 + js.j*11 + 1) % n.n) AS url
+    FROM documents d, js, n
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    window = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(window))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions import textstats as ts
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count().cast("long").alias("n_tokens"),
+        ts.char_count().cast("long").alias("n_chars_measured"),
+        F.round(ts.mean_word_length(), 6).alias("mean_word_len"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions import textstats as ts
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(ts.stopword_ratio(), 6).alias("stopword_ratio"),
+        ts.quality_score().alias("quality"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions import textstats as ts
+
+    docs = _read(spark, sf_dir, "documents")
+    return ts.lang_id_df(docs, keep=["doc_id"])
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions import textstats as ts
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.fingerprint().alias("fingerprint"))
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.similarity import knn_bruteforce
+
+    return knn_bruteforce(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.similarity import knn_lsh
+
+    return knn_lsh(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.similarity import norm
+
+    embeddings = _read(spark, sf_dir, "embeddings")
+    return embeddings.select(
+        "vec_id", "label", F.round(norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+def q_emb_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _read(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "value")
+        )
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+
+
+def q_crawl_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """css-extract + canonicalize the planted links; output must equal
+    the closed-form target set."""
+    from parsel_spark.functions.canonical import canonicalize_udf
+    from parsel_spark.functions.udfs import css_getall
+
+    docs = _read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    pages = _doc_pages(docs, n_total)
+    return (
+        pages.select(
+            "doc_id", F.explode(css_getall("html", "a::attr(href)")).alias("href")
+        )
+        .select("doc_id", canonicalize_udf("href").alias("url"))
+    )
+
+
+def q_crawl_frontier_wave1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-1 frontier: links of the seed docs, deduped, minus the
+    already-seen seed URLs (bloom-style prefilter + exact anti-join)."""
+    from parsel_spark.functions.canonical import canonicalize_udf
+    from parsel_spark.functions.udfs import css_getall
+
+    docs = _read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    seeds = docs.filter(F.col("doc_id") < N_SEED_DOCS)
+    pages = _doc_pages(seeds, n_total)
+    links = (
+        pages.select(F.explode(css_getall("html", "a::attr(href)")).alias("href"))
+        .select(canonicalize_udf("href").alias("url"))
+        .dropDuplicates(["url"])
+    )
+    seed_urls = seeds.select(_doc_url(F.col("doc_id")).alias("url"))
+    return links.join(seed_urls, "url", "left_anti")
+
+
+def q_selector_caption_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions.udfs import xpath_getall
+
+    docs = _read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    pages = _doc_pages(docs, n_total)
+    return pages.select(
+        "doc_id",
+        F.element_at(
+            xpath_getall("html", "//h1[@class='t']/text()"), 1
+        ).alias("caption"),
+    )
+
+
+def q_selector_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.functions.udfs import re_extract
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(re_extract("text", r"\b(s\w+)")).alias("match")
+    )
+
+
+def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """murmur3 sharding + xxhash64 keying of canonical URLs (the
+    seen-set key path); oracle checks shard balance via counts."""
+    docs = _read(spark, sf_dir, "documents")
+    urls = docs.select(_doc_url(F.col("doc_id")).alias("url"))
+    return (
+        urls.select(F.pmod(F.hash("url"), F.lit(32)).alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_orders_per_customer": q_top_orders_per_customer,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_event_type_stats": q_event_type_stats,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_knn_bruteforce": q_emb_knn_bruteforce,
+        "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_norms": q_emb_norms,
+        "emb_label_centroid_dims": q_emb_label_centroid_dims,
+        "crawl_extract_links": q_crawl_extract_links,
+        "crawl_frontier_wave1": q_crawl_frontier_wave1,
+        "selector_caption_xpath": q_selector_caption_xpath,
+        "selector_re_extract": q_selector_re_extract,
+        "crawl_url_hash_shards": q_crawl_url_hash_shards,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["q_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q_top_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """
+
+    sql["q_customers_without_orders"] = """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+    sql["q_revenue_by_nation"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["q_event_type_stats"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               count(DISTINCT user_id) AS exact_users
+        FROM events
+        GROUP BY event_type
+    """
+
+    sql["doc_exact_dedup"] = """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """
+
+    sql["doc_jaccard_pairs"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(
+                 len(list_intersect(a.toks, b.toks))::DOUBLE /
+                 len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 6
+               ) AS jac
+        FROM t a JOIN t b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+              len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5
+    """
+
+    sql["doc_token_stats"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS n_chars_measured,
+               round(
+                 list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / len(toks)::DOUBLE, 6) AS mean_word_len
+        FROM t
+    """
+
+    sql["doc_quality"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, text, toks,
+                   len(list_filter(toks,
+                       x -> x IN ('the','a','of','and','to','in','is','it')
+                   ))::DOUBLE / len(toks)::DOUBLE AS swr,
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                     / len(toks)::DOUBLE AS mwl
+            FROM t
+        )
+        SELECT doc_id,
+               round(swr, 6) AS stopword_ratio,
+               round(
+                 (CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 0.4 ELSE 0.0 END)
+                 + least(swr * 2, 0.3)
+                 + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END), 6
+               ) AS quality
+        FROM m
+    """
+
+    lang_hits = {
+        "en": "('the','and','of','to','is')",
+        "de": "('der','die','und','ist','nicht')",
+        "fr": "('le','la','et','est','les')",
+        "es": "('el','la','y','es','los')",
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN {markers})) AS h_{lang}"
+        for lang, markers in lang_hits.items()
+    )
+    sql["doc_lang_id"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id, {hit_cols},
+                   greatest(
+                       len(list_filter(toks, x -> x IN {lang_hits['en']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['de']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['fr']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['es']}))
+                   ) AS best
+            FROM t
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN h_de > 0 AND h_de = best THEN 'de'
+                 WHEN h_en > 0 AND h_en = best THEN 'en'
+                 WHEN h_es > 0 AND h_es = best THEN 'es'
+                 WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+                 ELSE 'und'
+               END AS pred_lang
+        FROM h
+    """
+
+    sql["doc_fingerprint"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 8 THEN
+                   list_min([md5(array_to_string(toks[i+1:i+8], ' '))
+                             FOR i IN generate_series(0, len(toks)-8)])
+               ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+        FROM t
+    """
+
+    sql["emb_knn_bruteforce"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS sim
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    sql["emb_norms"] = """
+        SELECT vec_id, label,
+               round(sqrt(list_sum(
+                   list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4
+               ) AS l2_norm
+        FROM embeddings
+    """
+
+    sql["emb_label_centroid_dims"] = """
+        SELECT label, u.i - 1 AS dim,
+               round(avg(u.x), 4) AS mean_value
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding) AS x) AS u
+        GROUP BY label, dim
+    """
+
+    sql["crawl_extract_links"] = _oracle_doc_targets()
+
+    sql["crawl_frontier_wave1"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+             js(j) AS (VALUES (0),(1),(2)),
+             seeds AS (SELECT doc_id FROM documents WHERE doc_id < {N_SEED_DOCS}),
+             links AS (
+                SELECT DISTINCT
+                  'http://docs-' || (((s.doc_id*7 + js.j*11 + 1) % n.n) % {N_DOC_HOSTS})
+                    || '.test/d/' || ((s.doc_id*7 + js.j*11 + 1) % n.n) AS url
+                FROM seeds s, js, n
+             ),
+             seed_urls AS (
+                SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                         || '.test/d/' || doc_id AS url
+                FROM seeds
+             )
+        SELECT url FROM links WHERE url NOT IN (SELECT url FROM seed_urls)
+    """
+
+    sql["selector_caption_xpath"] = """
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), 1, 40)
+                 AS caption
+        FROM documents
+    """
+
+    sql["selector_re_extract"] = r"""
+        SELECT doc_id, unnest(regexp_extract_all(text, '\b(s\w+)', 1)) AS match
+        FROM documents
+    """
+
+    sql["crawl_url_hash_shards"] = ""  # spark murmur3 differs from duckdb hash
+    del sql["crawl_url_hash_shards"]
+
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: synthesize the crawl corpus from sf0.001 documents,
+    css-extract + canonicalize the planted links, and aggregate the
+    in-degree per target host — parse, select, canonicalize, explode,
+    aggregate in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    links = q_crawl_extract_links(spark, sf_dir)
+    return (
+        links.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct("url").alias("n_distinct_targets"),
+        )
+        .orderBy("host")
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis column functions for training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting and
+document fingerprinting.  All JVM-side expressions (split / filter /
+transform / md5) — reproducible by an independent SQL engine, which is
+exactly how the correctness oracle checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic (designed to be expressible in plain SQL too)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), " +")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col))
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    stops = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return stops.cast("double") / F.size(toks).cast("double")
+
+
+def mean_word_length(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + word-shape sanity.  Deliberately simple arithmetic so the oracle
+    can reproduce it exactly."""
+    length_ok = (
+        F.when(char_count(text_col).between(50, 2000), F.lit(0.4)).otherwise(F.lit(0.0))
+    )
+    stop_component = F.least(stopword_ratio(text_col) * 2, F.lit(0.3))
+    shape = F.when(
+        mean_word_length(text_col).between(2.0, 12.0), F.lit(0.3)
+    ).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_component + shape, 6)
+
+
+def lang_marker_hits(text_col: str = "text") -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id_df(df, text_col: str = "text", keep: list[str] | None = None):
+    """Append a ``pred_lang`` column: argmax over per-language stopword
+    marker hits, deterministic tie-break by language code, 'und' when
+    nothing matches.
+
+    Two-stage projection on purpose: each higher-order-function hit
+    column is materialized exactly once before being compared — Spark
+    miscompiles a plan that instantiates the same python-built lambda
+    expression several times inside one projection (lambda variable id
+    collisions under common-subexpression elimination)."""
+    keep = keep if keep is not None else df.columns
+    staged = df.withColumn("_toks", tokens(text_col))
+    # SQL-parsed lambdas with per-language variable names: python-built
+    # lambdas all bind the same variable name and collide when several
+    # appear in one (collapsed) projection
+    hit_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        quoted = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            F.expr(
+                f"size(filter(_toks, t_{lang} -> t_{lang} IN ({quoted})))"
+            ).alias(f"_hits_{lang}")
+        )
+    staged = staged.select(*keep, *hit_exprs)
+    cols = {lang: F.col(f"_hits_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*cols.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((cols[lang] > 0) & (cols[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return staged.select(*keep, expr.alias("pred_lang"))
+
+
+def fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: minimum md5 over sliding
+    word ``window``-grams of the normalized text (rolling-hash family,
+    reproducible in any engine with md5)."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return F.array_min(grams)

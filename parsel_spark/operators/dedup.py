@@ -1,0 +1,247 @@
+"""Deduplication operators over a document corpus — first-class
+components of a training-data pipeline at 100 TB.
+
+All four strategies keep the hot path JVM-side (built-in / higher-order
+functions, no Python in the per-row loop) except simhash, which uses an
+Arrow-batched pandas UDF with vectorized numpy bit math.
+
+Scale notes:
+
+* exact: groupBy on ``md5(text)`` — hash-partitioned aggregation with
+  map-side partial aggregation; never shuffles the text column twice;
+* near-dup joins are BLOCKED (by source or LSH band) so the candidate
+  set is linear-ish, never the quadratic all-pairs;
+* MinHash-LSH: signature/banding entirely with ``transform``/
+  ``aggregate``/``xxhash64`` expressions; band buckets groupBy-shuffle
+  only (band_hash, doc_id) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKENIZE_REGEX = " +"
+
+
+def tokens_col(text_col: str = "text"):
+    """Distinct lowercase whitespace tokens (JVM-side)."""
+    return F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE_REGEX)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Representative (min doc_id) + duplicate count per distinct text.
+
+    Grouping key is ``md5(text)`` — standard MD5, so an independent SQL
+    engine reproduces the same groups."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "dup_count")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6, block_col: str = "source"
+) -> DataFrame:
+    """Near-duplicate pairs by word-set Jaccard within a blocking key.
+
+    Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded to 6dp
+    for cross-engine comparability."""
+    with_tokens = docs.select(
+        "doc_id", F.col(block_col).alias("block"), tokens_col().alias("toks")
+    )
+    left = with_tokens.alias("a")
+    right = with_tokens.alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size(F.array_union("a.toks", "b.toks"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def _shingles(tok_expr, n: int = 3):
+    """Word n-gram shingles from a token array (JVM transform/slice)."""
+    return F.when(
+        F.size(tok_expr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_expr) - n),
+            lambda i: F.concat_ws(" ", F.slice(tok_expr, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tok_expr)))
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — sig[k] = min over shingles of
+    xxhash64(shingle || '#' || k).  Pure JVM expressions."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
+    shingles = _shingles(toks, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, k=k: F.xxhash64(F.concat(s, F.lit(f"#{k}"))),
+                )
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"), shingles.alias("shingles"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate generation, then exact
+    shingle-Jaccard verification of candidates only."""
+    rows_per_band = num_hashes // bands
+    signed = minhash_signatures(docs, num_hashes, shingle_n)
+    banded = signed.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return candidates.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jac"),
+    ).filter(F.col("jac") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — 64-bit weighted bit vote)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        words = text.lower().split()
+        if not words:
+            continue
+        # vectorized FNV-1a per word
+        hashes = np.empty(len(words), dtype=np.uint64)
+        for j, word in enumerate(words):
+            h = _FNV_OFFSET
+            for byte in word.encode("utf-8"):
+                h = (h ^ np.uint64(byte)) * _FNV_PRIME
+            hashes[j] = h
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.where(votes >= 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_col(text_col: str = "text"):
+    return F.pandas_udf(_simhash_batch, T.LongType())(F.col(text_col))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ k.  Candidate
+    blocking: 4 16-bit chunks — Hamming ≤ 3 implies at least one exact
+    chunk match (pigeonhole), so the join is band-blocked, not all-pairs."""
+    hashed = docs.select("doc_id", simhash_col().alias("sh"))
+    chunks = hashed.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    left = chunks.alias("a")
+    right = chunks.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (probe only the query's bucket).  Both
+keep the arithmetic JVM-side via ``zip_with``/``aggregate`` higher-order
+functions — no Python in the distance loop.
+
+At 100 TB the brute-force variant is a single map + top-k
+(``TakeOrderedAndProject``) with no shuffle of the vectors themselves;
+the LSH variant prunes the scan by pre-partitioning on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.synth import _mix
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_id: int, k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Exact cosine top-k neighbors of ``query_id`` (excluded itself).
+
+    The query vector joins in via a broadcast cross-join (1 row), so the
+    scan side never shuffles; similarity is rounded for deterministic
+    tie ordering across engines."""
+    query = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "query_embedding"), round_to).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random ±-valued hyperplanes (shared by build
+    and probe sides; derived from the same splitmix mixing as the
+    synthetic corpus so no RNG state is involved)."""
+    return [
+        [1.0 if _mix(seed, p, d) & 1 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(embedding, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0)
+    for index, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(embedding, plane_col) > 0, F.lit(1 << index)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    With B buckets this scans ~N/B vectors; recall is tested against the
+    brute-force baseline."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    query = bucketed.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("query_embedding"),
+        F.col("bucket").alias("query_bucket"),
+    )
+    scored = (
+        bucketed.crossJoin(F.broadcast(query))
+        .filter(
+            (F.col("bucket") == F.col("query_bucket"))
+            & (F.col("vec_id") != query_id)
+        )
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "query_embedding"), round_to).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
+def label_centroids(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-label centroid vectors via posexplode + groupBy — the
+    aggregate-over-array pattern for embedding columns."""
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "value")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg("value"), round_to).alias("mean_value"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_value"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform("pairs", lambda s: s["mean_value"]).alias("centroid"),
+        )
+    )
