@@ -1,0 +1,160 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline ``frontier_throughput`` entry reports URLs
+dequeued+extracted per second for a crawl over a synthetic corpus scaled
+to the sf's document count (the north-rule metric); the other entries
+time the operator families end-to-end (noop sink — no driver collect).
+
+Set ``SPARK_GRAFT_BENCH_MODE=crawl-only`` to run just the crawl bench
+(used by the N-vs-4N scaling-efficiency measurement in
+``tools/scaling.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
+CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"parsel_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def crawl_bench(spark, n_pages: int, waves: int) -> dict:
+    """Throughput of the full crawl loop (politeness dequeue + fetch +
+    vectorized extraction + canonicalization + bloom/exact dedup +
+    snapshot commit) in URLs dequeued+extracted/sec."""
+    from parsel_spark.plans.crawl import CrawlRun
+    from parsel_spark.sources.snapshots import SnapshotCatalog
+    from parsel_spark.sources.synth import (
+        SynthConfig,
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+    )
+
+    cfg = SynthConfig(
+        n_pages=n_pages,
+        n_hosts=max(32, n_pages // 25),
+        out_degree=12,
+        seed=42,
+        with_images=False,
+    )
+    pages = synth_pages(spark, cfg).cache()
+    pages.count()  # materialize outside the timed window
+    robots = synth_robots(spark, cfg, fast=True)
+    seeds = synth_seeds(spark, cfg, n_seeds=min(2000, n_pages // 5))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        run = CrawlRun(spark, SnapshotCatalog(tmp), pages, robots, num_shards=32)
+        start = time.perf_counter()
+        run.initialize(seeds)
+        totals = {"dequeued": 0, "new_urls": 0}
+        for metrics in run.run(waves):
+            totals["dequeued"] += metrics["dequeued"]
+            totals["new_urls"] += metrics["new_urls"]
+        elapsed = time.perf_counter() - start
+    pages.unpersist()
+    processed = totals["dequeued"] + totals["new_urls"]
+    return {
+        "sec": elapsed,
+        "urls_processed": processed,
+        "urls_per_sec": processed / elapsed if elapsed > 0 else 0.0,
+        **totals,
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    except Exception:
+        n_docs = 5000
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # headline: crawl-loop throughput over a corpus sized to the sf
+    crawl = crawl_bench(spark, n_pages=max(2000, n_docs * 4), waves=CRAWL_WAVES)
+    timings["crawl_loop"] = round(crawl["sec"], 3)
+    extras["frontier_urls_per_sec"] = round(crawl["urls_per_sec"], 2)
+    extras["frontier_urls_processed"] = crawl["urls_processed"]
+
+    if MODE != "crawl-only":
+        queries = entrymod.queries()
+        bench_set = [
+            "crawl_extract_links",
+            "selector_caption_xpath",
+            "doc_exact_dedup",
+            "doc_minhash_pairs",
+            "doc_simhash_pairs",
+            "doc_token_stats",
+            "doc_lang_id",
+            "emb_knn_bruteforce",
+            "emb_knn_lsh",
+            "q_pricing_summary",
+            "q_revenue_by_nation",
+            "q_top_orders_per_customer",
+        ]
+        for name in bench_set:
+            fn = queries[name]
+            start = time.perf_counter()
+            run_noop(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier throughput + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,7 @@ def jaccard_pairs(
     for cross-engine comparability."""
     with_tokens = docs.select(
         "doc_id", F.col(block_col).alias("block"), tokens_col().alias("toks")
-    )
+    ).repartition(F.col("block"))  # one tokenize pass; co-located self-join
     left = with_tokens.alias("a")
     right = with_tokens.alias("b")
     pairs = left.join(
@@ -92,22 +92,27 @@ def _shingles(tok_expr, n: int = 3):
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>) — sig[k] = min over shingles of
-    xxhash64(shingle || '#' || k).  Pure JVM expressions."""
+    """(doc_id, sig ARRAY<BIGINT>, shingles) — sig[k] = min over shingles
+    of xxhash64(shingle || '#' || k).  Pure JVM expressions.
+
+    The whole signature is ONE nested higher-order expression (transform
+    over k of array_min over shingles) so the shingle array is built
+    once per row — naively emitting ``num_hashes`` separate array_min
+    columns makes Catalyst's project-collapse inline (and re-evaluate)
+    the shingle construction per hash."""
     toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
     shingles = _shingles(toks, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, k=k: F.xxhash64(F.concat(s, F.lit(f"#{k}"))),
-                )
+    with_shingles = docs.select("doc_id", shingles.alias("shingles"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.xxhash64(F.concat(s, F.lit("#"), k.cast("string"))),
             )
-            for k in range(num_hashes)
-        ]
+        ),
     )
-    return docs.select("doc_id", sig.alias("sig"), shingles.alias("shingles"))
+    return with_shingles.select("doc_id", sig.alias("sig"), "shingles")
 
 
 def minhash_lsh_pairs(
@@ -121,6 +126,10 @@ def minhash_lsh_pairs(
     shingle-Jaccard verification of candidates only."""
     rows_per_band = num_hashes // bands
     signed = minhash_signatures(docs, num_hashes, shingle_n)
+    # shuffle barrier: materializes the signatures once and lets the
+    # self-join below reuse ONE exchange for both sides (ReusedExchange)
+    # instead of recomputing signatures per side
+    signed = signed.repartition(F.col("doc_id"))
     banded = signed.select(
         "doc_id",
         "shingles",
@@ -212,6 +221,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     blocking: 4 16-bit chunks — Hamming ≤ 3 implies at least one exact
     chunk match (pigeonhole), so the join is band-blocked, not all-pairs."""
     hashed = docs.select("doc_id", simhash_col().alias("sh"))
+    # shuffle barrier: one pandas-UDF pass + ReusedExchange on self-join
+    hashed = hashed.repartition(F.col("doc_id"))
     chunks = hashed.select(
         "doc_id",
         "sh",

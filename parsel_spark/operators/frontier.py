@@ -61,93 +61,93 @@ def allowed_fetches(tokens: float, max_fetch_per_wave: int, available: int) -> i
 
 def politeness_dequeue(
     frontier: DataFrame, host_state: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Per-host priority-queue dequeue under token-bucket politeness.
 
-    Returns (dequeued frontier rows, updated host_state).  Phase 1 is a
-    salted window (bounds skew); phase 2 a cogrouped ``applyInPandas``
-    that applies the exact total order + token arithmetic per host.
+    Returns (dequeued frontier rows, updated host_state, cached budget
+    frame — caller unpersists).  Entirely JVM-side:
+
+    1. per-host candidate counts + token arithmetic as column
+       expressions over the (small) host-state join — the double-precision
+       ops are the same IEEE sequence the oracle runs, so results are
+       bit-identical;
+    2. a SALTED pre-window bounds any Zipf-skewed host to ≤16×cap rows
+       before the per-host ranking window;
+    3. final per-host ``row_number() <= k`` with the budget broadcast.
+
+    A per-host ``applyInPandas`` gate would create one pandas frame per
+    host (~1 ms each — minutes at 10^6 hosts); this shape is pure
+    codegen'd window + broadcast-join work.
     """
     from pyspark.sql import Window
+
+    # per-host refill as column expressions (same IEEE double sequence
+    # the oracle runs, so results are bit-identical)
+    refill_expr = F.least(
+        F.lit(TOKEN_CAP), F.col("tokens") + F.lit(1.0) / F.col("crawl_delay")
+    )
+    prepared = host_state.select(
+        "host",
+        refill_expr.alias("refilled"),
+        F.col("max_fetch_per_wave").alias("mf"),
+    )
 
     salted = frontier.withColumn(
         "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
     )
-    window = Window.partitionBy("host", "salt").orderBy(
+    pre_window = Window.partitionBy("host", "salt").orderBy(
         F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
     )
     pruned = (
-        salted.withColumn("rn", F.row_number().over(window))
+        salted.withColumn("rn", F.row_number().over(pre_window))
         .filter(F.col("rn") <= MAX_FETCH_CAP)
         .drop("rn", "salt")
     )
-
-    out_schema = (
-        "host string, kind string, url string, url_hash long, priority double, "
-        "seq long, discovered_wave int, tokens double, crawl_delay double, "
-        "max_fetch_per_wave int"
+    # NOTE: the oracle's k = min(floor(refill), max_fetch, |candidates|,
+    # CAP).  The candidate-count term never binds differently after salt
+    # pruning: pruning keeps ≥ min(|candidates|, CAP) rows per host and
+    # k ≤ CAP, so row_number() ≤ k enforces it exactly — no full-frontier
+    # count aggregation is needed.
+    host_window = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
     )
-
-    def gate(key, frontier_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
-        host = key[0]
-        if len(state_pdf):
-            tokens = float(state_pdf["tokens"].iloc[0])
-            crawl_delay = float(state_pdf["crawl_delay"].iloc[0])
-            max_fetch = int(state_pdf["max_fetch_per_wave"].iloc[0])
-        else:
-            # host appearing without registered state: defaults
-            tokens, crawl_delay, max_fetch = INITIAL_TOKENS, 1.0, 1
-        tokens = refill_tokens(tokens, crawl_delay)
-        k = allowed_fetches(tokens, max_fetch, len(frontier_pdf))
-        rows = []
-        if k > 0:
-            ordered = frontier_pdf.sort_values(
-                by=["priority", "seq", "url_hash", "url"],
-                ascending=[False, True, True, True],
-                kind="mergesort",
-            ).head(k)
-            for row in ordered.itertuples(index=False):
-                rows.append(
-                    {
-                        "host": host,
-                        "kind": "deq",
-                        "url": row.url,
-                        "url_hash": int(row.url_hash),
-                        "priority": float(row.priority),
-                        "seq": int(row.seq),
-                        "discovered_wave": int(row.discovered_wave),
-                        "tokens": 0.0,
-                        "crawl_delay": crawl_delay,
-                        "max_fetch_per_wave": max_fetch,
-                    }
-                )
-        tokens -= k
-        rows.append(
-            {
-                "host": host,
-                "kind": "state",
-                "url": "",
-                "url_hash": 0,
-                "priority": 0.0,
-                "seq": 0,
-                "discovered_wave": 0,
-                "tokens": tokens,
-                "crawl_delay": crawl_delay,
-                "max_fetch_per_wave": max_fetch,
-            }
+    # defaults for hosts without registered state: tokens=INITIAL, delay 1
+    default_refilled = min(TOKEN_CAP, INITIAL_TOKENS + 1.0)
+    dequeued = (
+        pruned.join(F.broadcast(prepared), "host", "left")
+        .withColumn("rn", F.row_number().over(host_window))
+        .withColumn(
+            "k",
+            F.least(
+                F.floor(F.coalesce("refilled", F.lit(default_refilled))).cast("int"),
+                F.coalesce("mf", F.lit(1)),
+                F.lit(MAX_FETCH_CAP),
+            ),
         )
-        return pd.DataFrame(rows)
+        .filter(F.col("rn") <= F.col("k"))
+        .select("url", "url_hash", "host", "priority", "seq", "discovered_wave")
+    )
 
-    gated = (
-        pruned.groupBy("host")
-        .cogroup(host_state.groupBy("host"))
-        .applyInPandas(gate, schema=out_schema)
-    )
-    dequeued = gated.filter(F.col("kind") == "deq").select(
-        "url", "url_hash", "host", "priority", "seq", "discovered_wave"
-    )
-    new_state = gated.filter(F.col("kind") == "state").select(
-        "host", "tokens", "crawl_delay", "max_fetch_per_wave"
+    # token-state update from what was ACTUALLY dequeued (== k clipped by
+    # availability, which is exactly what the oracle consumes)
+    used = dequeued.groupBy("host").agg(F.count(F.lit(1)).alias("used"))
+    new_state = (
+        host_state.join(used, "host", "full_outer")
+        .select(
+            "host",
+            (
+                F.least(
+                    F.lit(TOKEN_CAP),
+                    F.coalesce(F.col("tokens"), F.lit(INITIAL_TOKENS))
+                    + F.lit(1.0) / F.coalesce(F.col("crawl_delay"), F.lit(1.0)),
+                )
+                - F.coalesce(F.col("used"), F.lit(0)).cast("double")
+            ).alias("tokens"),
+            F.coalesce(F.col("crawl_delay"), F.lit(1.0)).alias("crawl_delay"),
+            F.coalesce(F.col("max_fetch_per_wave"), F.lit(1)).alias(
+                "max_fetch_per_wave"
+            ),
+        )
     )
     return dequeued, new_state
 

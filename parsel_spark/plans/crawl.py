@@ -54,6 +54,9 @@ class CrawlRun:
         self.frontier_partitions = (
             frontier_partitions or spark.sparkContext.defaultParallelism
         )
+        # broadcast the dequeued url set into the fetch join (html never
+        # shuffles); disable when waves exceed broadcast-safe sizes
+        self.broadcast_fetch = True
 
     # -- initialization --------------------------------------------------
     def initialize(self, seeds: DataFrame) -> None:
@@ -89,9 +92,9 @@ class CrawlRun:
             wave=0,
             frontier=frontier0,
             host_state=host_state,
-            seen=seen,
+            seen_delta=seen,
             bloom=bloom,
-            crawl_log=crawl_log,
+            crawl_log_delta=crawl_log,
             metrics={"dequeued": 0, "new_urls": int(seen.count()), "fetched": 0},
         )
 
@@ -101,54 +104,70 @@ class CrawlRun:
         snapshot = self.catalog.load_snapshot()
         assert snapshot is not None, "initialize() first"
         wave = snapshot.wave
-        frontier = self.catalog.read_table(spark, "frontier")
+        frontier = self.catalog.read_table(spark, "frontier").cache()
         host_state = self.catalog.read_table(spark, "host_state")
         seen = self.catalog.read_table(spark, "seen")
         bloom = self.catalog.read_table(spark, "bloom")
-        crawl_log = self.catalog.read_table(spark, "crawl_log")
+
+        from pyspark.sql import Observation
 
         dequeued, new_host_state = fr.politeness_dequeue(frontier, host_state)
         dequeued = dequeued.cache()
-        n_dequeued = dequeued.count()
 
-        remaining = frontier.join(dequeued.select("url"), "url", "left_anti")
-
-        fetched = dequeued.join(
-            self.pages.select("url", "html"), "url", "left"
+        # broadcast anti-join: the (small) dequeued set streams past the
+        # frontier map-side — no frontier shuffle
+        remaining = frontier.join(
+            F.broadcast(dequeued.select("url")), "url", "left_anti"
         )
-        links = fr.extract_wave_links(
-            fetched.filter(F.col("html").isNotNull())
-        ).dropDuplicates(["url"])
+
+        # "fetch": filter the corpus down to the dequeued urls.  The
+        # dequeued set is broadcast (left_semi) so the html payload column
+        # never shuffles; disable for waves beyond broadcast size.
+        wanted = dequeued.select("url")
+        if self.broadcast_fetch:
+            wanted = F.broadcast(wanted)
+        page_hits = self.pages.select("url", "html").join(wanted, "url", "left_semi")
+        links = fr.extract_wave_links(page_hits).dropDuplicates(["url"])
         allowed = fr.robots_filter(links, self.robots)
         probed = fr.bloom_prefilter(allowed, bloom, self.num_shards)
         new_urls = fr.exact_new_filter(probed, seen).cache()
-        n_new = new_urls.count()
 
-        new_frontier = remaining.unionByName(
-            fr.new_frontier_rows(new_urls, wave)
-        ).repartition(self.frontier_partitions, "url")
-        new_seen = seen.unionByName(new_urls.select("url", "url_hash"))
+        # union is map-only: remaining is a filtered re-read of the prior
+        # frontier files; no repartition shuffle — partition count stays
+        # bounded at (prior files + shuffle partitions of the new rows)
+        new_frontier = remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
         new_bloom = fr.bloom_update(new_urls, bloom, self.num_shards)
-        new_log = crawl_log.unionByName(
-            dequeued.select(
-                F.lit(wave + 1).alias("wave"),
-                "url",
-                "url_hash",
-                "host",
-                "priority",
-                "seq",
-            )
+
+        # wave metrics ride the snapshot writes via observe() — no extra
+        # count jobs
+        obs_deq = Observation(f"deq_w{wave}")
+        log_delta = dequeued.select(
+            F.lit(wave + 1).alias("wave"),
+            "url",
+            "url_hash",
+            "host",
+            "priority",
+            "seq",
+        ).observe(obs_deq, F.count(F.lit(1)).alias("n"))
+        obs_new = Observation(f"new_w{wave}")
+        seen_delta = new_urls.select("url", "url_hash").observe(
+            obs_new, F.count(F.lit(1)).alias("n")
         )
-        metrics = {"dequeued": int(n_dequeued), "new_urls": int(n_new)}
         self._commit(
             wave=wave + 1,
             frontier=new_frontier,
             host_state=new_host_state,
-            seen=new_seen,
+            seen_delta=seen_delta,
             bloom=new_bloom,
-            crawl_log=new_log,
-            metrics=metrics,
+            crawl_log_delta=log_delta,
+            metrics=None,
         )
+        metrics = {
+            "dequeued": int(obs_deq.get["n"]),
+            "new_urls": int(obs_new.get["n"]),
+        }
+        self._amend_metrics(metrics)
+        frontier.unpersist()
         dequeued.unpersist()
         new_urls.unpersist()
         return metrics
@@ -168,10 +187,10 @@ class CrawlRun:
         wave: int,
         frontier: DataFrame,
         host_state: DataFrame,
-        seen: DataFrame,
+        seen_delta: DataFrame,
         bloom: DataFrame,
-        crawl_log: DataFrame,
-        metrics: dict[str, Any],
+        crawl_log_delta: DataFrame,
+        metrics: dict[str, Any] | None,
     ) -> None:
         # per-partition lineage: shard id + bitmap content hash + counters
         bloom = bloom.cache()
@@ -183,22 +202,47 @@ class CrawlRun:
             }
             for row in bloom.select("shard_id", "shard_hash", "n_items").collect()
         ]
-        metrics = dict(metrics)
-        metrics["urls_emitted"] = metrics.get("new_urls", 0)
-        metrics["urls_dequeued"] = metrics.get("dequeued", 0)
+        metrics = dict(metrics) if metrics else {}
+        if metrics:
+            metrics["urls_emitted"] = metrics.get("new_urls", 0)
+            metrics["urls_dequeued"] = metrics.get("dequeued", 0)
         self.catalog.commit(
             wave=wave,
             tables={
                 "frontier": frontier,
                 "host_state": host_state,
-                "seen": seen,
                 "bloom": bloom,
-                "crawl_log": crawl_log,
+            },
+            appends={
+                "seen": seen_delta,  # cumulative: O(Δ) write per wave
+                "crawl_log": crawl_log_delta,
             },
             lineage=lineage,
             metrics=metrics,
         )
         bloom.unpersist()
+
+    def _amend_metrics(self, metrics: dict[str, Any]) -> None:
+        """Fill wave counters (observed during the data-file writes) into
+        the just-committed snapshot's metadata."""
+        import json
+        import os
+
+        snapshot_id = self.catalog.current_snapshot_id()
+        if snapshot_id is None:
+            return
+        meta_path = os.path.join(
+            self.catalog.metadata_dir, f"v{snapshot_id:04d}.json"
+        )
+        with open(meta_path) as fh:
+            raw = json.load(fh)
+        raw["metrics"] = {
+            **metrics,
+            "urls_emitted": metrics.get("new_urls", 0),
+            "urls_dequeued": metrics.get("dequeued", 0),
+        }
+        with open(meta_path, "w") as fh:
+            json.dump(raw, fh, indent=1)
 
     # -- results ---------------------------------------------------------
     def crawl_order(self) -> list[tuple[int, str]]:

@@ -48,17 +48,45 @@ class SnapshotCatalog:
         self,
         wave: int,
         tables: dict[str, DataFrame],
+        appends: dict[str, DataFrame] | None = None,
         lineage: list[dict[str, Any]] | None = None,
         metrics: dict[str, Any] | None = None,
     ) -> Snapshot:
+        """``tables`` are fully rewritten this snapshot; ``appends`` write
+        only a DELTA file-set and inherit the parent's files (Iceberg
+        manifest-style) — cumulative tables like the seen-set stay O(Δ)
+        per commit instead of O(total)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         parent = self.current_snapshot_id()
+        parent_snapshot = self.load_snapshot(parent) if parent else None
         snapshot_id = (parent or 0) + 1
         version = f"v{snapshot_id:04d}"
-        table_paths: dict[str, str] = {}
+        table_paths: dict[str, Any] = {}
+
+        jobs = []
         for name, df in tables.items():
             path = os.path.join(self.data_dir, version, name)
-            df.write.mode("overwrite").parquet(path)
+            jobs.append((df, path))
             table_paths[name] = path
+        for name, delta in (appends or {}).items():
+            path = os.path.join(self.data_dir, version, name)
+            jobs.append((delta, path))
+            previous: list[str] = []
+            if parent_snapshot is not None and name in parent_snapshot.tables:
+                entry = parent_snapshot.tables[name]
+                previous = entry if isinstance(entry, list) else [entry]
+            table_paths[name] = [*previous, path]
+
+        # independent table writes run as concurrent Spark jobs: commit
+        # latency ≈ the slowest write, not the sum (Iceberg commits the
+        # same way — data files first, metadata swap last)
+        def write(job):
+            df, path = job
+            df.write.mode("overwrite").parquet(path)
+
+        with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as pool:
+            list(pool.map(write, jobs))
         snapshot = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -103,7 +131,9 @@ class SnapshotCatalog:
         snapshot = self.load_snapshot(snapshot_id)
         if snapshot is None or name not in snapshot.tables:
             raise KeyError(f"table {name!r} not in snapshot {snapshot_id}")
-        return spark.read.parquet(snapshot.tables[name])
+        entry = snapshot.tables[name]
+        paths = entry if isinstance(entry, list) else [entry]
+        return spark.read.parquet(*paths)
 
     def history(self) -> list[Snapshot]:
         out = []

@@ -227,24 +227,26 @@ def seed_rows(cfg: SynthConfig, n_seeds: int = 10) -> list[tuple[str, float, int
     return [(page_url(i, cfg, cdf), float(n_seeds - i), i) for i in range(n_seeds)]
 
 
-def robots_rows(cfg: SynthConfig) -> list[dict]:
+def robots_rows(cfg: SynthConfig, fast: bool = False) -> list[dict]:
     """Per-host robots rules: every host denies ``/closed``; crawl delay
-    (token refill period, in waves) varies per host."""
+    (token refill period, in waves) varies per host.  ``fast=True`` gives
+    every host delay 1 / max fetch 8 — used by throughput benches so the
+    engine, not the politeness budget, is the bottleneck."""
     return [
         {
             "host": f"host-{h:03d}.test",
             "allow_prefixes": ["/"],
             "deny_prefixes": ["/closed"],
-            "crawl_delay": float(1 + h % 3),
-            "max_fetch_per_wave": 1 + (h % 4),
+            "crawl_delay": 1.0 if fast else float(1 + h % 3),
+            "max_fetch_per_wave": 8 if fast else 1 + (h % 4),
         }
         for h in range(cfg.n_hosts)
     ]
 
 
-def synth_robots(spark, cfg: SynthConfig):
+def synth_robots(spark, cfg: SynthConfig, fast: bool = False):
     return spark.createDataFrame(
-        robots_rows(cfg),
+        robots_rows(cfg, fast=fast),
         "host string, allow_prefixes array<string>, deny_prefixes array<string>, "
         "crawl_delay double, max_fetch_per_wave int",
     )

@@ -1,0 +1,165 @@
+"""Scaling-efficiency measurement (north rule: ≥0.8 efficiency from N to
+4N executors; sandbox proxy per driver instructions: the SAME job + SAME
+input at local[8] and local[32]).
+
+Shape: a large politeness-budgeted frontier (every host has a deep
+queue) crawled for a fixed number of waves — each wave dequeues tens of
+thousands of pages, so the data-parallel work (vectorized parse/extract
+UDFs, canonicalization, hash dedup, bloom maintenance) dominates the
+per-wave fixed cost, which is the regime a 10^10-URL frontier lives in.
+
+Each parallelism level runs in a FRESH spark-submit'ed process
+(``--py-files`` packaging, per the north rule's launch mode) so JVM/JIT
+state cannot leak between measurements.
+
+Usage: python tools/scaling.py [--run-level N]   (driver mode by default)
+Writes BENCH/BASELINE.md with throughput@8, throughput@32, efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "120000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "12000"))
+N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", "60000"))
+WAVES = int(os.environ.get("SCALING_WAVES", "2"))
+LEVELS = (8, 32)
+
+
+def run_level(cpus: int) -> dict:
+    from bench import build_spark
+    from parsel_spark.plans.crawl import CrawlRun
+    from parsel_spark.sources.snapshots import SnapshotCatalog
+    from parsel_spark.sources.synth import (
+        SynthConfig,
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+    )
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup crawl: JIT-compiles the whole pipeline (codegen,
+    # python workers, parquet paths) so the measurement sees steady state
+    warm_cfg = SynthConfig(
+        n_pages=2000, n_hosts=100, out_degree=8, seed=7, with_images=False
+    )
+    warm_pages = synth_pages(spark, warm_cfg).cache()
+    with tempfile.TemporaryDirectory() as tmp:
+        warm = CrawlRun(
+            spark, SnapshotCatalog(tmp), warm_pages,
+            synth_robots(spark, warm_cfg, fast=True),
+            num_shards=16,
+        )
+        warm.initialize(synth_seeds(spark, warm_cfg, n_seeds=200))
+        warm.run(1)
+    warm_pages.unpersist()
+
+    cfg = SynthConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, out_degree=12, seed=42, with_images=False
+    )
+    pages = synth_pages(spark, cfg, num_partitions=cpus * 2).cache()
+    pages.count()  # corpus generation excluded from the timed window
+    robots = synth_robots(spark, cfg, fast=True)
+    seeds = synth_seeds(spark, cfg, n_seeds=N_SEEDS)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        run = CrawlRun(
+            spark, SnapshotCatalog(tmp), pages, robots,
+            num_shards=64, frontier_partitions=cpus * 2,
+        )
+        run.initialize(seeds)
+        start = time.perf_counter()
+        dequeued = extracted = 0
+        for metrics in run.run(WAVES):
+            dequeued += metrics["dequeued"]
+            extracted += metrics["new_urls"]
+        elapsed = time.perf_counter() - start
+    spark.stop()
+    processed = dequeued + extracted
+    return {
+        "cpus": cpus,
+        "sec": round(elapsed, 2),
+        "urls_dequeued": dequeued,
+        "urls_extracted_new": extracted,
+        "urls_per_sec": round(processed / elapsed, 2),
+    }
+
+
+def spark_submit_level(cpus: int) -> dict:
+    """Run one level via spark-submit --py-files in a fresh process."""
+    zip_path = os.path.join(REPO, "BENCH", "parsel_spark_pkg.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "parsel_spark")):
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, REPO))
+        zf.write(os.path.join(REPO, "bench.py"), "bench.py")
+
+    out_file = os.path.join(REPO, "BENCH", f"scaling_{cpus}.json")
+    env = dict(os.environ)
+    env["SCALING_OUT"] = out_file
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        os.path.abspath(__file__),
+        "--run-level", str(cpus),
+    ]
+    subprocess.run(cmd, check=True, env=env, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_file) as fh:
+        return json.load(fh)
+
+
+def main() -> None:
+    if "--run-level" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--run-level") + 1])
+        result = run_level(cpus)
+        out = os.environ.get("SCALING_OUT")
+        payload = json.dumps(result)
+        if out:
+            with open(out, "w") as fh:
+                fh.write(payload)
+        print(payload)
+        return
+
+    results = {}
+    for cpus in LEVELS:
+        results[cpus] = spark_submit_level(cpus)
+        print(json.dumps(results[cpus]))
+
+    t8 = results[8]["urls_per_sec"]
+    t32 = results[32]["urls_per_sec"]
+    efficiency = (t32 / t8) / (32 / 8)
+    summary = {
+        "levels": results,
+        "throughput_8": t8,
+        "throughput_32": t32,
+        "scaling_efficiency": round(efficiency, 3),
+        "config": {
+            "n_pages": N_PAGES, "n_hosts": N_HOSTS,
+            "n_seeds": N_SEEDS, "waves": WAVES,
+        },
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "scaling_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
