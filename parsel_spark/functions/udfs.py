@@ -217,6 +217,55 @@ def extract_struct(
     return _udf(column)
 
 
+def drop_matching(
+    column: Column | str, query: str, type: str | None = None
+) -> Column:
+    """Document-rewrite UDF: ``html -> html'`` with all nodes matching the
+    CSS ``query`` dropped (SelectorList.drop semantics — html drops keep
+    tail text, reference parsel/selector.py:757-784).  DataFrames are
+    immutable, so per-document mutation becomes a new column."""
+    compile_css(query, type or "html")
+
+    @pandas_udf(T.StringType())
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, type)
+            if sel is None:
+                out.append(payload)
+                continue
+            try:
+                sel.css(query).drop()
+                out.append(sel.get())
+            except Exception:
+                out.append(payload)
+        return pd.Series(out)
+
+    return _udf(column)
+
+
+def remove_namespaces_udf(column: Column | str) -> Column:
+    """Document-rewrite UDF: strip namespaces from an XML payload so
+    namespace-less XPaths work (reference parsel/selector.py:738-755)."""
+
+    @pandas_udf(T.StringType())
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, "xml")
+            if sel is None:
+                out.append(payload)
+                continue
+            try:
+                sel.remove_namespaces()
+                out.append(sel.get())
+            except Exception:
+                out.append(payload)
+        return pd.Series(out)
+
+    return _udf(column)
+
+
 def extract_links(column: Column | str) -> Column:
     """Anchor hrefs (``a::attr(href)``) — the crawl engine's hot path."""
     return css_getall(column, "a::attr(href)")

@@ -1,0 +1,70 @@
+"""Property-based robustness tests (hypothesis): the recovering parsers
+must never raise on arbitrary input, serialization must round-trip
+through a reparse stably, and URL canonicalization is idempotent."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parsel_spark import Selector
+from parsel_spark.functions.canonical import canonicalize_url
+from parsel_spark.functions.hashing import murmur3_32, xxhash64
+
+html_ish = st.text(
+    alphabet=st.sampled_from(list("<>/=\"' abcdefgABC&;#!-?[]{}()\n\t\x00é😀")),
+    max_size=300,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html_ish)
+def test_html_parser_never_raises(text: str) -> None:
+    sel = Selector(text=text)
+    sel.xpath("//text()").getall()
+    sel.css("a::attr(href)").getall()
+    assert isinstance(sel.get(), str) or sel.type == "json"
+
+
+@settings(max_examples=300, deadline=None)
+@given(html_ish)
+def test_xml_parser_never_raises(text: str) -> None:
+    sel = Selector(text=text or "<r/>", type="xml")
+    sel.xpath("//*").getall()
+    sel.get()
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_ish)
+def test_serialize_reparse_fixpoint(text: str) -> None:
+    """parse → serialize → parse → serialize must be a fixpoint (the
+    serializer emits markup our parser maps to the same tree)."""
+    sel = Selector(text=text)
+    if sel.type != "html":
+        return
+    once = sel.get()
+    twice = Selector(text=once).get() if once.strip() else once
+    assert twice == once
+
+
+url_ish = st.text(
+    alphabet=st.sampled_from(list("abcXYZ09:/?#[]@!$&'()*+,;=%.-_~ é")),
+    max_size=100,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(url_ish)
+def test_canonicalize_idempotent(url: str) -> None:
+    once = canonicalize_url("http://example.com/" + url)
+    assert once is not None
+    assert canonicalize_url(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_hashes_stable(data: bytes) -> None:
+    assert xxhash64(data) == xxhash64(data)
+    assert murmur3_32(data) == murmur3_32(data)
+    assert -(1 << 63) <= xxhash64(data) < (1 << 63)
+    assert -(1 << 31) <= murmur3_32(data) < (1 << 31)

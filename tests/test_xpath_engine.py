@@ -1,0 +1,164 @@
+"""Deeper XPath 1.0 engine coverage beyond the reference's surface:
+axes, core function library, coercions, document order, errors.
+Goldens are hand-computed from the XPath 1.0 recommendation."""
+
+from __future__ import annotations
+
+import pytest
+
+from parsel_spark import Selector
+
+DOC = """
+<root>
+  <a id="1"><b>one</b><b>two</b></a>
+  <a id="2"><b>three</b></a>
+  <c id="3">four<d>five</d>tail</c>
+  <!-- note -->
+  <e id="4" class="x y"/>
+</root>
+"""
+
+
+@pytest.fixture(scope="module")
+def sel():
+    return Selector(text=DOC, type="xml")
+
+
+class TestAxes:
+    def test_following(self, sel) -> None:
+        assert sel.xpath("//a[@id='2']/following::d/text()").getall() == ["five"]
+        tags = [
+            s.root.tag for s in sel.xpath("//a[@id='1']/following::*")
+        ]
+        assert tags == ["a", "b", "c", "d", "e"]
+
+    def test_preceding(self, sel) -> None:
+        tags = [s.root.tag for s in sel.xpath("//c/preceding::*")]
+        assert tags == ["a", "b", "b", "a", "b"]
+        # position on reverse axes counts in reverse document order
+        assert sel.xpath("//c/preceding::b[1]/text()").getall() == ["three"]
+        assert sel.xpath("//c/preceding::b[last()]/text()").getall() == ["one"]
+
+    def test_ancestor_or_self(self, sel) -> None:
+        tags = [s.root.tag for s in sel.xpath("//d/ancestor-or-self::*")]
+        assert tags == ["root", "c", "d"]
+        assert sel.xpath("//d/ancestor::c/@id").getall() == ["3"]
+
+    def test_following_preceding_sibling_positions(self, sel) -> None:
+        assert sel.xpath("//a[@id='1']/b[2]/preceding-sibling::b[1]/text()").getall() == [
+            "one"
+        ]
+        assert sel.xpath("//a[1]/following-sibling::*[2]/@id").getall() == ["3"]
+
+    def test_comment_node_test(self, sel) -> None:
+        assert sel.xpath("//comment()").getall() == ["<!-- note -->"]
+
+    def test_union_document_order(self, sel) -> None:
+        texts = sel.xpath("//c/text() | //b/text() | //d/text()").getall()
+        assert texts == ["one", "two", "three", "four", "five", "tail"]
+
+    def test_attribute_wildcard(self, sel) -> None:
+        assert sel.xpath("//e/@*").getall() == ["4", "x y"]
+
+
+class TestFunctions:
+    def test_string_functions(self, sel) -> None:
+        x = lambda q: sel.xpath(q).get()
+        assert x("substring('12345', 2, 3)") == "234"
+        assert x("substring('12345', 1.5, 2.6)") == "234"
+        assert x("substring('12345', 2)") == "2345"
+        assert x("substring-before('1999/04/01', '/')") == "1999"
+        assert x("substring-after('1999/04/01', '/')") == "04/01"
+        assert x("translate('--aaa--', 'abc-', 'ABC')") == "AAA"
+        assert x("normalize-space('  a   b  ')") == "a b"
+        assert x("string-length('abc')") == "3.0"
+        assert x("concat('a', 'b', 'c')") == "abc"
+        assert x("starts-with('abc', 'ab')") == "1"
+        assert x("contains('abc', 'z')") == "0"
+
+    def test_number_functions(self, sel) -> None:
+        x = lambda q: sel.xpath(q).get()
+        assert x("floor(2.6)") == "2.0"
+        assert x("ceiling(2.2)") == "3.0"
+        assert x("round(2.5)") == "3.0"
+        assert x("round(-2.5)") == "-2.0"  # XPath rounds toward +inf
+        assert x("1 div 2") == "0.5"
+        assert x("5 mod 2") == "1.0"
+        assert x("-3 + 1") == "-2.0"
+        assert x("number('  12 ')") == "12.0"
+        assert x("string(number('abc'))") == "NaN"
+        assert x("string(1 div 0)") == "Infinity"
+        assert x("string(12.0)") == "12"
+
+    def test_nodeset_functions(self, sel) -> None:
+        x = lambda q: sel.xpath(q).get()
+        assert x("count(//b)") == "3.0"
+        assert x("sum(//a/@id)") == "3.0"
+        assert x("string(//b)") == "one"  # first node in document order
+        assert x("name(//*[@id='3'])") == "c"
+        assert x("local-name(//e)") == "e"
+        assert x("count(//a/b) + count(//c)") == "4.0"
+
+    def test_boolean_coercions(self, sel) -> None:
+        x = lambda q: sel.xpath(q).get()
+        assert x("boolean(//nothing)") == "0"
+        assert x("boolean(//b)") == "1"
+        assert x("not(0)") == "1"
+        assert x("boolean('')") == "0"
+        assert x("true() and false()") == "0"
+        assert x("1 < 2") == "1"
+        assert x("'3' > '12'") == "0"  # relational compares as numbers
+        assert x("//a/@id = 2") == "1"  # nodeset vs number: any match
+        assert x("//a/@id != 1") == "1"  # exists a node differing
+
+    def test_position_last(self, sel) -> None:
+        assert sel.xpath("//b[position() = last()]/text()").getall() == [
+            "two",
+            "three",
+        ]
+        assert sel.xpath("//b[last()]/text()").getall() == ["two", "three"]
+
+    def test_filter_expression_with_path(self, sel) -> None:
+        assert sel.xpath("(//b)[2]/text()").getall() == ["two"]
+        assert sel.xpath("(//a/b)[last()]/text()").getall() == ["three"]
+        assert sel.xpath("(//a)[1]/b/text()").getall() == ["one", "two"]
+
+
+class TestErrors:
+    def test_invalid_expression(self, sel) -> None:
+        with pytest.raises(ValueError, match="Invalid predicate"):
+            sel.xpath("//a[")  # truncated inside a predicate
+        with pytest.raises(ValueError, match="Invalid expression"):
+            sel.xpath("//a/ /b")
+        with pytest.raises(ValueError, match="XPath error"):
+            sel.xpath("//a]]")
+
+    def test_unknown_function(self, sel) -> None:
+        with pytest.raises(ValueError, match="Unregistered function"):
+            sel.xpath("frobnicate(//a)")
+
+    def test_has_class_on_xml_elements(self) -> None:
+        sel = Selector(text='<r><p class="x">t</p></r>', type="xml")
+        assert sel.xpath('//p[has-class("x")]/text()').getall() == ["t"]
+
+
+class TestHtmlSpecifics:
+    def test_void_and_rawtext_serialization(self) -> None:
+        sel = Selector(text="<div><br><script>if (a < b) {}</script></div>")
+        assert sel.css("div").get() == "<div><br><script>if (a < b) {}</script></div>"
+
+    def test_entity_decoding_in_text_and_attrs(self) -> None:
+        sel = Selector(text='<p title="a&amp;b">x &lt; y &gt; z &amp; w</p>')
+        assert sel.css("p::attr(title)").get() == "a&b"
+        assert sel.css("p::text").get() == "x < y > z & w"
+        # serialization re-escapes
+        assert sel.css("p").get() == '<p title="a&amp;b">x &lt; y &gt; z &amp; w</p>'
+
+    def test_nested_list_recovery(self) -> None:
+        sel = Selector(text="<ul><li>a<li>b<li>c</ul>")
+        assert sel.css("li::text").getall() == ["a", "b", "c"]
+
+    def test_table_structure(self) -> None:
+        sel = Selector(text="<table><tr><td>1</td><td>2<tr><td>3</table>")
+        assert sel.css("td::text").getall() == ["1", "2", "3"]
+        assert len(sel.css("tr")) == 2
