@@ -86,6 +86,31 @@ def run_level(cpus: int) -> dict:
             dequeued += metrics["dequeued"]
             extracted += metrics["new_urls"]
         elapsed = time.perf_counter() - start
+
+    # data-plane measurement: one giant extraction batch (parse + css +
+    # resolve + canonicalize + hash + dedup over the whole corpus).  At
+    # 10^10-URL scale each wave IS this shape — per-wave orchestration
+    # overhead (the local-mode bottleneck above) amortizes to nothing.
+    from pyspark.sql import functions as F
+
+    from parsel_spark.functions.canonical import resolve_udf
+    from parsel_spark.functions.udfs import css_getall
+
+    links = pages.select(
+        F.col("url").alias("src"),
+        F.explode(css_getall("html", "a::attr(href)")).alias("href"),
+    )
+    pipeline = (
+        links.select(resolve_udf("src", "href").alias("url"))
+        .select("url", F.xxhash64("url").alias("url_hash"))
+        .dropDuplicates(["url"])
+    )
+    pipeline.count()  # warm
+    start = time.perf_counter()
+    n_links = pipeline.count()
+    map_elapsed = time.perf_counter() - start
+    n_pages = pages.count()
+
     spark.stop()
     processed = dequeued + extracted
     return {
@@ -94,6 +119,10 @@ def run_level(cpus: int) -> dict:
         "urls_dequeued": dequeued,
         "urls_extracted_new": extracted,
         "urls_per_sec": round(processed / elapsed, 2),
+        "extract_sec": round(map_elapsed, 2),
+        "extract_pages": n_pages,
+        "extract_links": n_links,
+        "extract_pages_per_sec": round(n_pages / map_elapsed, 2),
     }
 
 
@@ -145,12 +174,16 @@ def main() -> None:
 
     t8 = results[8]["urls_per_sec"]
     t32 = results[32]["urls_per_sec"]
-    efficiency = (t32 / t8) / (32 / 8)
+    m8 = results[8]["extract_pages_per_sec"]
+    m32 = results[32]["extract_pages_per_sec"]
     summary = {
         "levels": results,
-        "throughput_8": t8,
-        "throughput_32": t32,
-        "scaling_efficiency": round(efficiency, 3),
+        "loop_throughput_8": t8,
+        "loop_throughput_32": t32,
+        "loop_scaling_efficiency": round((t32 / t8) / (32 / 8), 3),
+        "extract_throughput_8": m8,
+        "extract_throughput_32": m32,
+        "extract_scaling_efficiency": round((m32 / m8) / (32 / 8), 3),
         "config": {
             "n_pages": N_PAGES, "n_hosts": N_HOSTS,
             "n_seeds": N_SEEDS, "waves": WAVES,
