@@ -344,6 +344,43 @@ def q_selector_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_selector_drop_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document mutation: drop the middle anchor (``a.l1``) from each
+    page, re-serialize, re-extract — output must be exactly the planted
+    links for j ∈ {0, 2} (tests drop + serialization + reparse E2E)."""
+    from parsel_spark.functions.canonical import canonicalize_udf
+    from parsel_spark.functions.udfs import css_getall, drop_matching
+
+    docs = _read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    pages = _doc_pages(docs, n_total)
+    rewritten = pages.select(
+        "doc_id", drop_matching("html", "a.l1").alias("html")
+    )
+    return rewritten.select(
+        "doc_id", F.explode(css_getall("html", "a::attr(href)")).alias("href")
+    ).select("doc_id", canonicalize_udf("href").alias("url"))
+
+
+def q_selector_jmespath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JMESPath over a JSON payload column built from the documents."""
+    from parsel_spark.functions.udfs import jmespath_getall
+
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias(
+                "meta"
+            ),
+            F.col("source").alias("src"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(jmespath_getall(payload, "meta.lang"), 1).alias("pred"),
+    )
+
+
 def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """murmur3 sharding + xxhash64 keying of canonical URLs (the
     seen-set key path); oracle checks shard balance via counts."""
@@ -379,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_wave1": q_crawl_frontier_wave1,
         "selector_caption_xpath": q_selector_caption_xpath,
         "selector_re_extract": q_selector_re_extract,
+        "selector_drop_rewrite": q_selector_drop_rewrite,
+        "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
     }
 
@@ -580,6 +619,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["crawl_extract_links"] = _oracle_doc_targets()
+
+    sql["selector_drop_rewrite"] = _oracle_doc_targets("(0),(2)")
+
+    sql["selector_jmespath"] = """
+        SELECT doc_id, lang AS pred FROM documents
+    """
 
     sql["crawl_frontier_wave1"] = f"""
         WITH n AS (SELECT count(*) AS n FROM documents),

@@ -271,6 +271,45 @@ def extract_links(column: Column | str) -> Column:
     return css_getall(column, "a::attr(href)")
 
 
+def extract_canonical_links(
+    html_column: Column | str, base_url_column: Column | str
+) -> Column:
+    """FUSED hot path: parse + ``a::attr(href)`` + resolve-against-base +
+    RFC-3986 canonicalization in ONE pandas UDF pass, returning
+    ``ARRAY<STRING>`` of canonical URLs.
+
+    Fusion matters at scale: the unfused plan round-trips every exploded
+    href JVM→Python→JVM for the resolve UDF — at ~12 links/page that is
+    an order of magnitude more Arrow traffic than the pages themselves.
+    Here only the final canonical array crosses the boundary once.
+    """
+    from .canonical import resolve_url
+
+    compile_css("a::attr(href)", "html")
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(payloads: pd.Series, bases: pd.Series) -> pd.Series:
+        out = []
+        for payload, base in zip(payloads, bases):
+            sel = _make_selector(payload, None)
+            if sel is None:
+                out.append([])
+                continue
+            try:
+                hrefs = sel.css("a::attr(href)").getall()
+                resolved = []
+                for href in hrefs:
+                    url = resolve_url(base, href)
+                    if url is not None:
+                        resolved.append(url)
+                out.append(resolved)
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return _udf(html_column, base_url_column)
+
+
 def extract_images(column: Column | str) -> Column:
     """``img`` src + alt pairs as a struct of arrays (single parse)."""
     return extract_struct(

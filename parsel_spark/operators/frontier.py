@@ -30,8 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.canonical import resolve_udf
-from ..functions.udfs import css_getall
 from .bloom import DEFAULT_BITS_PER_SHARD, DEFAULT_NUM_HASHES, BloomShard
 
 # politeness constants (shared with the oracle — plans/oracle.py)
@@ -153,19 +151,17 @@ def politeness_dequeue(
 
 
 def extract_wave_links(fetched: DataFrame) -> DataFrame:
-    """html → exploded, resolved, canonicalized link URLs.
+    """html → canonical link URLs (+xxhash64), via the FUSED
+    parse/select/resolve/canonicalize UDF — one Python pass per page,
+    only the canonical url array crosses the JVM↔Python boundary.  Runs
+    map-side against the fetch join output; the html column is projected
+    away before any shuffle."""
+    from ..functions.udfs import extract_canonical_links
 
-    Runs map-side against the fetch join output; the html column is
-    projected away before any shuffle."""
-    links = fetched.select(
-        F.col("url").alias("src_url"),
-        F.explode(css_getall("html", "a::attr(href)")).alias("href"),
-    )
     return (
-        links.select(
-            resolve_udf("src_url", "href").alias("url"),
+        fetched.select(
+            F.explode(extract_canonical_links("html", "url")).alias("url")
         )
-        .filter(F.col("url").isNotNull())
         .select("url", F.xxhash64("url").alias("url_hash"))
     )
 

@@ -93,17 +93,10 @@ def run_level(cpus: int) -> dict:
     # overhead (the local-mode bottleneck above) amortizes to nothing.
     from pyspark.sql import functions as F
 
-    from parsel_spark.functions.canonical import resolve_udf
-    from parsel_spark.functions.udfs import css_getall
+    from parsel_spark.operators.frontier import extract_wave_links
 
-    links = pages.select(
-        F.col("url").alias("src"),
-        F.explode(css_getall("html", "a::attr(href)")).alias("href"),
-    )
-    pipeline = (
-        links.select(resolve_udf("src", "href").alias("url"))
-        .select("url", F.xxhash64("url").alias("url_hash"))
-        .dropDuplicates(["url"])
+    pipeline = extract_wave_links(pages.select("url", "html")).dropDuplicates(
+        ["url"]
     )
     pipeline.count()  # warm
     start = time.perf_counter()
