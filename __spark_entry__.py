@@ -192,6 +192,36 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    window — the batch shape of the streaming session operator."""
+    from pyspark.sql import Window
+
+    events = _read(spark, sf_dir, "events")
+    user_window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(user_window)
+            > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_session = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            user_window.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("duration_s"),
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import exact_dedup
 
@@ -400,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_without_orders": q_customers_without_orders,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_event_type_stats": q_event_type_stats,
+        "q_event_sessionize": q_event_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_token_stats": q_doc_token_stats,
@@ -477,6 +508,28 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS exact_users
         FROM events
         GROUP BY event_type
+    """
+
+    sql["q_event_sessionize"] = """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*) AS n_events,
+               max(epoch(ts))::BIGINT - min(epoch(ts))::BIGINT AS duration_s
+        FROM s
+        GROUP BY user_id, session_id
     """
 
     sql["doc_exact_dedup"] = """

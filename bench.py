@@ -82,13 +82,13 @@ def crawl_bench(spark, n_pages: int, waves: int) -> dict:
         run = CrawlRun(spark, SnapshotCatalog(tmp), pages, robots, num_shards=32)
         start = time.perf_counter()
         run.initialize(seeds)
-        totals = {"dequeued": 0, "new_urls": 0}
+        totals = {"dequeued": 0, "new_urls": 0, "links_extracted": 0}
         for metrics in run.run(waves):
-            totals["dequeued"] += metrics["dequeued"]
-            totals["new_urls"] += metrics["new_urls"]
+            for key in totals:
+                totals[key] += metrics.get(key, 0)
         elapsed = time.perf_counter() - start
     pages.unpersist()
-    processed = totals["dequeued"] + totals["new_urls"]
+    processed = totals["dequeued"] + totals["links_extracted"]
     return {
         "sec": elapsed,
         "urls_processed": processed,

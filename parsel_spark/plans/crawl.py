@@ -127,7 +127,12 @@ class CrawlRun:
         if self.broadcast_fetch:
             wanted = F.broadcast(wanted)
         page_hits = self.pages.select("url", "html").join(wanted, "url", "left_semi")
-        links = fr.extract_wave_links(page_hits).dropDuplicates(["url"])
+        obs_links = Observation(f"links_w{wave}")
+        links = (
+            fr.extract_wave_links(page_hits)
+            .dropDuplicates(["url"])
+            .observe(obs_links, F.count(F.lit(1)).alias("n"))
+        )
         allowed = fr.robots_filter(links, self.robots)
         probed = fr.bloom_prefilter(allowed, bloom, self.num_shards)
         new_urls = fr.exact_new_filter(probed, seen).cache()
@@ -165,6 +170,7 @@ class CrawlRun:
         metrics = {
             "dequeued": int(obs_deq.get["n"]),
             "new_urls": int(obs_new.get["n"]),
+            "links_extracted": int(obs_links.get["n"]),
         }
         self._amend_metrics(metrics)
         frontier.unpersist()

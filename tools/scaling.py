@@ -119,10 +119,11 @@ def run_level(cpus: int) -> dict:
         )
         run.initialize(seeds)
         start = time.perf_counter()
-        dequeued = extracted = 0
+        dequeued = extracted = new = 0
         for metrics in run.run(WAVES):
             dequeued += metrics["dequeued"]
-            extracted += metrics["new_urls"]
+            extracted += metrics.get("links_extracted", metrics["new_urls"])
+            new += metrics["new_urls"]
         elapsed = time.perf_counter() - start
 
     # data-plane measurement: one giant extraction batch (parse + css +
@@ -148,7 +149,8 @@ def run_level(cpus: int) -> dict:
         "cpus": cpus,
         "sec": round(elapsed, 2),
         "urls_dequeued": dequeued,
-        "urls_extracted_new": extracted,
+        "urls_extracted": extracted,
+        "urls_new": new,
         "urls_per_sec": round(processed / elapsed, 2),
         "extract_sec": round(map_elapsed, 2),
         "extract_pages": n_pages,
