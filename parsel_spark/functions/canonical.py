@@ -30,6 +30,18 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 _SAFE_PATH = "/!$&'()*+,;=:@~-._"
 _SAFE_QUERY = "!$&'()*+,;=:@/?~-._"
 
+# fast-path recognizer: URLs that are ALREADY canonical under every rule
+# below (lowercase scheme+host, no port/userinfo/query/fragment/escapes,
+# no dot-segments or empty segments, only chars quote() leaves alone).
+# The slow path is the source of truth; test_canonical_fastpath pins
+# fast(url) == slow(url) over trap corpora.
+_FAST_RE = re.compile(
+    r"^(https?)://"
+    r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"
+    r"(/(?:[a-zA-Z0-9!$&'()*+,;=:@~\-._]+/)*[a-zA-Z0-9!$&'()*+,;=:@~\-._]*)?$"
+)
+_DOT_SEGMENT_RE = re.compile(r"/\.\.?(?:/|$)")
+
 
 def _normalize_percent(component: str, safe: str) -> str:
     # decode then re-encode: unreserved chars come out bare, everything
@@ -64,6 +76,15 @@ def canonicalize_url(url: str | None) -> str | None:
     url = url.strip()
     if not url:
         return url
+    # fast path: already-canonical URLs pass through untouched — at crawl
+    # steady state most URLs were canonicalized when first discovered
+    match = _FAST_RE.match(url)
+    if match is not None:
+        path = match.group(3)
+        if path is None:
+            return url + "/"
+        if not _DOT_SEGMENT_RE.search(path):
+            return url
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -101,7 +122,9 @@ def canonicalize_url(url: str | None) -> str | None:
                 )
             )
         pairs.sort()
-        query = "&".join(f"{k}={v}" if v or "=" in chunk else k for k, v in pairs)
+        # always emit k=v (bare "?flag" normalizes to "flag=") — the
+        # uniform form is what makes canonicalization idempotent
+        query = "&".join(f"{k}={v}" for k, v in pairs)
 
     out = f"{scheme}://{netloc}{path}" if scheme else f"{netloc}{path}"
     if query:
@@ -115,10 +138,23 @@ def resolve_url(base: str | None, href: str | None) -> str | None:
     if href is None:
         return None
     if base:
-        try:
-            href = urljoin(base, href)
-        except ValueError:
-            return None
+        # fast paths for the two dominant shapes; urljoin is ~15µs
+        if href.startswith(("http://", "https://", "HTTP://", "HTTPS://")):
+            pass  # already absolute
+        elif (
+            href.startswith("/")
+            and not href.startswith("//")
+            and base.startswith(("http://", "https://"))
+        ):
+            scheme_end = base.index("://") + 3
+            host_end = base.find("/", scheme_end)
+            prefix = base if host_end < 0 else base[:host_end]
+            href = prefix + href
+        else:
+            try:
+                href = urljoin(base, href)
+            except ValueError:
+                return None
     return canonicalize_url(href)
 
 

@@ -186,14 +186,14 @@ class Element(_Parent):
     @property
     def local_name(self) -> str:
         tag = self.tag
-        if tag.startswith("{"):
+        if tag.startswith("{") and "}" in tag:
             return tag.split("}", 1)[1]
         return tag
 
     @property
     def namespace_uri(self) -> str | None:
         tag = self.tag
-        if tag.startswith("{"):
+        if tag.startswith("{") and "}" in tag:
             return tag[1:].split("}", 1)[0]
         return None
 

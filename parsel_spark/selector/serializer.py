@@ -50,7 +50,7 @@ def _escape_attr(value: str) -> str:
 
 def _attr_display_name(element_or_none: Element | None, name: str) -> str:
     """Map an expanded ``{uri}local`` attribute name back to ``prefix:local``."""
-    if not name.startswith("{"):
+    if not name.startswith("{") or "}" not in name:
         return name
     uri, local = name[1:].split("}", 1)
     if element_or_none is not None:
@@ -62,7 +62,7 @@ def _attr_display_name(element_or_none: Element | None, name: str) -> str:
 
 def _tag_display_name(el: Element) -> str:
     tag = el.tag
-    if not tag.startswith("{"):
+    if not tag.startswith("{") or "}" not in tag:
         return tag
     local = el.local_name
     if el.prefix:

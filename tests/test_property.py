@@ -21,9 +21,11 @@ html_ish = st.text(
 @given(html_ish)
 def test_html_parser_never_raises(text: str) -> None:
     sel = Selector(text=text)
+    if sel.type == "json":  # JSON-sniffed input: xpath correctly refuses
+        return
     sel.xpath("//text()").getall()
     sel.css("a::attr(href)").getall()
-    assert isinstance(sel.get(), str) or sel.type == "json"
+    assert isinstance(sel.get(), str)
 
 
 @settings(max_examples=300, deadline=None)
@@ -59,6 +61,27 @@ def test_canonicalize_idempotent(url: str) -> None:
     once = canonicalize_url("http://example.com/" + url)
     assert once is not None
     assert canonicalize_url(once) == once
+
+
+@settings(max_examples=400, deadline=None)
+@given(url_ish)
+def test_canonicalize_fastpath_equals_slowpath(url: str) -> None:
+    """The already-canonical fast path must agree with the full RFC-3986
+    slow path byte-for-byte."""
+    import re as _re
+
+    from parsel_spark.functions import canonical as C
+
+    full = "http://example.com/" + url
+    fast_result = C.canonicalize_url(full)
+    never = _re.compile(r"(?!x)x")  # matches nothing → force slow path
+    original = C._FAST_RE
+    C._FAST_RE = never
+    try:
+        slow_result = C.canonicalize_url(full)
+    finally:
+        C._FAST_RE = original
+    assert fast_result == slow_result
 
 
 @settings(max_examples=200, deadline=None)
