@@ -198,13 +198,12 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = _read(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     user_window = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(user_window)
-            > 1800,
+            micros - F.lag(micros).over(user_window) > 1800 * 1_000_000,
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -216,9 +215,9 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_session.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (
-            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
-        ).alias("duration_s"),
+        ((F.max(micros) - F.min(micros)) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_s"),
     )
 
 
@@ -513,7 +512,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q_event_sessionize"] = """
         WITH g AS (
             SELECT user_id, ts, event_id,
-                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -527,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, session_id::BIGINT AS session_id,
                count(*) AS n_events,
-               max(epoch(ts))::BIGINT - min(epoch(ts))::BIGINT AS duration_s
+               ((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000)::BIGINT AS duration_s
         FROM s
         GROUP BY user_id, session_id
     """
