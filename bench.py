@@ -66,6 +66,20 @@ def crawl_bench(spark, n_pages: int, waves: int) -> dict:
         synth_seeds,
     )
 
+    # untimed warmup: spawns python workers, JITs codegen paths
+    warm_cfg = SynthConfig(
+        n_pages=2000, n_hosts=100, out_degree=8, seed=7, with_images=False
+    )
+    warm_pages = synth_pages(spark, warm_cfg).cache()
+    with tempfile.TemporaryDirectory() as warm_tmp:
+        warm = CrawlRun(
+            spark, SnapshotCatalog(warm_tmp), warm_pages,
+            synth_robots(spark, warm_cfg, fast=True), num_shards=16,
+        )
+        warm.initialize(synth_seeds(spark, warm_cfg, n_seeds=200))
+        warm.run(1)
+    warm_pages.unpersist()
+
     cfg = SynthConfig(
         n_pages=n_pages,
         n_hosts=max(32, n_pages // 25),

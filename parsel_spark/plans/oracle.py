@@ -165,7 +165,11 @@ class OracleCrawler:
             added += 1
 
         state.wave = wave + 1
-        return {"dequeued": len(dequeued), "new_urls": added}
+        return {
+            "dequeued": len(dequeued),
+            "new_urls": added,
+            "links_extracted": len(new_urls),
+        }
 
     def run(self, waves: int) -> list[dict[str, Any]]:
         out = []
