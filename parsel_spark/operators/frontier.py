@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bloom import DEFAULT_BITS_PER_SHARD, DEFAULT_NUM_HASHES, BloomShard
+from .bloom import (
+    DEFAULT_BITS_PER_SHARD,
+    DEFAULT_NUM_HASHES,
+    BloomShard,
+    CuckooShard,
+)
 
 # politeness constants (shared with the oracle — plans/oracle.py)
 TOKEN_CAP = 3.0
@@ -184,16 +189,37 @@ def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
     return allowed.select("url", "url_hash", "host")
 
 
+def _load_shard(
+    kind: str, state_pdf: pd.DataFrame, m_bits: int, k: int
+) -> "BloomShard | CuckooShard":
+    if kind == "cuckoo":
+        if len(state_pdf):
+            return CuckooShard(
+                table=bytes(state_pdf["bitmap"].iloc[0]),
+                n_items=int(state_pdf["n_items"].iloc[0]),
+            )
+        return CuckooShard()
+    if len(state_pdf):
+        return BloomShard(
+            m_bits, k,
+            bitmap=bytes(state_pdf["bitmap"].iloc[0]),
+            n_items=int(state_pdf["n_items"].iloc[0]),
+        )
+    return BloomShard(m_bits, k)
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     bloom_state: DataFrame,
     num_shards: int,
     m_bits: int = DEFAULT_BITS_PER_SHARD,
     k: int = DEFAULT_NUM_HASHES,
+    kind: str = "bloom",
 ) -> DataFrame:
-    """Adds ``maybe_seen`` to candidates via the sharded bloom state.
+    """Adds ``maybe_seen`` to candidates via the sharded approximate
+    seen-set (bloom, or cuckoo when deletions are required).
 
-    Cogrouped by shard_id: one task touches one bitmap; bloom-negative
+    Cogrouped by shard_id: one task touches one bitmap; filter-negative
     rows are definitely new."""
     with_shard = candidates.withColumn(
         "shard_id", F.pmod(F.hash("url"), F.lit(num_shards))
@@ -205,8 +231,15 @@ def bloom_prefilter(
         if not len(cand_pdf):
             return pd.DataFrame(columns=["url", "url_hash", "host", "maybe_seen"])
         if len(state_pdf):
-            shard = BloomShard(m_bits, k, bitmap=bytes(state_pdf["bitmap"].iloc[0]))
-            maybe = shard.maybe_contains(cand_pdf["url_hash"].to_numpy())
+            shard = _load_shard(kind, state_pdf, m_bits, k)
+            if isinstance(shard, CuckooShard):
+                maybe = np.fromiter(
+                    (shard.contains(int(h)) for h in cand_pdf["url_hash"]),
+                    dtype=bool,
+                    count=len(cand_pdf),
+                )
+            else:
+                maybe = shard.maybe_contains(cand_pdf["url_hash"].to_numpy())
         else:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
         return pd.DataFrame(
@@ -231,27 +264,31 @@ def bloom_update(
     num_shards: int,
     m_bits: int = DEFAULT_BITS_PER_SHARD,
     k: int = DEFAULT_NUM_HASHES,
+    kind: str = "bloom",
+    delete: bool = False,
 ) -> DataFrame:
-    """Fold newly-seen url hashes into the shard bitmaps; returns the new
-    bloom state (shard_id, bitmap, n_items, shard_hash) — the shard_hash
-    doubles as per-partition lineage."""
+    """Fold newly-seen url hashes into the shard filters; returns the new
+    state (shard_id, bitmap, n_items, shard_hash) — the shard_hash
+    doubles as per-partition lineage.  ``delete=True`` removes hashes
+    instead (cuckoo only — bloom filters cannot forget)."""
+    if delete and kind != "cuckoo":
+        raise ValueError("deletion requires the cuckoo filter backend")
     with_shard = added.select(
         F.pmod(F.hash("url"), F.lit(num_shards)).alias("shard_id"), "url_hash"
     )
 
     def fold(key, new_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
-        if len(state_pdf):
-            shard = BloomShard(
-                m_bits,
-                k,
-                bitmap=bytes(state_pdf["bitmap"].iloc[0]),
-                n_items=int(state_pdf["n_items"].iloc[0]),
-            )
-        else:
-            shard = BloomShard(m_bits, k)
+        shard = _load_shard(kind, state_pdf, m_bits, k)
         if len(new_pdf):
-            shard.add_hashes(new_pdf["url_hash"].to_numpy())
+            if isinstance(shard, CuckooShard):
+                for h in new_pdf["url_hash"]:
+                    if delete:
+                        shard.delete(int(h))
+                    else:
+                        shard.add(int(h))
+            else:
+                shard.add_hashes(new_pdf["url_hash"].to_numpy())
         return pd.DataFrame(
             [
                 {

@@ -45,12 +45,15 @@ class CrawlRun:
         robots: DataFrame,
         num_shards: int = DEFAULT_NUM_SHARDS,
         frontier_partitions: int | None = None,
+        filter_kind: str = "bloom",
     ) -> None:
         self.spark = spark
         self.catalog = catalog
         self.pages = pages
         self.robots = robots
         self.num_shards = num_shards
+        # "bloom" (default) or "cuckoo" — cuckoo supports forget()
+        self.filter_kind = filter_kind
         self.frontier_partitions = (
             frontier_partitions or spark.sparkContext.defaultParallelism
         )
@@ -82,7 +85,7 @@ class CrawlRun:
         )
         seen = frontier0.select("url", "url_hash")
         empty_bloom = spark.createDataFrame([], fr.BLOOM_SCHEMA)
-        bloom = fr.bloom_update(seen, empty_bloom, self.num_shards)
+        bloom = fr.bloom_update(seen, empty_bloom, self.num_shards, kind=self.filter_kind)
         crawl_log = spark.createDataFrame(
             [],
             "wave int, url string, url_hash long, host string, priority double, "
@@ -134,14 +137,14 @@ class CrawlRun:
             .observe(obs_links, F.count(F.lit(1)).alias("n"))
         )
         allowed = fr.robots_filter(links, self.robots)
-        probed = fr.bloom_prefilter(allowed, bloom, self.num_shards)
+        probed = fr.bloom_prefilter(allowed, bloom, self.num_shards, kind=self.filter_kind)
         new_urls = fr.exact_new_filter(probed, seen).cache()
 
         # union is map-only: remaining is a filtered re-read of the prior
         # frontier files; no repartition shuffle — partition count stays
         # bounded at (prior files + shuffle partitions of the new rows)
         new_frontier = remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
-        new_bloom = fr.bloom_update(new_urls, bloom, self.num_shards)
+        new_bloom = fr.bloom_update(new_urls, bloom, self.num_shards, kind=self.filter_kind)
 
         # wave metrics ride the snapshot writes via observe() — no extra
         # count jobs
@@ -186,6 +189,47 @@ class CrawlRun:
             if metrics["dequeued"] == 0:
                 break
         return out
+
+    # -- deletions (recrawl policies) -------------------------------------
+    def forget(self, urls: DataFrame) -> int:
+        """Remove URLs from the seen-set so they can be re-discovered and
+        re-crawled (e.g. recrawl-after-TTL policies).  Requires the
+        cuckoo filter backend — bloom filters cannot delete.  Commits a
+        new snapshot; returns the number of URLs forgotten."""
+        if self.filter_kind != "cuckoo":
+            raise ValueError(
+                "forget() requires CrawlRun(filter_kind='cuckoo'); the "
+                "bloom backend cannot delete"
+            )
+        spark = self.spark
+        snapshot = self.catalog.load_snapshot()
+        assert snapshot is not None, "initialize() first"
+        seen = self.catalog.read_table(spark, "seen")
+        bloom = self.catalog.read_table(spark, "bloom")
+        targets = seen.join(
+            F.broadcast(urls.select("url")), "url", "left_semi"
+        ).cache()
+        n_forgotten = targets.count()
+        new_seen = seen.join(F.broadcast(urls.select("url")), "url", "left_anti")
+        new_bloom = fr.bloom_update(
+            targets, bloom, self.num_shards, kind=self.filter_kind, delete=True
+        )
+        # deletions rewrite the cumulative seen table (a full rewrite is
+        # the cost of forgetting; it happens at recrawl cadence, not
+        # per-wave)
+        self.catalog.commit(
+            wave=snapshot.wave,
+            tables={
+                "frontier": self.catalog.read_table(spark, "frontier"),
+                "host_state": self.catalog.read_table(spark, "host_state"),
+                "bloom": new_bloom,
+                "seen": new_seen,
+                "crawl_log": self.catalog.read_table(spark, "crawl_log"),
+            },
+            metrics={"forgotten": int(n_forgotten)},
+        )
+        targets.unpersist()
+        return int(n_forgotten)
 
     # -- snapshot plumbing ----------------------------------------------
     def _commit(

@@ -442,6 +442,13 @@ def _eval_steps(steps: list[Any], start: list[Any], ctx: EvalContext) -> list[An
             for predicate in predicates:
                 candidates = _apply_predicate(predicate, candidates, ctx)
             gathered.extend(candidates)
+        # attribute/self axes cannot produce duplicates or out-of-order
+        # results from doc-ordered contexts (attributes of distinct
+        # elements never interleave) — skip the sort on the hot
+        # ``…/@attr`` tail step
+        if axis in ("attribute", "self") and not reverse:
+            nodes = gathered
+            continue
         if multi or reverse:
             seen: set[int] = set()
             deduped = []

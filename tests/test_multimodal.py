@@ -1,0 +1,90 @@
+"""Multimodal operator tests over the synthetic image corpus: decode
+stats, resize round-trip, perceptual-hash near-dup behavior, stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parsel_spark.operators.multimodal import (
+    audio_features,
+    image_stats,
+    perceptual_hash,
+    resize_image,
+    sample_video_frames,
+)
+from parsel_spark.sources.images import decode_image, encode_image
+from parsel_spark.sources.synth import SynthConfig, image_pixels, synth_pages
+
+CFG = SynthConfig(n_pages=24, n_hosts=4, out_degree=3, seed=3, with_images=True)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_pages(spark, CFG).cache()
+    df.count()
+    return df
+
+
+def test_image_stats_match_numpy(spark, pages) -> None:
+    rows = pages.select(
+        "image_id", "w", "h", "fmt",
+        image_stats("bytes", "fmt").alias("stats"),
+    ).collect()
+    for row in rows:
+        stats = row["stats"]
+        assert stats["decode_ok"]
+        assert stats["width"] == row["w"] and stats["height"] == row["h"]
+        i = int(row["image_id"].split("-")[1])
+        truth = image_pixels(i, row["w"], row["h"], CFG).astype(np.float64)
+        if row["fmt"] in ("png", "bmp"):
+            assert stats["mean_r"] == pytest.approx(truth[..., 0].mean())
+        else:  # fake-lossy: close but quantized
+            assert stats["mean_r"] == pytest.approx(truth[..., 0].mean(), abs=3.0)
+
+
+def test_resize_roundtrip(spark, pages) -> None:
+    rows = pages.select(
+        "fmt", resize_image("bytes", "fmt", 16, 16).alias("small")
+    ).collect()
+    for row in rows:
+        assert row["small"] is not None
+        pixels = decode_image(bytes(row["small"]), "png")
+        assert pixels.shape == (16, 16, 3)
+
+
+def test_perceptual_hash_near_dup(spark) -> None:
+    base = image_pixels(1, 32, 32, CFG)
+    tweaked = base.copy()
+    tweaked[0, 0] = [255, 255, 255]  # tiny perturbation
+    different = image_pixels(2, 32, 32, CFG)
+    df = spark.createDataFrame(
+        [
+            (0, encode_image(base, "png"), "png"),
+            (1, encode_image(tweaked, "png"), "png"),
+            (2, encode_image(different, "png"), "png"),
+        ],
+        "id long, bytes binary, fmt string",
+    )
+    rows = {
+        r["id"]: r["ph"]
+        for r in df.select("id", perceptual_hash("bytes", "fmt").alias("ph")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(rows[0], rows[1]) <= 4  # near-dup: few bits differ
+    assert ham(rows[0], rows[2]) > 8  # unrelated: many bits differ
+
+
+def test_audio_features_pcm(spark) -> None:
+    tone = (np.sin(np.linspace(0, 60, 8000)) * 16384).astype("<i2").tobytes()
+    df = spark.createDataFrame([(tone,)], "bytes binary")
+    row = df.select(audio_features("bytes").alias("a")).first()["a"]
+    assert row["n_samples"] == 8000
+    assert 0.3 < row["rms"] < 0.4  # sine RMS = amp/√2 = 0.3535
+    assert row["peak"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_video_stub_raises(spark, pages) -> None:
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        pages.select(sample_video_frames("bytes").alias("f")).collect()
