@@ -294,6 +294,15 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsel_spark.operators.similarity import embedding_near_dup_pairs
+
+    # low threshold so the synthetic embeddings yield non-trivial output
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.30, round_to=4
+    )
+
+
 def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import norm
 
@@ -440,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_norms": q_emb_norms,
         "emb_label_centroid_dims": q_emb_label_centroid_dims,
         "crawl_extract_links": q_crawl_extract_links,
@@ -651,6 +661,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE vec_id != 0
         ORDER BY sim DESC, vec_id ASC
         LIMIT 10
+    """
+
+    sql["emb_near_dup_pairs"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.30
     """
 
     sql["emb_norms"] = """

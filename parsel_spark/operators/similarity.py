@@ -116,6 +116,32 @@ def knn_lsh(
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (completes the dedup family: exact / jaccard / minhash / simhash /
+    embedding-cosine).  The self-join is blocked so candidate pairs stay
+    linear-ish; at scale swap the block for an LSH bucket id
+    (``lsh_bucket``) — same join shape."""
+    left = embeddings.alias("a")
+    right = embeddings.alias("b")
+    pairs = left.join(
+        right,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        sim.alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+
+
 def label_centroids(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
     """Per-label centroid vectors via posexplode + groupBy — the
     aggregate-over-array pattern for embedding columns."""

@@ -104,6 +104,41 @@ class TestSimilaritySpark:
 
 
 class TestStreaming:
+    def test_politeness_stream_state(self, spark, tmp_path) -> None:
+        """Stateful token-bucket gate over a page-request stream
+        (applyInPandasWithState): per-host budgets carry across rows."""
+        import pandas as pd
+
+        from parsel_spark.streaming.stream_crawl import politeness_stream
+
+        input_dir = tmp_path / "pin"
+        input_dir.mkdir()
+        rows = [
+            {"host": "a.test", "url": f"http://a.test/{i}"} for i in range(6)
+        ] + [{"host": "b.test", "url": "http://b.test/0"}]
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+            str(input_dir / "b0")
+        )
+        stream = spark.readStream.schema("host string, url string").parquet(
+            str(input_dir / "b0")
+        )
+        gated = politeness_stream(stream, crawl_delay_s=1.0)
+        query = (
+            gated.writeStream.format("memory")
+            .queryName("politeness_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        out = spark.sql("select * from politeness_out").collect()
+        by_host: dict[str, list[bool]] = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r["allowed"])
+        # host a: initial 1 token + 1 refill = 2 allowed, rest denied
+        assert sum(by_host["a.test"]) == 2 and len(by_host["a.test"]) == 6
+        assert by_host["b.test"] == [True]
+
     def test_stream_extract_links(self, spark, tmp_path) -> None:
         import pandas as pd
 
