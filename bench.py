@@ -93,7 +93,10 @@ def crawl_bench(spark, n_pages: int, waves: int) -> dict:
     seeds = synth_seeds(spark, cfg, n_seeds=min(2000, n_pages // 5))
 
     with tempfile.TemporaryDirectory() as tmp:
-        run = CrawlRun(spark, SnapshotCatalog(tmp), pages, robots, num_shards=32)
+        run = CrawlRun(
+            spark, SnapshotCatalog(tmp), pages, robots, num_shards=32,
+            checkpoint_interval=waves,
+        )
         start = time.perf_counter()
         run.initialize(seeds)
         totals = {"dequeued": 0, "new_urls": 0, "links_extracted": 0}

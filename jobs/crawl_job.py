@@ -12,6 +12,7 @@ Arguments:
     --waves N            waves to run                     [default 3]
     --shards N           bloom shard count                [default 64]
     --fast-politeness    crawl_delay=1 / max_fetch=8 for all hosts
+    --checkpoint-interval K  commit a snapshot every K waves [default 1]
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def main() -> None:
     parser.add_argument("--waves", type=int, default=3)
     parser.add_argument("--shards", type=int, default=64)
     parser.add_argument("--fast-politeness", action="store_true")
+    parser.add_argument("--checkpoint-interval", type=int, default=1)
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +59,10 @@ def main() -> None:
     robots = synth_robots(spark, cfg, fast=args.fast_politeness)
 
     catalog = SnapshotCatalog(args.catalog)
-    run = CrawlRun(spark, catalog, pages, robots, num_shards=args.shards)
+    run = CrawlRun(
+        spark, catalog, pages, robots, num_shards=args.shards,
+        checkpoint_interval=args.checkpoint_interval,
+    )
     if catalog.current_snapshot_id() is None:
         run.initialize(synth_seeds(spark, cfg, n_seeds=args.seeds))
         print(json.dumps({"event": "initialized", "seeds": args.seeds}))

@@ -1,6 +1,6 @@
 """Crawl-wave planner: the driver-side iterative loop composing the
-frontier operators into waves, checkpointing each wave to the snapshot
-catalog (SURVEY.md §3.4).
+frontier operators into waves, checkpointing to the snapshot catalog
+(SURVEY.md §3.4).
 
 Each wave:
 
@@ -12,19 +12,36 @@ Each wave:
        │          crawl_log(t) append
        ▼
     remaining + robots-allowed, bloom-prefiltered, exactly-deduped new
-    links  ─►  frontier(t+1);  seen/bloom/host-state updated;  snapshot
-    committed with per-shard lineage.
+    links  ─►  frontier(t+1);  seen/bloom/host-state updated.
 
-Materializing state per wave through the snapshot (parquet write + read
-back) both truncates the logical-plan lineage (essential for iterative
-DataFrame loops) and IS the resumability mechanism.
+**Micro-batched commits** (``checkpoint_interval=k``): per-wave fixed
+costs (snapshot parquet write + read-back, bloom fold cogroup, lineage
+collect) are the scaling bottleneck at small wave sizes, so the loop
+keeps state in memory between commits and snapshots every ``k`` waves:
+
+* frontier/host-state are carried as ``localCheckpoint``-truncated
+  DataFrames (lineage cannot grow across waves — essential for
+  iterative DataFrame loops; on a real cluster swap for reliable
+  ``checkpoint()`` to the cluster FS);
+* bloom shards fold the batch's new URLs ONCE per commit instead of
+  once per wave (lazy fold).  Correctness is preserved because the
+  bloom filter is only ever a pre-filter: URLs discovered since the
+  last fold are caught by a broadcast anti-join against the (small,
+  ≤k-waves) pending delta, applied to *all* candidates;
+* seen / crawl_log write one delta file-set per commit (O(Δ)).
+
+A kill mid-batch resumes from the last committed snapshot and
+deterministically recomputes the lost ≤k-1 waves — final state is
+bit-identical (resume test), so the interval trades recovery time for
+throughput, never correctness.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.canonical import canonicalize_udf
@@ -32,6 +49,12 @@ from ..operators import frontier as fr
 from ..sources.snapshots import SnapshotCatalog
 
 DEFAULT_NUM_SHARDS = 32
+
+SEEN_SCHEMA = "url string, url_hash long"
+CRAWL_LOG_SCHEMA = (
+    "wave int, url string, url_hash long, host string, priority double, "
+    "seq long"
+)
 
 
 class CrawlRun:
@@ -46,6 +69,7 @@ class CrawlRun:
         num_shards: int = DEFAULT_NUM_SHARDS,
         frontier_partitions: int | None = None,
         filter_kind: str = "bloom",
+        checkpoint_interval: int = 1,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -60,6 +84,8 @@ class CrawlRun:
         # broadcast the dequeued url set into the fetch join (html never
         # shuffles); disable when waves exceed broadcast-safe sizes
         self.broadcast_fetch = True
+        # commit a snapshot every k waves (k=1: classic wave-per-commit)
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
 
     # -- initialization --------------------------------------------------
     def initialize(self, seeds: DataFrame) -> None:
@@ -86,11 +112,9 @@ class CrawlRun:
         seen = frontier0.select("url", "url_hash")
         empty_bloom = spark.createDataFrame([], fr.BLOOM_SCHEMA)
         bloom = fr.bloom_update(seen, empty_bloom, self.num_shards, kind=self.filter_kind)
-        crawl_log = spark.createDataFrame(
-            [],
-            "wave int, url string, url_hash long, host string, priority double, "
-            "seq long",
-        )
+        obs_seen = Observation("init_seen")
+        seen = seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        crawl_log = spark.createDataFrame([], CRAWL_LOG_SCHEMA)
         self._commit(
             wave=0,
             frontier=frontier0,
@@ -98,24 +122,39 @@ class CrawlRun:
             seen_delta=seen,
             bloom=bloom,
             crawl_log_delta=crawl_log,
-            metrics={"dequeued": 0, "new_urls": int(seen.count()), "fetched": 0},
+            metrics=None,
+        )
+        self._amend_metrics(
+            {"dequeued": 0, "new_urls": int(obs_seen.get["n"]), "fetched": 0}
         )
 
-    # -- one wave --------------------------------------------------------
-    def run_wave(self) -> dict[str, Any]:
+    # -- in-memory state between commits ----------------------------------
+    def _load_state(self) -> dict[str, Any]:
         spark = self.spark
         snapshot = self.catalog.load_snapshot()
         assert snapshot is not None, "initialize() first"
-        wave = snapshot.wave
-        frontier = self.catalog.read_table(spark, "frontier").cache()
-        host_state = self.catalog.read_table(spark, "host_state")
-        seen = self.catalog.read_table(spark, "seen")
-        bloom = self.catalog.read_table(spark, "bloom")
+        return {
+            "wave": snapshot.wave,
+            "frontier": self.catalog.read_table(spark, "frontier"),
+            "host_state": self.catalog.read_table(spark, "host_state"),
+            "seen": self.catalog.read_table(spark, "seen"),
+            "bloom": self.catalog.read_table(spark, "bloom"),
+            "pending_seen": [],   # new-url deltas since last commit
+            "pending_log": [],    # crawl-log deltas since last commit
+            "batch_metrics": [],  # per-wave metric dicts since last commit
+            "to_unpersist": [],   # cached frames released after commit
+        }
 
-        from pyspark.sql import Observation
-
-        dequeued, new_host_state = fr.politeness_dequeue(frontier, host_state)
+    def _step(self, state: dict[str, Any]) -> dict[str, Any]:
+        """Run one wave against the in-memory state; no snapshot IO."""
+        wave = int(state["wave"])
+        frontier = state["frontier"]
+        dequeued, new_host_state = fr.politeness_dequeue(
+            frontier, state["host_state"]
+        )
         dequeued = dequeued.cache()
+        n_dequeued = dequeued.count()
+        state["to_unpersist"].append(dequeued)
 
         # broadcast anti-join: the (small) dequeued set streams past the
         # frontier map-side — no frontier shuffle
@@ -137,18 +176,29 @@ class CrawlRun:
             .observe(obs_links, F.count(F.lit(1)).alias("n"))
         )
         allowed = fr.robots_filter(links, self.robots)
-        probed = fr.bloom_prefilter(allowed, bloom, self.num_shards, kind=self.filter_kind)
-        new_urls = fr.exact_new_filter(probed, seen).cache()
+        # bloom probe against the last FOLDED shards; URLs discovered
+        # since that fold are caught by the pending-delta anti-join below
+        probed = fr.bloom_prefilter(
+            allowed, state["bloom"], self.num_shards, kind=self.filter_kind
+        )
+        new_urls = fr.exact_new_filter(probed, state["seen"])
+        if state["pending_seen"]:
+            pending = reduce(DataFrame.unionByName, state["pending_seen"])
+            new_urls = new_urls.join(
+                F.broadcast(pending.select("url")), "url", "left_anti"
+            )
+        new_urls = new_urls.cache()
+        n_new = new_urls.count()  # also fires obs_links
+        state["to_unpersist"].append(new_urls)
 
-        # union is map-only: remaining is a filtered re-read of the prior
-        # frontier files; no repartition shuffle — partition count stays
-        # bounded at (prior files + shuffle partitions of the new rows)
-        new_frontier = remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
-        new_bloom = fr.bloom_update(new_urls, bloom, self.num_shards, kind=self.filter_kind)
+        # union is map-only; no repartition shuffle — partition count
+        # stays bounded; lineage truncated so it cannot grow across waves
+        # (materializes lazily inside the next wave's first action)
+        new_frontier = remaining.unionByName(
+            fr.new_frontier_rows(new_urls, wave)
+        ).localCheckpoint(eager=False)
+        new_host_state = new_host_state.localCheckpoint(eager=False)
 
-        # wave metrics ride the snapshot writes via observe() — no extra
-        # count jobs
-        obs_deq = Observation(f"deq_w{wave}")
         log_delta = dequeued.select(
             F.lit(wave + 1).alias("wave"),
             "url",
@@ -156,38 +206,79 @@ class CrawlRun:
             "host",
             "priority",
             "seq",
-        ).observe(obs_deq, F.count(F.lit(1)).alias("n"))
-        obs_new = Observation(f"new_w{wave}")
-        seen_delta = new_urls.select("url", "url_hash").observe(
-            obs_new, F.count(F.lit(1)).alias("n")
         )
+        metrics = {
+            "dequeued": int(n_dequeued),
+            "new_urls": int(n_new),
+            "links_extracted": int(obs_links.get["n"]),
+        }
+        state["wave"] = wave + 1
+        state["frontier"] = new_frontier
+        state["host_state"] = new_host_state
+        state["pending_seen"].append(new_urls.select("url", "url_hash"))
+        state["pending_log"].append(log_delta)
+        state["batch_metrics"].append(metrics)
+        return metrics
+
+    def _commit_state(self, state: dict[str, Any]) -> None:
+        """Fold the batch's pending deltas and commit one snapshot."""
+        spark = self.spark
+        if state["pending_seen"]:
+            seen_delta = reduce(DataFrame.unionByName, state["pending_seen"])
+        else:
+            seen_delta = spark.createDataFrame([], SEEN_SCHEMA)
+        if state["pending_log"]:
+            log_delta = reduce(DataFrame.unionByName, state["pending_log"])
+        else:
+            log_delta = spark.createDataFrame([], CRAWL_LOG_SCHEMA)
+        # lazy fold: ONE cogroup per commit, not one per wave
+        new_bloom = fr.bloom_update(
+            seen_delta, state["bloom"], self.num_shards, kind=self.filter_kind
+        )
+        totals: dict[str, int] = {}
+        for m in state["batch_metrics"]:
+            for key, val in m.items():
+                totals[key] = totals.get(key, 0) + int(val)
         self._commit(
-            wave=wave + 1,
-            frontier=new_frontier,
-            host_state=new_host_state,
+            wave=state["wave"],
+            frontier=state["frontier"],
+            host_state=state["host_state"],
             seen_delta=seen_delta,
             bloom=new_bloom,
             crawl_log_delta=log_delta,
-            metrics=None,
+            metrics=totals,
         )
-        metrics = {
-            "dequeued": int(obs_deq.get["n"]),
-            "new_urls": int(obs_new.get["n"]),
-            "links_extracted": int(obs_links.get["n"]),
-        }
-        self._amend_metrics(metrics)
-        frontier.unpersist()
-        dequeued.unpersist()
-        new_urls.unpersist()
+        # refresh committed views; keep frontier/host_state in memory
+        state["seen"] = self.catalog.read_table(spark, "seen")
+        state["bloom"] = self.catalog.read_table(spark, "bloom")
+        state["pending_seen"] = []
+        state["pending_log"] = []
+        state["batch_metrics"] = []
+        for df in state["to_unpersist"]:
+            df.unpersist()
+        state["to_unpersist"] = []
+
+    # -- one wave (classic commit-per-wave API) ----------------------------
+    def run_wave(self) -> dict[str, Any]:
+        state = self._load_state()
+        metrics = self._step(state)
+        self._commit_state(state)
         return metrics
 
     def run(self, waves: int) -> list[dict[str, Any]]:
-        out = []
-        for _ in range(waves):
-            metrics = self.run_wave()
+        """Run up to ``waves`` waves, committing a snapshot every
+        ``checkpoint_interval`` waves (and always at loop exit)."""
+        state = self._load_state()
+        out: list[dict[str, Any]] = []
+        for i in range(waves):
+            metrics = self._step(state)
             out.append(metrics)
+            if (i + 1) % self.checkpoint_interval == 0:
+                self._commit_state(state)
             if metrics["dequeued"] == 0:
                 break
+        if state["batch_metrics"]:
+            self._commit_state(state)
         return out
 
     # -- deletions (recrawl policies) -------------------------------------

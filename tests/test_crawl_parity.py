@@ -54,6 +54,35 @@ def test_crawl_exact_parity(spark, corpus, oracle_result, tmp_path) -> None:
     assert run.seen_set() == oracle.seen_set()
 
 
+def test_micro_batched_commits_exact_parity(
+    spark, corpus, oracle_result, tmp_path
+) -> None:
+    """checkpoint_interval=2 over 3 waves (one full batch + one partial
+    final batch): bloom folds lazily once per commit and state stays
+    in memory between commits — crawl order, seen set and bloom shard
+    hashes must still match the oracle exactly."""
+    pages, robots, seeds = corpus
+    oracle, oracle_metrics = oracle_result
+
+    catalog = SnapshotCatalog(str(tmp_path / "batched"))
+    run = CrawlRun(
+        spark, catalog, pages, robots, num_shards=SHARDS, checkpoint_interval=2
+    )
+    run.initialize(seeds)
+    metrics = run.run(WAVES)
+
+    assert metrics == oracle_metrics
+    assert run.crawl_order() == oracle.crawl_order()
+    assert run.seen_set() == oracle.seen_set()
+    snapshot = catalog.load_snapshot()
+    engine_hashes = {
+        row["partition_id"]: row["bloom_shard_hash"] for row in snapshot.lineage
+    }
+    assert engine_hashes == oracle.bloom_shard_hashes()
+    # 3 waves at interval 2 → snapshots at wave 0, 2, 3
+    assert [s.wave for s in catalog.history()] == [0, 2, 3]
+
+
 def test_resume_bit_identical(spark, corpus, oracle_result, tmp_path) -> None:
     """Kill after 2 waves; a NEW CrawlRun resumes from the snapshot and
     the final state matches a never-killed run exactly — including the
