@@ -431,6 +431,39 @@ def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image table in the BASELINE input_hint shape
+    (image_id, phash — the metadata columns the dedup path touches),
+    derived from ``documents`` with the phash as a closed-form 62-bit
+    mix of doc_id, plus a planted 2-bit-flipped twin for every 10th
+    doc.  The same arithmetic is stated in ANSI SQL for the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    h1 = (doc_id * F.lit(2654435761) + F.lit(1013904223)) % F.lit(2147483648)
+    h2 = (doc_id * F.lit(2246822519) + F.lit(374761393)) % F.lit(2147483648)
+    phash = (h1 * F.lit(2147483648) + h2).cast("long")
+    base = docs.select(
+        F.concat(F.lit("img-"), doc_id).alias("image_id"),
+        phash.alias("phash"),
+        doc_id,
+    )
+    twins = base.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        F.concat(F.col("image_id"), F.lit("-dup")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+        F.col("doc_id"),
+    )
+    return base.unionByName(twins).select("image_id", "phash")
+
+
+def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image table via banded
+    LSH blocking (multimodal.phash_near_dup_pairs); the planted 2-bit
+    twins are the guaranteed recall set."""
+    from parsel_spark.operators.multimodal import phash_near_dup_pairs
+
+    return phash_near_dup_pairs(_synth_image_table(spark, sf_dir), max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -459,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_drop_rewrite": q_selector_drop_rewrite,
         "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
+        "img_phash_near_dup": q_img_phash_near_dup,
     }
 
 
@@ -730,6 +764,28 @@ def oracle_sql() -> dict[str, str]:
 
     sql["crawl_url_hash_shards"] = ""  # spark murmur3 differs from duckdb hash
     del sql["crawl_url_hash_shards"]
+
+    # image table (BASELINE input_hint shape): brute-force oracle for the
+    # banded-LSH phash near-dup query — exact at sf<=0.01 scale
+    sql["img_phash_near_dup"] = """
+        WITH base AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   ((doc_id*2654435761 + 1013904223) % 2147483648) * 2147483648
+                   + ((doc_id*2246822519 + 374761393) % 2147483648) AS phash,
+                   doc_id
+            FROM documents
+        ), images AS (
+            SELECT image_id, phash FROM base
+            UNION ALL
+            SELECT image_id || '-dup', xor(phash, 3) FROM base
+            WHERE doc_id % 10 = 0
+        )
+        SELECT a.image_id AS img_a, b.image_id AS img_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM images a, images b
+        WHERE a.image_id < b.image_id
+          AND bit_count(xor(a.phash, b.phash)) <= 3
+    """
 
     return sql
 

@@ -173,3 +173,60 @@ def audio_features(bytes_col: Column | str) -> Column:
         return pd.DataFrame(rows)
 
     return _udf(bytes_col)
+
+
+def phash_near_dup_pairs(
+    images,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+):
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    over the (image_id, …, phash int64) table (BASELINE input_hint).
+
+    Scale shape: banded LSH blocking — the 64-bit phash splits into 4
+    16-bit bands; Hamming ≤ 3 guarantees (pigeonhole) at least one band
+    matches exactly, so candidates come from an equi-join on
+    (band_idx, band) instead of an all-pairs cross join.  Only
+    (id, phash) tuples shuffle — never image payload bytes.  False
+    candidates are removed by the exact bit_count(xor) check.
+    """
+    from pyspark.sql import DataFrame, functions as F
+
+    assert max_hamming <= 3, "4-band blocking guarantees recall only for k<=3"
+    hashed = images.select(
+        F.col(id_col).alias("img_id"), F.col(phash_col).alias("ph")
+    )
+    bands = hashed.select(
+        "img_id",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("ph", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .dropDuplicates(["img_a", "img_b"])
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return cand.select("img_a", "img_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -213,13 +213,42 @@ def synth_pages(spark, cfg: SynthConfig, num_partitions: int | None = None):
     )
 
 
-def synth_seeds(spark, cfg: SynthConfig, n_seeds: int = 10):
-    """Seed list: the first ``n_seeds`` page urls, descending priority."""
-    cdf = cfg.cdf()
-    rows = [
-        (page_url(i, cfg, cdf), float(n_seeds - i), i) for i in range(n_seeds)
-    ]
-    return spark.createDataFrame(rows, "url string, priority double, seq long")
+def synth_seeds(spark, cfg: SynthConfig, n_seeds: int = 10, spread: bool = False):
+    """Seed list: ``n_seeds`` page urls, descending priority.
+
+    ``spread=True`` strides the seed page-ids across the whole corpus
+    (page ``i*stride`` instead of the first ``n_seeds`` pages) so the
+    seeds cover many hosts — the shape of a production seed list — and
+    generates them distributed (driver never materializes the list)."""
+    if not spread:
+        cdf = cfg.cdf()
+        rows = [
+            (page_url(i, cfg, cdf), float(n_seeds - i), i) for i in range(n_seeds)
+        ]
+        return spark.createDataFrame(rows, "url string, priority double, seq long")
+
+    import pandas as pd
+
+    stride = max(1, cfg.n_pages // n_seeds)
+
+    def generate(batches):
+        cdf = cfg.cdf()
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(int(i * stride) % cfg.n_pages, cfg, cdf)
+                        for i in ids
+                    ],
+                    "priority": (float(n_seeds) - ids).astype("float64"),
+                    "seq": ids,
+                }
+            )
+
+    return spark.range(0, n_seeds).mapInPandas(
+        generate, schema="url string, priority double, seq long"
+    )
 
 
 def seed_rows(cfg: SynthConfig, n_seeds: int = 10) -> list[tuple[str, float, int]]:

@@ -88,3 +88,25 @@ def test_audio_features_pcm(spark) -> None:
 def test_video_stub_raises(spark, pages) -> None:
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         pages.select(sample_video_frames("bytes").alias("f")).collect()
+
+
+def test_phash_near_dup_pairs_banded(spark) -> None:
+    """Banded LSH blocking finds every pair within hamming<=3 (pigeonhole
+    recall guarantee) and rejects pairs beyond the threshold."""
+    from parsel_spark.operators.multimodal import phash_near_dup_pairs
+
+    base = 0x123456789ABCDEF
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b11),            # hamming 2 vs a
+        ("c", base ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),  # hamming 3, flips in 3 bands
+        ("d", base ^ 0xF0F0),          # hamming 8 — beyond threshold
+        ("e", 0x7FFFFFFFFFFFFFFF),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    # b vs c: hamming 5 -> excluded; d (8) and e excluded
+    assert got == {("a", "b"): 2, ("a", "c"): 3}
