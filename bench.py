@@ -142,6 +142,7 @@ def main() -> None:
             "doc_exact_dedup",
             "doc_minhash_pairs",
             "doc_simhash_pairs",
+            "img_phash_near_dup",
             "doc_token_stats",
             "doc_lang_id",
             "emb_knn_bruteforce",

@@ -67,8 +67,8 @@ def politeness_dequeue(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Per-host priority-queue dequeue under token-bucket politeness.
 
-    Returns (dequeued frontier rows, updated host_state, cached budget
-    frame — caller unpersists).  Entirely JVM-side:
+    Returns (dequeued frontier rows, updated host_state).
+    Entirely JVM-side:
 
     1. per-host candidate counts + token arithmetic as column
        expressions over the (small) host-state join — the double-precision
