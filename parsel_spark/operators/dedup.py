@@ -93,23 +93,30 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>, shingles) — sig[k] = min over shingles
-    of xxhash64(shingle || '#' || k).  Pure JVM expressions.
+    of xxhash64(xxhash64(shingle), k).  Pure JVM expressions.
 
-    The whole signature is ONE nested higher-order expression (transform
-    over k of array_min over shingles) so the shingle array is built
-    once per row — naively emitting ``num_hashes`` separate array_min
-    columns makes Catalyst's project-collapse inline (and re-evaluate)
-    the shingle construction per hash."""
+    Each shingle string is hashed ONCE (the expensive variable-length
+    hash); the k-th minhash function is then the cheap fixed-width
+    xxhash64 over the (long, k) pair — num_hashes× fewer string hashes
+    than hashing ``shingle || '#' || k`` per k, identical independence
+    properties.  The whole signature is ONE nested higher-order
+    expression (transform over k of array_min over pre-hashed shingles)
+    so the shingle array is built once per row — naively emitting
+    ``num_hashes`` separate array_min columns makes Catalyst's
+    project-collapse inline (and re-evaluate) the shingle construction
+    per hash."""
     toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
     shingles = _shingles(toks, shingle_n)
-    with_shingles = docs.select("doc_id", shingles.alias("shingles"))
+    with_shingles = docs.select(
+        "doc_id",
+        shingles.alias("shingles"),
+    ).withColumn(
+        "sh_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(F.concat(s, F.lit("#"), k.cast("string"))),
-            )
+            F.transform(F.col("sh_hashes"), lambda h: F.xxhash64(h, k))
         ),
     )
     return with_shingles.select("doc_id", sig.alias("sig"), "shingles")
