@@ -189,34 +189,25 @@ def minhash_lsh_pairs(
 # SimHash (vectorized pandas UDF — 64-bit weighted bit vote)
 # ---------------------------------------------------------------------------
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    out = np.zeros(len(texts), dtype=np.int64)
+    """64-bit weighted-bit-vote simhash per text; word hashes via
+    pandas' vectorized siphash (`pd.util.hash_array`, fixed key —
+    deterministic across processes/executors), bit votes as one numpy
+    broadcast per document — no per-byte or per-bit Python loops."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for i, text in enumerate(texts):
         if not text:
             continue
         words = text.lower().split()
         if not words:
             continue
-        # vectorized FNV-1a per word
-        hashes = np.empty(len(words), dtype=np.uint64)
-        for j, word in enumerate(words):
-            h = _FNV_OFFSET
-            for byte in word.encode("utf-8"):
-                h = (h ^ np.uint64(byte)) * _FNV_PRIME
-            hashes[j] = h
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
+        hashes = pd.util.hash_array(np.asarray(words, dtype=object))
+        bits = ((hashes[:, None] >> shifts) & one).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.where(votes >= 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim.astype(np.int64))
-    return pd.Series(out)
+        out[i] = ((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
 
 
 def simhash_col(text_col: str = "text"):
