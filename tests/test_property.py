@@ -4,6 +4,7 @@ through a reparse stably, and URL canonicalization is idempotent."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -32,6 +33,14 @@ def test_html_parser_never_raises(text: str) -> None:
 @given(html_ish)
 def test_xml_parser_never_raises(text: str) -> None:
     sel = Selector(text=text or "<r/>", type="xml")
+    # reference parity: JSON-sniffable text becomes a json selector even
+    # with an explicit type="xml" (parsel/selector.py:331-347 sniffs
+    # BEFORE the html/xml dispatch), and json selectors reject xpath
+    # (parsel/selector.py:585-586) — e.g. text='""'
+    if sel.type == "json":
+        with pytest.raises(ValueError, match="Cannot use xpath"):
+            sel.xpath("//*")
+        return
     sel.xpath("//*").getall()
     sel.get()
 
