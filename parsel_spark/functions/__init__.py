@@ -3,6 +3,7 @@ Spark-compatible hashing."""
 
 from .canonical import canonicalize_udf, canonicalize_url, resolve_udf, resolve_url
 from .hashing import murmur3_32, shard_of, xxhash64
+from .robots import parse_robots_txt, robots_rules, robots_table_from_txt
 from .udfs import (
     attrib_map,
     compile_css,
@@ -24,6 +25,9 @@ __all__ = [
     "murmur3_32",
     "xxhash64",
     "shard_of",
+    "parse_robots_txt",
+    "robots_rules",
+    "robots_table_from_txt",
     "xpath_getall",
     "css_getall",
     "select_getall",

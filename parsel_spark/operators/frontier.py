@@ -175,16 +175,29 @@ def extract_wave_links(fetched: DataFrame) -> DataFrame:
 
 def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop robots-denied URLs (broadcast dim join + JVM-side prefix
-    check via the ``exists`` higher-order function)."""
+    checks via higher-order functions).
+
+    RFC 9309 longest-match semantics: the longest matching prefix wins,
+    so a more specific ``Allow`` overrides a broader ``Disallow``
+    (oracle twin: ``plans/oracle.py _robots_allowed``)."""
+
+    def longest_match(col: str):
+        return F.aggregate(
+            F.filter(col, lambda p: F.col("path").startswith(p)),
+            F.lit(0),
+            lambda acc, p: F.greatest(acc, F.length(p)),
+        )
+
     with_host = links.withColumn("host", F.parse_url("url", F.lit("HOST"))).withColumn(
         "path", F.parse_url("url", F.lit("PATH"))
     )
     joined = with_host.join(F.broadcast(robots), "host", "left")
+    deny_len = longest_match("deny_prefixes")
+    allow_len = longest_match("allow_prefixes")
     allowed = joined.filter(
         F.col("deny_prefixes").isNull()
-        | ~F.exists(
-            "deny_prefixes", lambda p: F.col("path").startswith(p)
-        )
+        | (deny_len == 0)
+        | (F.coalesce(allow_len, F.lit(0)) >= deny_len)
     )
     return allowed.select("url", "url_hash", "host")
 

@@ -64,12 +64,25 @@ class OracleCrawler:
         return self._html_cache[page_id]
 
     def _robots_allowed(self, url: str) -> bool:
+        # RFC 9309 longest-match: the longest matching prefix wins, so a
+        # more specific Allow overrides a broader Disallow (engine twin:
+        # operators/frontier.py robots_filter)
         parts = urlsplit(url)
         rules = self.robots.get(parts.hostname or "")
         if rules is None:
             return True
         path = parts.path or "/"
-        return not any(path.startswith(p) for p in rules["deny_prefixes"])
+        deny_len = max(
+            (len(p) for p in rules["deny_prefixes"] if path.startswith(p)),
+            default=0,
+        )
+        if deny_len == 0:
+            return True
+        allow_len = max(
+            (len(p) for p in rules.get("allow_prefixes") or [] if path.startswith(p)),
+            default=0,
+        )
+        return allow_len >= deny_len
 
     def _bloom_add(self, url: str) -> None:
         shard_id = murmur3_32(url) % self.num_shards

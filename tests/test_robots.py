@@ -1,0 +1,134 @@
+"""robots.txt parser: local semantics + the Spark table path feeding
+the frontier (the rule table robots_filter/politeness_dequeue consume)."""
+
+from __future__ import annotations
+
+from parsel_spark.functions.robots import parse_robots_txt, robots_table_from_txt
+
+SIMPLE = """
+# comments ignored
+User-agent: *
+Disallow: /private
+Disallow: /tmp
+Allow: /tmp/public
+Crawl-delay: 2.5
+"""
+
+GROUPED = """
+User-agent: googlebot
+User-agent: fancybot
+Disallow: /no-fancy
+
+User-agent: *
+Disallow: /no-anyone
+Crawl-delay: 7
+"""
+
+MALFORMED = """
+User-agent *
+Disallow /x
+Crawl-delay: soon
+User-agent: *
+Disallow: /real
+Disallow:
+"""
+
+
+def test_parse_basic_group() -> None:
+    r = parse_robots_txt(SIMPLE)
+    assert r["deny_prefixes"] == ["/private", "/tmp"]
+    assert r["allow_prefixes"] == ["/tmp/public"]
+    assert r["crawl_delay"] == 2.5
+
+
+def test_specific_agent_beats_star() -> None:
+    assert parse_robots_txt(GROUPED, agent="FancyBot")["deny_prefixes"] == [
+        "/no-fancy"
+    ]
+    assert parse_robots_txt(GROUPED, agent="otherbot")["deny_prefixes"] == [
+        "/no-anyone"
+    ]
+    assert parse_robots_txt(GROUPED, agent="otherbot")["crawl_delay"] == 7.0
+
+
+def test_shared_ua_lines_form_one_group() -> None:
+    assert parse_robots_txt(GROUPED, agent="googlebot")["deny_prefixes"] == [
+        "/no-fancy"
+    ]
+
+
+def test_malformed_never_raises_and_recovers() -> None:
+    r = parse_robots_txt(MALFORMED)
+    # lines without ':' and bad delay values skipped; empty Disallow is
+    # allow-all (no rule); the valid group still parses
+    assert r["deny_prefixes"] == ["/real"]
+    assert r["crawl_delay"] == 1.0
+
+
+def test_empty_and_none_default_allow_all() -> None:
+    for text in (None, "", "User-agent: otherbot\nDisallow: /x"):
+        r = parse_robots_txt(text, agent="mybot") if text else parse_robots_txt(text)
+        assert r["allow_prefixes"] == ["/"]
+        assert r["deny_prefixes"] == []
+
+
+def test_spark_table_feeds_frontier_filter(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from parsel_spark.operators.frontier import robots_filter
+
+    txt = spark.createDataFrame(
+        [
+            ("a.test", SIMPLE),
+            ("b.test", None),
+        ],
+        "host string, robots_txt string",
+    )
+    table = robots_table_from_txt(txt)
+    rows = {r["host"]: r.asDict() for r in table.collect()}
+    assert rows["a.test"]["deny_prefixes"] == ["/private", "/tmp"]
+    assert rows["a.test"]["crawl_delay"] == 2.5
+    assert rows["b.test"]["deny_prefixes"] == []
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.test/private/x",),
+            ("http://a.test/ok",),
+            ("http://b.test/private/x",),
+        ],
+        "url string",
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    allowed = {r["url"] for r in robots_filter(links, table).collect()}
+    assert allowed == {"http://a.test/ok", "http://b.test/private/x"}
+
+
+def test_allow_overrides_broader_disallow(spark) -> None:
+    """RFC 9309 longest-match: a more specific Allow wins over Disallow,
+    in BOTH the Spark filter and the oracle twin."""
+    from pyspark.sql import functions as F
+
+    from parsel_spark.operators.frontier import robots_filter
+
+    txt = spark.createDataFrame([("a.test", SIMPLE)], "host string, robots_txt string")
+    table = robots_table_from_txt(txt)
+    links = spark.createDataFrame(
+        [
+            ("http://a.test/tmp/public/file",),   # allow(/tmp/public) > deny(/tmp)
+            ("http://a.test/tmp/secret",),        # deny(/tmp) wins
+        ],
+        "url string",
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    allowed = {r["url"] for r in robots_filter(links, table).collect()}
+    assert allowed == {"http://a.test/tmp/public/file"}
+
+    from parsel_spark.plans.oracle import OracleCrawler
+
+    oracle = OracleCrawler.__new__(OracleCrawler)
+    oracle.robots = {
+        "a.test": {
+            "deny_prefixes": ["/private", "/tmp"],
+            "allow_prefixes": ["/tmp/public"],
+        }
+    }
+    assert oracle._robots_allowed("http://a.test/tmp/public/file")
+    assert not oracle._robots_allowed("http://a.test/tmp/secret")
