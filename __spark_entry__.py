@@ -425,7 +425,7 @@ def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     urls = docs.select(_doc_url(F.col("doc_id")).alias("url"))
     return (
-        urls.select(F.pmod(F.hash("url"), F.lit(32)).alias("shard_id"))
+        urls.select(F.pmod(F.hash("url"), F.lit(32)).cast("long").alias("shard_id"))
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).alias("n_urls"))
     )
@@ -762,8 +762,184 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    sql["crawl_url_hash_shards"] = ""  # spark murmur3 differs from duckdb hash
-    del sql["crawl_url_hash_shards"]
+    # -- simhash: DuckDB recomputes the exact 60-bit simhashes (same
+    # md5-based bit votes as operators/dedup.simhash_expr) and states the
+    # ALL-PAIRS ground truth — the banded-LSH Spark plan must recall
+    # every pair (pigeonhole guarantee, bands = max_hamming+1)
+    sql["doc_simhash_pairs"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex(lower(trim(text)), ' +'),
+                                  w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)
+                       AS hs
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(60), b ->
+                       CASE WHEN list_sum(list_transform(hs,
+                                 h -> 2 * ((h >> b) & 1) - 1)) >= 0
+                            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                   ))::BIGINT AS sh
+            FROM h
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """
+
+    # -- minhash-LSH: DuckDB recomputes the exact signatures (md5 base
+    # hash + Mersenne-lane mixing, operators/dedup._minhash_mix), bands
+    # on the comma-joined signature slices (the band identity Spark
+    # xxhash64-compresses), and verifies candidates with the same exact
+    # shingle-Jaccard — value-level parity for the whole pipeline
+    mix = (
+        "((((2654435761*(k+1)) % 2147483647) * (h >> 30)"
+        "  + ((40503*(k+7)) % 2147483647)) % 2147483647) * 2147483648"
+        " + ((((2246822519*(k+1)) % 2147483647) * (h & 1073741823)"
+        "  + ((374761393*(k+3)) % 2147483647)) % 2147483647)"
+    )
+    sql["doc_minhash_pairs"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(len(toks) - 2),
+                                 i -> array_to_string(toks[i+1:i+3], ' '))
+                        ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM t
+        ), hs AS (
+            SELECT doc_id, shingles,
+                   list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hh
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(32),
+                       k -> list_min(list_transform(hh, h -> {mix}))) AS sig
+            FROM hs
+        ), banded AS (
+            SELECT doc_id, shingles, g.b AS band_idx,
+                   array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS band_key
+            FROM sig CROSS JOIN generate_series(0, 7) AS g(b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.shingles AS sh_a, b.shingles AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(list_distinct(sh_a),
+                                        list_distinct(sh_b)))::DOUBLE
+                     / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
+                     6) AS jac
+        FROM cand
+        WHERE round(len(list_intersect(list_distinct(sh_a),
+                                       list_distinct(sh_b)))::DOUBLE
+                    / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
+                    6) >= 0.35
+    """
+
+    # -- hyperplane-LSH kNN: the planes are deterministic constants
+    # (similarity.hyperplanes, splitmix of (seed,p,d)) — embed them as
+    # literals and replay the same bucket/score/top-k.  Dot products are
+    # stated as the SAME left-to-right IEEE fold Spark's aggregate runs.
+    from parsel_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=6, seed=42)
+    plane_rows = ",\n                 ".join(
+        f"({p}, [{', '.join(str(v) for v in vec)}]::DOUBLE[])"
+        for p, vec in enumerate(planes)
+    )
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_concat([0.0], list_transform(range(64), "
+            f"i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE)), (acc, x) -> acc + x)"
+        )
+
+    def _norm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_concat([0.0], list_transform({a}, "
+            f"x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+        )
+
+    sql["emb_knn_lsh"] = f"""
+        WITH planes(p, vec) AS (
+            VALUES {plane_rows}
+        ), b AS (
+            SELECT e.vec_id, e.embedding,
+                   sum(CASE WHEN {_dot("e.embedding", "p.vec")} > 0
+                            THEN (1 << p.p) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding
+        ), q AS (
+            SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0
+        )
+        SELECT b.vec_id,
+               round({_dot("b.embedding", "q.qe")}
+                     / ({_norm("b.embedding")} * {_norm("q.qe")}), 4) AS sim
+        FROM b, q
+        WHERE b.bucket = q.qb AND b.vec_id != 0
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    # -- murmur3 URL sharding: Spark's hash() is Murmur3_x86_32 seed 42
+    # with per-byte tail mixing (functions/hashing.murmur3_32 is the
+    # python twin); this states the SAME function in DuckDB SQL — exact
+    # for these ASCII URLs (ascii() reads code points, == bytes here).
+    m32 = "4294967296"
+
+    def _mul32(expr: str, const: int) -> str:
+        return f"(({expr})::HUGEINT * {const} % {m32})::BIGINT"
+
+    def _rotl32(expr: str, r: int) -> str:
+        return f"((({expr}) << {r}) % {m32} + (({expr}) >> {32 - r}))"
+
+    # mixK1: k1 = rotl32(k*0xcc9e2d51, 15) * 0x1b873593  (all mod 2^32)
+    mixk1 = _mul32(_rotl32(_mul32("k", 0xCC9E2D51), 15), 0x1B873593)
+    # mixH1: h = rotl32(h ^ k1, 13) * 5 + 0xe6546b64  (mod 2^32)
+    mixh1 = f"({_rotl32(f'xor(h, {mixk1})', 13)} * 5 + {0xE6546B64}) % {m32}"
+    fmix = f"xor(f2, f2 >> 16)"
+    sql["crawl_url_hash_shards"] = f"""
+        WITH urls AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                   || '.test/d/' || doc_id AS url
+            FROM documents
+        ), ks AS (
+            SELECT url, length(url) AS len,
+                   list_concat(
+                       list_transform(range(length(url) // 4), j ->
+                           ascii(url[4*j+1]) + ascii(url[4*j+2])*256
+                           + ascii(url[4*j+3])*65536
+                           + ascii(url[4*j+4])*16777216),
+                       list_transform(range(length(url) % 4), t ->
+                           ascii(url[(length(url)//4)*4 + t + 1]))
+                   ) AS blocks
+            FROM urls
+        ), mixed AS (
+            SELECT len,
+                   list_reduce(list_concat([42::BIGINT], blocks),
+                               (h, k) -> {mixh1}) AS hm
+            FROM ks
+        ), fm1 AS (
+            SELECT {_mul32("xor(xor(hm, len), xor(hm, len) >> 16)",
+                           0x85EBCA6B)} AS f1 FROM mixed
+        ), fm2 AS (
+            SELECT {_mul32("xor(f1, f1 >> 13)", 0xC2B2AE35)} AS f2 FROM fm1
+        ), fin AS (
+            SELECT CASE WHEN {fmix} >= 2147483648
+                        THEN {fmix} - {m32} ELSE {fmix} END AS s
+            FROM fm2
+        )
+        SELECT ((s % 32) + 32) % 32 AS shard_id, count(*) AS n_urls
+        FROM fin GROUP BY shard_id
+    """
 
     # image table (BASELINE input_hint shape): brute-force oracle for the
     # banded-LSH phash near-dup query — exact at sf<=0.01 scale

@@ -2,8 +2,11 @@
 components of a training-data pipeline at 100 TB.
 
 All four strategies keep the hot path JVM-side (built-in / higher-order
-functions, no Python in the per-row loop) except simhash, which uses an
-Arrow-batched pandas UDF with vectorized numpy bit math.
+functions, no Python in the per-row loop).  The minhash/simhash hash
+families are deliberately SQL-expressible (md5 base hash + modular
+integer mixing, everything < 2^62 so BIGINT-safe in any engine): the
+driver's DuckDB oracle recomputes the exact signatures, candidates and
+outputs — a hard value-level correctness gate, not a rows-only check.
 
 Scale notes:
 
@@ -18,11 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TOKENIZE_REGEX = " +"
 
@@ -89,34 +89,68 @@ def _shingles(tok_expr, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", tok_expr)))
 
 
+#: Mersenne prime 2^31-1 — the modulus of the per-k universal hash
+#: lanes.  All arithmetic stays < 2^62, so the SAME expressions run
+#: overflow-free as BIGINT in Spark AND in an independent SQL engine
+#: (the DuckDB oracle mirrors them literally).
+MERSENNE_P = 2147483647
+_LANE_MASK = (1 << 30) - 1
+
+
+def md5_hash60(col):
+    """First 60 bits of md5 as a BIGINT — the cross-engine base hash
+    (standard MD5 over UTF-8; DuckDB twin:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_mix(h, k):
+    """k-th minhash function over a 60-bit base hash: two independent
+    universal-hash lanes (mod Mersenne prime) over the top/bottom 30
+    bits, recombined into a 62-bit value.  Products stay < 2^61 (k is
+    widened to long so every multiply is 64-bit, ANSI-safe)."""
+    k = k.cast("long")
+    h1 = F.shiftrightunsigned(h, 30)
+    h2 = h.bitwiseAND(F.lit(_LANE_MASK))
+    a_k = (F.lit(2654435761) * (k + 1)) % MERSENNE_P
+    b_k = (F.lit(40503) * (k + 7)) % MERSENNE_P
+    c_k = (F.lit(2246822519) * (k + 1)) % MERSENNE_P
+    d_k = (F.lit(374761393) * (k + 3)) % MERSENNE_P
+    lane1 = (a_k * h1 + b_k) % MERSENNE_P
+    lane2 = (c_k * h2 + d_k) % MERSENNE_P
+    return lane1 * F.lit(1 << 31) + lane2
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>, shingles) — sig[k] = min over shingles
-    of xxhash64(xxhash64(shingle), k).  Pure JVM expressions.
+    of ``_minhash_mix(md5_hash60(shingle), k)``.  Pure JVM expressions.
 
     Each shingle string is hashed ONCE (the expensive variable-length
-    hash); the k-th minhash function is then the cheap fixed-width
-    xxhash64 over the (long, k) pair — num_hashes× fewer string hashes
-    than hashing ``shingle || '#' || k`` per k, identical independence
-    properties.  The whole signature is ONE nested higher-order
-    expression (transform over k of array_min over pre-hashed shingles)
-    so the shingle array is built once per row — naively emitting
-    ``num_hashes`` separate array_min columns makes Catalyst's
-    project-collapse inline (and re-evaluate) the shingle construction
-    per hash."""
+    hash); the k-th minhash function is then cheap fixed-width integer
+    mixing — num_hashes× fewer string hashes than hashing
+    ``shingle || '#' || k`` per k.  The hash family is deliberately
+    SQL-expressible (md5 + modular lanes), so the driver's DuckDB
+    oracle reproduces the exact signatures/candidates — the hard
+    correctness gate the xxhash64 variant could not have.  The whole
+    signature is ONE nested higher-order expression (transform over k
+    of array_min over pre-hashed shingles) so the shingle array is
+    built once per row — naively emitting ``num_hashes`` separate
+    array_min columns makes Catalyst's project-collapse inline (and
+    re-evaluate) the shingle construction per hash."""
     toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
     shingles = _shingles(toks, shingle_n)
     with_shingles = docs.select(
         "doc_id",
         shingles.alias("shingles"),
     ).withColumn(
-        "sh_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        "sh_hashes", F.transform(F.col("shingles"), lambda s: md5_hash60(s))
     )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
-            F.transform(F.col("sh_hashes"), lambda h: F.xxhash64(h, k))
+            F.transform(F.col("sh_hashes"), lambda h: _minhash_mix(h, k))
         ),
     )
     return with_shingles.select("doc_id", sig.alias("sig"), "shingles")
@@ -137,6 +171,10 @@ def minhash_lsh_pairs(
     # self-join below reuse ONE exchange for both sides (ReusedExchange)
     # instead of recomputing signatures per side
     signed = signed.repartition(F.col("doc_id"))
+    # the band IDENTITY is the comma-joined signature slice (what the
+    # oracle joins on); Spark joins on its xxhash64 so only a fixed
+    # 8-byte key shuffles, not an ~80-byte string — identical candidate
+    # sets modulo a ~2^-64 hash collision
     banded = signed.select(
         "doc_id",
         "shingles",
@@ -186,40 +224,72 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF — 64-bit weighted bit vote)
+# SimHash (60-bit weighted bit vote, pure JVM higher-order expressions)
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit weighted-bit-vote simhash per text; word hashes via
-    pandas' vectorized siphash (`pd.util.hash_array`, fixed key —
-    deterministic across processes/executors), bit votes as one numpy
-    broadcast per document — no per-byte or per-bit Python loops."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for i, text in enumerate(texts):
-        if not text:
-            continue
-        words = text.lower().split()
-        if not words:
-            continue
-        hashes = pd.util.hash_array(np.asarray(words, dtype=object))
-        bits = ((hashes[:, None] >> shifts) & one).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        out[i] = ((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-    return pd.Series(out.view(np.int64))
+SIMHASH_BITS = 60
 
 
-def simhash_col(text_col: str = "text"):
-    return F.pandas_udf(_simhash_batch, T.LongType())(F.col(text_col))
+def simhash_expr(text_col: str = "text"):
+    """60-bit simhash as ONE Spark SQL expression: word hashes are the
+    first 60 bits of md5 (``md5_hash60``), each word (with multiplicity)
+    votes ±1 per bit, bit b of the result is 1 iff the vote sum is ≥ 0.
+
+    Entirely JVM-side (no Python in the hot path) AND reproducible by
+    an independent SQL engine — the DuckDB oracle computes the same
+    value from the same text, which is the hard correctness gate the
+    previous siphash pandas-UDF variant could not have."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(
+            split(lower(trim({text_col})), ' +'),
+            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)
+          ),
+          array_repeat(cast(0 AS bigint), {SIMHASH_BITS}),
+          (acc, h) -> zip_with(
+            acc, sequence(0, {SIMHASH_BITS - 1}),
+            (v, b) -> v + 2 * (shiftright(h, b) % 2) - 1
+          ),
+          acc -> aggregate(
+            zip_with(
+              acc, sequence(0, {SIMHASH_BITS - 1}),
+              (v, b) -> IF(v >= 0, shiftleft(cast(1 AS bigint), b),
+                           cast(0 AS bigint))
+            ),
+            cast(0 AS bigint), (s, x) -> s + x
+          )
+        )
+        """
+    )
+
+
+def simhash_band_widths(max_hamming: int, bits: int = SIMHASH_BITS) -> list[int]:
+    """Chunk widths for hamming-LSH blocking: ``max_hamming + 1`` bands
+    (pigeonhole: ≤ k bit errors cannot touch all k+1 bands, so at least
+    one band matches exactly — guaranteed recall)."""
+    bands = max_hamming + 1
+    if bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs > {bits} bits")
+    base, rem = divmod(bits, bands)
+    return [base + 1] * rem + [base] * (bands - rem)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance ≤ k.  Candidate
-    blocking: 4 16-bit chunks — Hamming ≤ 3 implies at least one exact
-    chunk match (pigeonhole), so the join is band-blocked, not all-pairs."""
-    hashed = docs.select("doc_id", simhash_col().alias("sh"))
-    # shuffle barrier: one pandas-UDF pass + ReusedExchange on self-join
+    """Near-dup pairs with simhash hamming distance ≤ k.
+
+    Candidate blocking derives the band count FROM k: ``k+1`` bands of
+    ~``60/(k+1)`` bits, so the pigeonhole recall guarantee holds for
+    any ``max_hamming`` (round-1 shipped fixed 4×16-bit chunks, whose
+    guarantee silently broke above k=3 — 35% of true pairs missed at
+    k=6).  For corpora where ``60/(k+1)``-bit bands get too coarse
+    (billions of docs), widen the fingerprint (e.g. two md5 segments →
+    120 bits) rather than shrinking k."""
+    widths = simhash_band_widths(max_hamming)
+    assert len(widths) >= max_hamming + 1  # pigeonhole recall guard
+    offsets = [sum(widths[:c]) for c in range(len(widths))]
+    hashed = docs.select("doc_id", simhash_expr().alias("sh"))
+    # shuffle barrier: one simhash pass + ReusedExchange on self-join
     hashed = hashed.repartition(F.col("doc_id"))
     chunks = hashed.select(
         "doc_id",
@@ -227,8 +297,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("sh", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned("sh", offsets[c]).bitwiseAND(
+                        F.lit((1 << widths[c]) - 1)
+                    )
+                    for c in range(len(widths))
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -250,7 +322,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -89,6 +89,58 @@ class TestDedupSpark:
         assert (0, 1) in found
         assert (0, 2) not in found and (1, 2) not in found
 
+    @pytest.mark.parametrize("max_hamming", [3, 6, 9])
+    def test_simhash_banded_recall_equals_bruteforce(
+        self, spark, max_hamming
+    ) -> None:
+        """The banded-LSH plan must recall EVERY pair the all-pairs
+        ground truth contains (round-1 regression: fixed 4×16-bit bands
+        silently lost the pigeonhole guarantee above k=3 and missed 35%
+        of true pairs at k=6)."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.dedup import simhash_expr, simhash_pairs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        hashed = docs.select("doc_id", simhash_expr().alias("sh")).cache()
+        a, b = hashed.alias("a"), hashed.alias("b")
+        truth = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                .cast("long")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .collect()
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=max_hamming).collect()
+        }
+        hashed.unpersist()
+        assert truth, "fixture must plant at least one near-dup pair"
+        assert banded == truth  # zero missed pairs, zero extras
+
+    def test_simhash_band_widths_pigeonhole(self) -> None:
+        from parsel_spark.operators.dedup import (
+            SIMHASH_BITS,
+            simhash_band_widths,
+        )
+
+        for k in range(0, 20):
+            widths = simhash_band_widths(k)
+            assert len(widths) == k + 1
+            assert sum(widths) == SIMHASH_BITS
+            assert min(widths) >= 1
+        with pytest.raises(ValueError):
+            simhash_band_widths(SIMHASH_BITS + 1)
+
 
 class TestSimilaritySpark:
     def test_lsh_recall_vs_bruteforce(self, spark) -> None:
