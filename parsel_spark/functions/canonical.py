@@ -18,7 +18,7 @@ oracle crawler); Spark exposure is an Arrow-batched pandas UDF.
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote, urljoin, urlsplit
+from urllib.parse import quote, urljoin, urlsplit
 
 import pandas as pd
 from pyspark.sql import Column
@@ -43,10 +43,48 @@ _FAST_RE = re.compile(
 _DOT_SEGMENT_RE = re.compile(r"/\.\.?(?:/|$)")
 
 
-def _normalize_percent(component: str, safe: str) -> str:
-    # decode then re-encode: unreserved chars come out bare, everything
-    # else re-encodes uppercase
-    return quote(unquote(component), safe=safe)
+# RFC 3986 §2.3 unreserved characters — the ONLY escapes that decode
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _normalize_percent(component: str, safe: str, decode: bool = True) -> str:
+    """Percent-encoding normalization per RFC 3986 §6.2.2.2: decode
+    ONLY unreserved characters, uppercase every remaining escape, and
+    encode raw characters outside ``safe``.
+
+    A wholesale ``quote(unquote(x))`` is WRONG here: it decodes
+    reserved escapes too (``%2F`` → a literal path ``/``), conflating
+    distinct URLs in the seen-set and producing wrong fetch URLs."""
+    out: list[str] = []
+    pos = 0
+    for match in _PCT_RE.finditer(component):
+        out.append(quote(component[pos : match.start()], safe=safe))
+        ch = chr(int(match.group(1), 16))
+        if decode and ch in _UNRESERVED:
+            out.append(ch)
+        else:
+            out.append("%" + match.group(1).upper())
+        pos = match.end()
+    out.append(quote(component[pos:], safe=safe))
+    return "".join(out)
+
+
+def _normalize_path_segments(path: str) -> str:
+    """Per-segment percent normalization with a structural guard: a
+    segment whose DECODED form would be ``.`` or ``..`` (e.g. ``%2e%2e``)
+    keeps its dots encoded — decoding is allowed ('.' is unreserved) but
+    re-introducing path STRUCTURE is not: ``/a/%2e%2e/secret`` must stay
+    distinct from ``/secret``.  Literal dot segments still normalize."""
+    segments = []
+    for seg in path.split("/"):
+        norm = _normalize_percent(seg, _SAFE_PATH)
+        if norm in (".", "..") and seg != norm:
+            norm = _normalize_percent(seg, _SAFE_PATH, decode=False)
+        segments.append(norm)
+    return "/".join(segments)
 
 
 def _remove_dot_segments(path: str) -> str:
@@ -103,7 +141,7 @@ def canonicalize_url(url: str | None) -> str | None:
             auth += f":{parts.password}"
         netloc = f"{auth}@{netloc}"
 
-    path = _normalize_percent(parts.path, _SAFE_PATH)
+    path = _normalize_path_segments(parts.path)
     path = _remove_dot_segments(path)
     if not path:
         path = "/"

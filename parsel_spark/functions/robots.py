@@ -102,13 +102,27 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
                     pass
     flush()
 
-    best_spec = 0
+    best_spec = max((g[0] for g in groups), default=0)
+    if not best_spec:
+        # no group matches this agent: RFC 9309 default is allow-all
+        return {
+            "allow_prefixes": ["/"],
+            "deny_prefixes": [],
+            "crawl_delay": DEFAULT_CRAWL_DELAY,
+        }
+    # RFC 9309 §2.2.1: ALL groups matching the agent merge (a second
+    # ``User-agent: *`` block's rules must not be dropped); the allow
+    # list is returned AS PARSED — synthesizing a default ``Allow: /``
+    # would tie (and defeat) a group-wide ``Disallow: /`` under the
+    # allow-wins longest-match tie-break in robots_filter
     for spec, g_allow, g_deny, g_delay in groups:
-        if spec > best_spec:
-            best_spec = spec
-            allow, deny, delay = g_allow, g_deny, g_delay
+        if spec == best_spec:
+            allow.extend(g_allow)
+            deny.extend(g_deny)
+            if delay is None and g_delay is not None:
+                delay = g_delay
     return {
-        "allow_prefixes": allow or ["/"],
+        "allow_prefixes": allow,
         "deny_prefixes": deny,
         "crawl_delay": delay if delay is not None else DEFAULT_CRAWL_DELAY,
     }

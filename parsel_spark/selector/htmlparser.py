@@ -50,7 +50,11 @@ AUTO_CLOSE["a"] = frozenset({"a"})
 AUTO_CLOSE["hr"] = frozenset({"p"})
 
 # Elements whose implicit closing must not punch through these containers.
-_SCOPE_BOUNDARIES = frozenset({"html", "body", "head", "table", "td", "th"})
+# NOTE: implicit-close popping (handle_starttag) stops at the first
+# stack top NOT in the new tag's closer set — <table> etc. bound the
+# search naturally, so no separate boundary set is needed (a boundary
+# set that vetoed pops kept td/th from ever closing: '<td>a<td>b'
+# nested instead of forming sibling cells, diverging from libxml2).
 
 
 class _TreeBuilder(HTMLParser):
@@ -143,8 +147,13 @@ class _TreeBuilder(HTMLParser):
 
         closers = AUTO_CLOSE.get(tag)
         if closers:
+            # pop every implicitly-closed element at the top of the stack;
+            # the loop stops at the first non-closer (which includes every
+            # scope boundary like <table>), so boundaries LIMIT the search
+            # without vetoing pops — td/th must be poppable by a following
+            # td/th/tr even though they bound paragraph-style auto-closing
             while self.stack and self.stack[-1].tag in closers:
-                if self.stack[-1].tag in _SCOPE_BOUNDARIES:
+                if self.stack[-1] in (self.html, self.head, self.body):
                     break
                 self.stack.pop()
 

@@ -72,6 +72,50 @@ def test_empty_and_none_default_allow_all() -> None:
         assert r["deny_prefixes"] == []
 
 
+def test_full_site_disallow_blocks_everything(spark) -> None:
+    """A Disallow-only group must NOT get a synthesized ``Allow: /``:
+    under the allow-wins tie-break that fake rule would tie
+    ``Disallow: /`` and open the whole site (round-1 advice bug)."""
+    from pyspark.sql import functions as F
+
+    from parsel_spark.operators.frontier import robots_filter
+
+    closed = "User-agent: *\nDisallow: /\n"
+    r = parse_robots_txt(closed)
+    assert r["allow_prefixes"] == []
+    assert r["deny_prefixes"] == ["/"]
+
+    txt = spark.createDataFrame(
+        [("a.test", closed)], "host string, robots_txt string"
+    )
+    table = robots_table_from_txt(txt)
+    links = spark.createDataFrame(
+        [("http://a.test/",), ("http://a.test/any/page",)], "url string"
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    assert robots_filter(links, table).count() == 0
+
+
+def test_all_matching_groups_merge() -> None:
+    """RFC 9309 §2.2.1: rules from EVERY group matching the agent apply;
+    a second ``User-agent: *`` block must not be silently dropped."""
+    two_star = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\nAllow: /b/ok\nCrawl-delay: 4\n"
+    )
+    r = parse_robots_txt(two_star)
+    assert r["deny_prefixes"] == ["/a", "/b"]
+    assert r["allow_prefixes"] == ["/b/ok"]
+    assert r["crawl_delay"] == 4.0
+    # specific-agent groups still beat (and exclude) the '*' groups
+    mixed = (
+        "User-agent: mybot\nDisallow: /mine\n\n"
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: mybot\nDisallow: /mine2\n"
+    )
+    r = parse_robots_txt(mixed, agent="mybot")
+    assert r["deny_prefixes"] == ["/mine", "/mine2"]
+
+
 def test_spark_table_feeds_frontier_filter(spark) -> None:
     from pyspark.sql import functions as F
 

@@ -924,3 +924,43 @@ class TestExslt:
             //div[@itemtype="http://schema.org/Event"]//@itemprop,
             //div[@itemtype="http://schema.org/Event"]//*[@itemscope]/*/@itemprop
             )""").extract() == ["url", "name", "startDate", "location", "offers"]
+
+
+class TestTableCellRecovery:
+    """Unclosed-cell recovery must match libxml2: a td/th/tr start tag
+    implicitly closes an open td/th (round-1 advice bug: boundary
+    checking vetoed the pop, nesting '<td>a<td>b')."""
+
+    def test_sibling_cells_from_unclosed_td(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text="<table><tr><td>a<td>b<td>c</tr></table>")
+        assert sel.css("td::text").getall() == ["a", "b", "c"]
+        # cells are siblings: no td has a td descendant
+        assert sel.xpath("//td[.//td]") == []
+
+    def test_tr_closes_open_cell(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text="<table><tr><td>a<tr><td>b</table>")
+        assert sel.xpath("//tr[td]").xpath("string(.)").getall() == ["a", "b"]
+        assert sel.xpath("//tr[.//tr]") == []
+
+    def test_th_and_td_mix(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text="<table><tr><th>h1<th>h2<td>v</tr></table>")
+        assert sel.css("th::text").getall() == ["h1", "h2"]
+        assert sel.css("td::text").getall() == ["v"]
+
+    def test_nested_table_still_bounded(self) -> None:
+        from parsel_spark.selector import Selector
+
+        # the inner <table> bounds implicit closing: the outer td stays
+        # open around the whole inner table
+        sel = Selector(
+            text="<table><tr><td>o<table><tr><td>i1<td>i2</table></td></tr></table>"
+        )
+        inner = sel.xpath("//td[table]")
+        assert len(inner) == 1
+        assert sel.xpath("//table//table//td/text()").getall() == ["i1", "i2"]

@@ -106,6 +106,18 @@ def test_hash_parity_with_jvm(spark) -> None:
         ("https://example.com:443/", "https://example.com/"),
         ("http://example.com/a/./b//c", "http://example.com/a/b//c"),
         ("http://example.com/%7Euser", "http://example.com/~user"),
+        # RFC 3986 §6.2.2.2: only UNRESERVED escapes decode — %2F must
+        # never become a literal path '/' (distinct URLs would conflate)
+        ("http://example.com/a%2Fb", "http://example.com/a%2Fb"),
+        ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+        # %2E-encoded dots must not become path STRUCTURE: this URL is
+        # NOT the same resource as http://example.com/secret
+        ("http://example.com/a/%2e%2e/secret", "http://example.com/a/%2E%2E/secret"),
+        ("http://example.com/a/%2e/b", "http://example.com/a/%2E/b"),
+        ("http://example.com/a/.%2e/b", "http://example.com/a/.%2E/b"),
+        # ...but a dot INSIDE a segment is plain unreserved data
+        ("http://example.com/file%2etxt", "http://example.com/file.txt"),
+        ("http://example.com/?a=%2F&b=%61", "http://example.com/?a=%2F&b=a"),
     ],
 )
 def test_canonicalize_scalar(raw: str, canonical: str) -> None:
