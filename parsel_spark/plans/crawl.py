@@ -70,6 +70,7 @@ class CrawlRun:
         frontier_partitions: int | None = None,
         filter_kind: str = "bloom",
         checkpoint_interval: int = 1,
+        broadcast_max_rows: int = 2_000_000,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -82,8 +83,14 @@ class CrawlRun:
             frontier_partitions or spark.sparkContext.defaultParallelism
         )
         # broadcast the dequeued url set into the fetch join (html never
-        # shuffles); disable when waves exceed broadcast-safe sizes
-        self.broadcast_fetch = True
+        # shuffles) — SIZE-GATED: waves estimated above this row count
+        # fall back to a shuffle join automatically (a 10^10-URL frontier
+        # can dequeue O(hosts) rows per wave, far beyond driver-safe
+        # broadcast sizes).  Estimates are exact upper bounds carried in
+        # the loop state (frontier row count / pending delta counts), so
+        # the gate never flips mid-plan and results are join-strategy
+        # independent (test_broadcast_gate_equivalence).
+        self.broadcast_max_rows = int(broadcast_max_rows)
         # commit a snapshot every k waves (k=1: classic wave-per-commit)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
 
@@ -124,8 +131,14 @@ class CrawlRun:
             crawl_log_delta=crawl_log,
             metrics=None,
         )
+        n_seeds = int(obs_seen.get["n"])
         self._amend_metrics(
-            {"dequeued": 0, "new_urls": int(obs_seen.get["n"]), "fetched": 0}
+            {
+                "dequeued": 0,
+                "new_urls": n_seeds,
+                "fetched": 0,
+                "frontier_rows": n_seeds,
+            }
         )
 
     # -- in-memory state between commits ----------------------------------
@@ -139,35 +152,54 @@ class CrawlRun:
             "host_state": self.catalog.read_table(spark, "host_state"),
             "seen": self.catalog.read_table(spark, "seen"),
             "bloom": self.catalog.read_table(spark, "bloom"),
+            # exact frontier row count committed with the snapshot (upper
+            # bound for broadcast gating); None on legacy snapshots ⇒
+            # gates conservatively pick the shuffle join
+            "frontier_rows": snapshot.metrics.get("frontier_rows"),
+            "pending_rows": 0,    # new-url rows since last commit
             "pending_seen": [],   # new-url deltas since last commit
             "pending_log": [],    # crawl-log deltas since last commit
             "batch_metrics": [],  # per-wave metric dicts since last commit
             "to_unpersist": [],   # cached frames released after commit
         }
 
+    def _gated(self, df: DataFrame, est_rows: int | None) -> DataFrame:
+        """Broadcast hint iff the exact row-count upper bound fits the
+        configured broadcast budget; otherwise let the join shuffle."""
+        if est_rows is not None and est_rows <= self.broadcast_max_rows:
+            return F.broadcast(df)
+        return df
+
     def _step(self, state: dict[str, Any]) -> dict[str, Any]:
-        """Run one wave against the in-memory state; no snapshot IO."""
+        """Run one wave against the in-memory state; no snapshot IO.
+
+        Exactly ONE driver action runs per wave (``new_urls.count()``):
+        the dequeued/extracted counters ride the same job as
+        ``Observation`` metrics (round 1 ran a second ``count()`` on the
+        dequeued set — a full extra job submission + plan compile per
+        wave, the measured scaling-efficiency bottleneck)."""
         wave = int(state["wave"])
         frontier = state["frontier"]
         dequeued, new_host_state = fr.politeness_dequeue(
             frontier, state["host_state"]
         )
-        dequeued = dequeued.cache()
-        n_dequeued = dequeued.count()
+        obs_deq = Observation(f"deq_w{wave}")
+        dequeued = dequeued.observe(
+            obs_deq, F.count(F.lit(1)).alias("n")
+        ).cache()
         state["to_unpersist"].append(dequeued)
+        # exact upper bound on this wave's dequeued rows: the frontier
+        # cannot dequeue more rows than it holds
+        est_dequeued = state.get("frontier_rows")
 
-        # broadcast anti-join: the (small) dequeued set streams past the
-        # frontier map-side — no frontier shuffle
-        remaining = frontier.join(
-            F.broadcast(dequeued.select("url")), "url", "left_anti"
-        )
+        # anti-join: the dequeued set streams past the frontier map-side
+        # (no frontier shuffle) while it fits the broadcast budget
+        wanted = self._gated(dequeued.select("url"), est_dequeued)
+        remaining = frontier.join(wanted, "url", "left_anti")
 
         # "fetch": filter the corpus down to the dequeued urls.  The
-        # dequeued set is broadcast (left_semi) so the html payload column
-        # never shuffles; disable for waves beyond broadcast size.
-        wanted = dequeued.select("url")
-        if self.broadcast_fetch:
-            wanted = F.broadcast(wanted)
+        # SAME gated plan is the build side (one exchange, reused), so
+        # the html payload column never shuffles on the broadcast path.
         page_hits = self.pages.select("url", "html").join(wanted, "url", "left_semi")
         obs_links = Observation(f"links_w{wave}")
         links = (
@@ -185,10 +217,13 @@ class CrawlRun:
         if state["pending_seen"]:
             pending = reduce(DataFrame.unionByName, state["pending_seen"])
             new_urls = new_urls.join(
-                F.broadcast(pending.select("url")), "url", "left_anti"
+                self._gated(pending.select("url"), state.get("pending_rows")),
+                "url",
+                "left_anti",
             )
         new_urls = new_urls.cache()
-        n_new = new_urls.count()  # also fires obs_links
+        n_new = new_urls.count()  # the wave's ONE action
+        n_dequeued = int(obs_deq.get["n"])
         state["to_unpersist"].append(new_urls)
 
         # union is map-only; no repartition shuffle — partition count
@@ -215,6 +250,12 @@ class CrawlRun:
         state["wave"] = wave + 1
         state["frontier"] = new_frontier
         state["host_state"] = new_host_state
+        # exact bookkeeping feeding next wave's broadcast gates
+        if state.get("frontier_rows") is not None:
+            state["frontier_rows"] = (
+                int(state["frontier_rows"]) - int(n_dequeued) + int(n_new)
+            )
+        state["pending_rows"] = int(state.get("pending_rows") or 0) + int(n_new)
         state["pending_seen"].append(new_urls.select("url", "url_hash"))
         state["pending_log"].append(log_delta)
         state["batch_metrics"].append(metrics)
@@ -239,6 +280,8 @@ class CrawlRun:
         for m in state["batch_metrics"]:
             for key, val in m.items():
                 totals[key] = totals.get(key, 0) + int(val)
+        if state.get("frontier_rows") is not None:
+            totals["frontier_rows"] = int(state["frontier_rows"])
         self._commit(
             wave=state["wave"],
             frontier=state["frontier"],
@@ -251,6 +294,7 @@ class CrawlRun:
         # refresh committed views; keep frontier/host_state in memory
         state["seen"] = self.catalog.read_table(spark, "seen")
         state["bloom"] = self.catalog.read_table(spark, "bloom")
+        state["pending_rows"] = 0
         state["pending_seen"] = []
         state["pending_log"] = []
         state["batch_metrics"] = []
@@ -308,6 +352,10 @@ class CrawlRun:
         # deletions rewrite the cumulative seen table (a full rewrite is
         # the cost of forgetting; it happens at recrawl cadence, not
         # per-wave)
+        forget_metrics: dict[str, Any] = {"forgotten": int(n_forgotten)}
+        if snapshot.metrics.get("frontier_rows") is not None:
+            # carry the frontier bookkeeping across the rewrite
+            forget_metrics["frontier_rows"] = snapshot.metrics["frontier_rows"]
         self.catalog.commit(
             wave=snapshot.wave,
             tables={
@@ -317,7 +365,7 @@ class CrawlRun:
                 "seen": new_seen,
                 "crawl_log": self.catalog.read_table(spark, "crawl_log"),
             },
-            metrics={"forgotten": int(n_forgotten)},
+            metrics=forget_metrics,
         )
         targets.unpersist()
         return int(n_forgotten)

@@ -64,6 +64,32 @@ def _tokenize(css: str) -> list[tuple[str, str]]:
     return tokens
 
 
+_SERIES_RE = re.compile(r"^(?:(?P<a>[-+]?\d*)n(?P<b>[-+]\d+)?|(?P<b_only>[-+]?\d+))$")
+
+
+def _parse_series(args: list[tuple[str, str]]) -> tuple[int, int]:
+    """CSS ``an+b`` series from pseudo-function argument tokens → (a, b).
+
+    Accepts ``odd``/``even``, bare integers, and every an+b spelling the
+    tokenizer can split ("2n+1" → number/ident/number, "-n-1" → one
+    ident, ...) by re-joining the tokens and matching the grammar.
+    Raises ValueError on anything else (cssselect parse_series parity)."""
+    text = "".join(v for k, v in args if k != "ws").strip().lower()
+    if text == "odd":
+        return 2, 1
+    if text == "even":
+        return 2, 0
+    match = _SERIES_RE.match(text)
+    if match is None:
+        raise ValueError(f"Invalid series: {text!r}")
+    if match.group("b_only") is not None:
+        return 0, int(match.group("b_only"))
+    a_txt = match.group("a")
+    a = 1 if a_txt in ("", "+") else (-1 if a_txt == "-" else int(a_txt))
+    b = int(match.group("b") or 0)
+    return a, b
+
+
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
@@ -232,7 +258,11 @@ class _CSSParser:
                 raise SelectorSyntaxError("Unclosed function call")
             if token[0] in ("ident", "string", "number"):
                 args.append(self.advance())
-            elif token[0] == "ws" or (token[0] == "op1" and token[1] in (",", "+", "-")):
+            elif token[0] == "op1" and token[1] in ("+", "-"):
+                # sign/series operators are argument CONTENT (an+b series
+                # "2n + 1") — keep them for the consumer's parser
+                args.append(self.advance())
+            elif token[0] == "ws" or (token[0] == "op1" and token[1] == ","):
                 self.advance()
             else:
                 raise SelectorSyntaxError(f"Invalid token in function: {token!r}")
@@ -455,6 +485,38 @@ class GenericTranslator:
         else:  # pragma: no cover
             raise ExpressionError(f"Unknown attribute operator {op!r}")
 
+    def _of_type_nodetest(self, xpath: XPathExpr, pseudo: str) -> str:
+        """The sibling node test for the *-of-type family — requires a
+        concrete element name (``*:nth-of-type()`` is undefined, matching
+        cssselect's refusal)."""
+        if xpath.element == "*":
+            raise ExpressionError(f":{pseudo} requires an element name")
+        return xpath.element
+
+    def _nth_condition(
+        self, siblings: str, a: int, b: int
+    ) -> str:
+        """XPath condition for "position = a·n + b (n ≥ 0)" stated over
+        ``count(<siblings>)`` (= position - 1), the same closed form
+        cssselect derives from the CSS3 structural-pseudo spec."""
+        if a == 0:
+            return f"count({siblings}) = {b - 1}"
+        expressions = []
+        if a > 0:
+            if b > 1:
+                expressions.append(f"count({siblings}) >= {b - 1}")
+        else:
+            if b < 1:
+                return "1 = 0"  # a<0 with b<1 can never match
+            expressions.append(f"count({siblings}) <= {b - 1}")
+        if abs(a) != 1:
+            offset = (1 - b) % abs(a)
+            left = f"count({siblings})"
+            if offset:
+                left = f"(count({siblings}) + {offset})"
+            expressions.append(f"{left} mod {a} = 0")
+        return " and ".join(expressions) or "true()"
+
     def apply_pseudo_class(self, xpath: XPathExpr, name: str) -> None:
         if name == "first-child":
             xpath.add_condition("count(preceding-sibling::*) = 0")
@@ -463,6 +525,18 @@ class GenericTranslator:
         elif name == "only-child":
             xpath.add_condition(
                 "count(preceding-sibling::*) = 0 and count(following-sibling::*) = 0"
+            )
+        elif name == "first-of-type":
+            test = self._of_type_nodetest(xpath, name)
+            xpath.add_condition(f"count(preceding-sibling::{test}) = 0")
+        elif name == "last-of-type":
+            test = self._of_type_nodetest(xpath, name)
+            xpath.add_condition(f"count(following-sibling::{test}) = 0")
+        elif name == "only-of-type":
+            test = self._of_type_nodetest(xpath, name)
+            xpath.add_condition(
+                f"count(preceding-sibling::{test}) = 0 and "
+                f"count(following-sibling::{test}) = 0"
             )
         elif name == "empty":
             xpath.add_condition("not(*) and not(string-length())")
@@ -474,20 +548,25 @@ class GenericTranslator:
     def apply_pseudo_function(
         self, xpath: XPathExpr, name: str, args: list[tuple[str, str]]
     ) -> None:
-        if name == "nth-child":
-            values = [a for a in args if a[0] != "ws"]
-            if len(values) == 1 and values[0][0] == "number":
-                n = int(float(values[0][1]))
-                xpath.add_condition(f"count(preceding-sibling::*) = {n - 1}")
-                return
-            raise ExpressionError(f"Unsupported :nth-child() arguments {args!r}")
-        if name == "nth-last-child":
-            values = [a for a in args if a[0] != "ws"]
-            if len(values) == 1 and values[0][0] == "number":
-                n = int(float(values[0][1]))
-                xpath.add_condition(f"count(following-sibling::*) = {n - 1}")
-                return
-            raise ExpressionError(f"Unsupported :nth-last-child() arguments {args!r}")
+        nth = {
+            "nth-child": ("preceding-sibling", False),
+            "nth-last-child": ("following-sibling", False),
+            "nth-of-type": ("preceding-sibling", True),
+            "nth-last-of-type": ("following-sibling", True),
+        }
+        if name in nth:
+            axis, of_type = nth[name]
+            try:
+                a, b = _parse_series(args)
+            except ValueError:
+                raise ExpressionError(
+                    f"Invalid :{name}() series {args!r}"
+                ) from None
+            test = self._of_type_nodetest(xpath, name) if of_type else "*"
+            xpath.add_condition(
+                self._nth_condition(f"{axis}::{test}", a, b)
+            )
+            return
         if name == "contains":
             if len(args) == 1 and args[0][0] in ("string", "ident"):
                 xpath.add_condition(f"contains(., '{args[0][1]}')")

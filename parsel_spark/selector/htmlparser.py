@@ -65,6 +65,7 @@ class _TreeBuilder(HTMLParser):
         self.head: Element | None = None
         self.body: Element | None = None
         self.body_closed = False
+        self.html_closed = False
         self.stack: list[Element] = []
 
     # -- insertion helpers -----------------------------------------------
@@ -120,6 +121,23 @@ class _TreeBuilder(HTMLParser):
                 self._ensure_html()
                 for name, value in attrs:
                     self.html.attrib.setdefault(name, value if value is not None else "")  # type: ignore[union-attr]
+            elif self.html_closed:
+                # multi-root recovery (libxml2 parity, reference
+                # docs/usage.rst "multi-root documents"): a new <html>
+                # AFTER the first one closed becomes a sibling document
+                # root; subsequent content builds inside it
+                new_root = Element("html")
+                for name, value in attrs:
+                    new_root.attrib.setdefault(
+                        name, value if value is not None else ""
+                    )
+                self.document.append(new_root)
+                self.html = new_root
+                self.head = None
+                self.body = None
+                self.body_closed = False
+                self.html_closed = False
+                self.stack = [new_root]
             return
         if tag == "head":
             if self.head is None:
@@ -168,6 +186,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "html":
+            self.html_closed = True
             return
         if tag == "body":
             if self.body is not None:

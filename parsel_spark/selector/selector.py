@@ -373,12 +373,27 @@ class Selector:
         nsp = dict(self.namespaces)
         if namespaces is not None:
             nsp.update(namespaces)
+        # node-set variable bindings (lxml parity: a Selector /
+        # SelectorList / list of Selectors binds as an XPath node-set,
+        # so $var composes with axes/predicates/set: functions)
+        variables: dict[str, Any] = {}
+        for name, value in kwargs.items():
+            if isinstance(value, Selector):
+                variables[name] = [value.root] if isinstance(value.root, Node) else []
+            elif isinstance(value, (SelectorList, list, tuple)) and all(
+                isinstance(v, Selector) for v in value
+            ):
+                variables[name] = [
+                    v.root for v in value if isinstance(v.root, Node)
+                ]
+            else:
+                variables[name] = value
         try:
             result = evaluate(
                 query,
                 context,
                 namespaces=nsp,
-                variables=kwargs,
+                variables=variables,
                 extensions=DEFAULT_EXTENSIONS,
             )
         except XPathError as exc:

@@ -70,10 +70,21 @@ def _tag_display_name(el: Element) -> str:
     return local
 
 
-def _open_tag(el: Element, xml: bool, with_ns_decls: bool) -> str:
+def _open_tag(
+    el: Element,
+    xml: bool,
+    with_ns_decls: bool,
+    extra_ns: dict[str | None, str] | None = None,
+) -> str:
     parts = ["<", _tag_display_name(el)]
     if xml and with_ns_decls:
-        for prefix, uri in el.nsmap.items():
+        # inherited (re-declared) namespaces first, default-ns leading;
+        # the element's own declarations keep their source order
+        inherited = sorted(
+            (extra_ns or {}).items(),
+            key=lambda kv: (kv[0] is not None, kv[0] or ""),
+        )
+        for prefix, uri in [*inherited, *el.nsmap.items()]:
             if prefix is None:
                 parts.append(f' xmlns="{_escape_attr(uri)}"')
             else:
@@ -82,6 +93,36 @@ def _open_tag(el: Element, xml: bool, with_ns_decls: bool) -> str:
         display = _attr_display_name(el if xml else None, name)
         parts.append(f' {display}="{_escape_attr(value)}"')
     return "".join(parts)
+
+
+def _inherited_used_namespaces(root: Element) -> dict[str | None, str]:
+    """Namespace declarations the serialized fragment needs but does not
+    itself declare — lxml parity: ``etree.tostring`` on a subtree
+    re-declares ancestor namespaces USED within the subtree on the
+    fragment root (reference docs/usage.rst atom-feed examples show
+    ``<link xmlns="http://www.w3.org/2005/Atom" ...`` for a subtree
+    whose default namespace lives on the feed element)."""
+    in_scope = root.in_scope_namespaces()
+    inherited = {
+        prefix: uri
+        for prefix, uri in in_scope.items()
+        if prefix not in root.nsmap
+    }
+    if not inherited:
+        return {}
+    used: set[str] = set()
+    stack: list[Node] = [root]
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, Element):
+            continue
+        if node.tag.startswith("{"):
+            used.add(node.tag[1:].split("}", 1)[0])
+        for name in node.attrib:
+            if name.startswith("{"):
+                used.add(name[1:].split("}", 1)[0])
+        stack.extend(node.children)
+    return {p: u for p, u in inherited.items() if u in used}
 
 
 def serialize(node: Node, method: str = "html") -> str:
@@ -100,7 +141,10 @@ def serialize(node: Node, method: str = "html") -> str:
             for child in reversed(current.children):
                 stack.append((child, False))
         elif isinstance(current, Element):
-            open_tag = _open_tag(current, xml, with_ns_decls=True)
+            extra_ns = None
+            if xml and current is node:
+                extra_ns = _inherited_used_namespaces(current)
+            open_tag = _open_tag(current, xml, True, extra_ns)
             if xml:
                 if not current.children:
                     out.append(open_tag + "/>")

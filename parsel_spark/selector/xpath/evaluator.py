@@ -573,7 +573,8 @@ def _eval_call(ast: Any, ctx: EvalContext) -> Any:
     if ext is None:
         ext = functions.DEFAULT_EXTENSIONS.get(key)
     if ext is None:
-        raise XPathEvalError(f"Unregistered function: {name}")
+        shown = f"{prefix}:{name}" if prefix else name
+        raise XPathEvalError(f"Unregistered function: {shown}")
     wrapper = functions.ExtensionContext(ctx)
     result = ext(wrapper, *args)
     if result is None:

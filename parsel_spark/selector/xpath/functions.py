@@ -384,11 +384,54 @@ def _re_replace(
     return compiled.sub(_ev.to_string(repl), text, count=count)
 
 
+def _require_nodesets(fname: str, *values: Any) -> None:
+    if not all(isinstance(v, list) for v in values):
+        raise XPathEvalError(f"set:{fname} requires node-sets")
+
+
 def _set_difference(context: ExtensionContext, left: Any, right: Any) -> list:
-    if not isinstance(left, list) or not isinstance(right, list):
-        raise XPathEvalError("set:difference requires node-sets")
+    _require_nodesets("difference", left, right)
     excluded = {id(node) for node in right}
     return [node for node in left if id(node) not in excluded]
+
+
+def _set_intersection(context: ExtensionContext, left: Any, right: Any) -> list:
+    _require_nodesets("intersection", left, right)
+    included = {id(node) for node in right}
+    return [node for node in left if id(node) in included]
+
+
+def _set_has_same_node(context: ExtensionContext, left: Any, right: Any) -> bool:
+    _require_nodesets("has-same-node", left, right)
+    included = {id(node) for node in right}
+    return any(id(node) in included for node in left)
+
+
+def _split_around(left: list, right: list, fname: str) -> tuple[list, list]:
+    """(nodes before ref, nodes after ref) where ref is the first node of
+    ``right`` in document order — the EXSLT set:leading/set:trailing
+    pivot.  Empty ``right`` keeps the whole first set (libxslt)."""
+    from ..dom import sort_document_order
+
+    if not right:
+        return list(left), list(left)
+    ref = sort_document_order(list(right))[0]
+    merged = sort_document_order([*left, ref])
+    ref_index = next(i for i, n in enumerate(merged) if n is ref)
+    left_ids = {id(n) for n in left}
+    before = [n for n in merged[:ref_index] if id(n) in left_ids]
+    after = [n for n in merged[ref_index + 1 :] if id(n) in left_ids and n is not ref]
+    return before, after
+
+
+def _set_leading(context: ExtensionContext, left: Any, right: Any) -> list:
+    _require_nodesets("leading", left, right)
+    return _split_around(left, right, "leading")[0]
+
+
+def _set_trailing(context: ExtensionContext, left: Any, right: Any) -> list:
+    _require_nodesets("trailing", left, right)
+    return _split_around(left, right, "trailing")[1]
 
 
 DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
@@ -396,7 +439,13 @@ DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (RE_NAMESPACE, "test"): _re_test,
     (RE_NAMESPACE, "match"): _re_match,
     (RE_NAMESPACE, "replace"): _re_replace,
+    # the full libxslt EXSLT-sets surface the reference pre-registers
+    # (reference parsel/selector.py:418-427 comment block)
     (SET_NAMESPACE, "difference"): _set_difference,
+    (SET_NAMESPACE, "intersection"): _set_intersection,
+    (SET_NAMESPACE, "has-same-node"): _set_has_same_node,
+    (SET_NAMESPACE, "leading"): _set_leading,
+    (SET_NAMESPACE, "trailing"): _set_trailing,
 }
 
 _USER_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {}

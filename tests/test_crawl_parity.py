@@ -120,3 +120,29 @@ def test_resume_bit_identical(spark, corpus, oracle_result, tmp_path) -> None:
         s.parent_id == (None if i == 0 else history[i - 1].snapshot_id)
         for i, s in enumerate(history)
     )
+
+
+def test_broadcast_gate_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
+    """broadcast_max_rows=0 forces the shuffle-join path for the fetch /
+    remaining / pending-delta joins; wave metrics, crawl order, seen set
+    and bloom lineage must be identical to the broadcast path (join
+    strategy is a physical choice, never a semantic one)."""
+    pages, robots, seeds = corpus
+    oracle, oracle_metrics = oracle_result
+
+    catalog = SnapshotCatalog(str(tmp_path / "nobroadcast"))
+    run = CrawlRun(
+        spark, catalog, pages, robots, num_shards=SHARDS,
+        checkpoint_interval=2, broadcast_max_rows=0,
+    )
+    run.initialize(seeds)
+    metrics = run.run(WAVES)
+
+    assert metrics == oracle_metrics
+    assert run.crawl_order() == oracle.crawl_order()
+    assert run.seen_set() == oracle.seen_set()
+    snapshot = catalog.load_snapshot()
+    engine_hashes = {
+        row["partition_id"]: row["bloom_shard_hash"] for row in snapshot.lineage
+    }
+    assert engine_hashes == oracle.bloom_shard_hashes()

@@ -175,3 +175,131 @@ class TestCSSFunctional:
 
     def test_pseudoclass_has(self, page) -> None:
         assert self.x(page, "p:has(b)::text") == ["lorem ipsum text"]
+
+
+NTH_GOLDENS = [
+    ("p:nth-child(3)", "descendant-or-self::p[count(preceding-sibling::*) = 2]"),
+    ("p:nth-child(odd)", "descendant-or-self::p[count(preceding-sibling::*) mod 2 = 0]"),
+    (
+        "p:nth-child(even)",
+        "descendant-or-self::p[(count(preceding-sibling::*) + 1) mod 2 = 0]",
+    ),
+    (
+        "p:nth-child(2n+1)",
+        "descendant-or-self::p[count(preceding-sibling::*) mod 2 = 0]",
+    ),
+    (
+        "p:nth-child(2n+3)",
+        "descendant-or-self::p[count(preceding-sibling::*) >= 2 "
+        "and count(preceding-sibling::*) mod 2 = 0]",
+    ),
+    (
+        "p:nth-child(-n+3)",
+        "descendant-or-self::p[count(preceding-sibling::*) <= 2]",
+    ),
+    ("p:nth-child(n)", "descendant-or-self::p[true()]"),
+    ("p:nth-child(-2n)", "descendant-or-self::p[1 = 0]"),
+    (
+        "p:nth-last-child(2)",
+        "descendant-or-self::p[count(following-sibling::*) = 1]",
+    ),
+    (
+        "p:nth-of-type(2)",
+        "descendant-or-self::p[count(preceding-sibling::p) = 1]",
+    ),
+    (
+        "p:nth-of-type(2n)",
+        "descendant-or-self::p[(count(preceding-sibling::p) + 1) mod 2 = 0]",
+    ),
+    (
+        "p:nth-last-of-type(1)",
+        "descendant-or-self::p[count(following-sibling::p) = 0]",
+    ),
+    (
+        "p:first-of-type",
+        "descendant-or-self::p[count(preceding-sibling::p) = 0]",
+    ),
+    (
+        "p:last-of-type",
+        "descendant-or-self::p[count(following-sibling::p) = 0]",
+    ),
+    (
+        "p:only-of-type",
+        "descendant-or-self::p[count(preceding-sibling::p) = 0 "
+        "and count(following-sibling::p) = 0]",
+    ),
+]
+
+
+@pytest.mark.parametrize(("css", "xpath"), NTH_GOLDENS)
+def test_nth_family_goldens(translator, css: str, xpath: str) -> None:
+    assert translator.css_to_xpath(css) == xpath, css
+
+
+@pytest.mark.parametrize(
+    "css",
+    [
+        "*:nth-of-type(2)",        # of-type needs an element name
+        ":first-of-type",
+        "p:nth-child(2.5)",
+        "p:nth-child(2n+)",
+        "p:nth-child(foo)",
+    ],
+)
+def test_nth_family_errors(translator, css: str) -> None:
+    with pytest.raises(ExpressionError):
+        translator.css_to_xpath(css)
+
+
+NTH_DOC = """
+<html><body>
+  <div id="mixed">
+    <h1>t</h1>
+    <p>p1</p>
+    <span>s1</span>
+    <p>p2</p>
+    <p>p3</p>
+    <span>s2</span>
+    <p>p4</p>
+  </div>
+  <div id="solo"><em>only</em></div>
+</body></html>
+"""
+
+
+class TestNthFunctional:
+    def x(self, css: str) -> list[str]:
+        sel = Selector(text=NTH_DOC)
+        return [v.strip() for v in sel.css(css + "::text").getall() if v.strip()]
+
+    def test_nth_child(self) -> None:
+        # children: h1(1) p1(2) s1(3) p2(4) p3(5) s2(6) p4(7)
+        assert self.x("#mixed p:nth-child(2)") == ["p1"]
+        assert self.x("#mixed p:nth-child(odd)") == ["p3", "p4"]
+        assert self.x("#mixed p:nth-child(even)") == ["p1", "p2"]
+        assert self.x("#mixed p:nth-child(2n+4)") == ["p2"]
+        assert self.x("#mixed p:nth-child(-n+4)") == ["p1", "p2"]
+        assert self.x("#mixed p:nth-child(n)") == ["p1", "p2", "p3", "p4"]
+
+    def test_nth_last_child(self) -> None:
+        assert self.x("#mixed p:nth-last-child(1)") == ["p4"]
+        assert self.x("#mixed p:nth-last-child(2n+1)") == ["p3", "p4"]
+
+    def test_nth_of_type(self) -> None:
+        assert self.x("#mixed p:nth-of-type(2)") == ["p2"]
+        assert self.x("#mixed p:nth-of-type(odd)") == ["p1", "p3"]
+        assert self.x("#mixed p:nth-of-type(even)") == ["p2", "p4"]
+        assert self.x("#mixed span:nth-of-type(2)") == ["s2"]
+        assert self.x("#mixed p:nth-of-type(2n+1)") == ["p1", "p3"]
+
+    def test_nth_last_of_type(self) -> None:
+        assert self.x("#mixed p:nth-last-of-type(1)") == ["p4"]
+        assert self.x("#mixed p:nth-last-of-type(2)") == ["p3"]
+        assert self.x("#mixed span:nth-last-of-type(2)") == ["s1"]
+
+    def test_first_last_only_of_type(self) -> None:
+        assert self.x("#mixed p:first-of-type") == ["p1"]
+        assert self.x("#mixed p:last-of-type") == ["p4"]
+        assert self.x("#mixed h1:only-of-type") == ["t"]
+        assert self.x("#mixed p:only-of-type") == []
+        assert self.x("#solo em:only-of-type") == ["only"]

@@ -162,3 +162,109 @@ class TestHtmlSpecifics:
         sel = Selector(text="<table><tr><td>1</td><td>2<tr><td>3</table>")
         assert sel.css("td::text").getall() == ["1", "2", "3"]
         assert len(sel.css("tr")) == 2
+
+
+class TestExsltSets:
+    """The full EXSLT-sets surface the reference pre-registers
+    (reference parsel/selector.py:418-427: difference, has-same-node,
+    intersection, leading, trailing via libxslt)."""
+
+    DOC = (
+        "<html><body>"
+        '<ul><li class="a">1</li><li class="a b">2</li>'
+        '<li class="b">3</li><li class="a">4</li></ul>'
+        "</body></html>"
+    )
+
+    def sel(self):
+        from parsel_spark.selector import Selector
+
+        return Selector(text=self.DOC)
+
+    def test_intersection(self) -> None:
+        got = self.sel().xpath(
+            'set:intersection(//li[contains(@class,"a")]/text(), '
+            '//li[contains(@class,"b")]/text())'
+        ).getall()
+        assert got == ["2"]
+
+    def test_has_same_node(self) -> None:
+        sel = self.sel()
+        assert sel.xpath(
+            'set:has-same-node(//li[contains(@class,"a")], '
+            '//li[contains(@class,"b")])'
+        ).get() == "1"
+        assert sel.xpath(
+            'set:has-same-node(//li[@class="a"], //li[@class="b"])'
+        ).get() == "0"
+
+    def test_leading_trailing(self) -> None:
+        sel = self.sel()
+        assert sel.xpath(
+            'set:leading(//li/text(), //li[@class="b"]/text())'
+        ).getall() == ["1", "2"]
+        assert sel.xpath(
+            'set:trailing(//li/text(), //li[@class="b"]/text())'
+        ).getall() == ["4"]
+
+    def test_leading_empty_second_set_keeps_first(self) -> None:
+        got = self.sel().xpath(
+            'set:leading(//li/text(), //nope)'
+        ).getall()
+        assert got == ["1", "2", "3", "4"]
+
+    def test_unknown_exslt_function_names_itself(self) -> None:
+        import pytest
+
+        with pytest.raises(ValueError, match="set:nonexistent"):
+            self.sel().xpath("set:nonexistent(//li, //li)")
+
+
+class TestNodeSetVariables:
+    """lxml parity: Selector / SelectorList values bind as node-set
+    variables (scalars: reference tests/test_selector.py:85-141; lxml
+    accepts element lists for $vars the same way)."""
+
+    DOC = (
+        "<html><body>"
+        '<div id="x"><p>one</p><p>two</p></div>'
+        '<div id="y"><p>three</p></div>'
+        "</body></html>"
+    )
+
+    def test_selectorlist_binds_as_nodeset(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text=self.DOC)
+        divs = sel.xpath("//div")
+        assert sel.xpath("count($d)", d=divs).get() == "2.0"
+        assert sel.xpath("$d/p/text()", d=divs).getall() == [
+            "one", "two", "three",
+        ]
+
+    def test_single_selector_binds_as_nodeset(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text=self.DOC)
+        x = sel.xpath('//div[@id="x"]')[0]
+        assert sel.xpath("$d/p/text()", d=x).getall() == ["one", "two"]
+
+    def test_nodeset_var_with_set_functions(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text=self.DOC)
+        all_p = sel.xpath("//p")
+        first_div_p = sel.xpath('//div[@id="x"]/p')
+        got = sel.xpath(
+            "set:difference($a, $b)/text()", a=all_p, b=first_div_p
+        ).getall()
+        assert got == ["three"]
+
+    def test_scalar_vars_still_work(self) -> None:
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text=self.DOC)
+        assert sel.xpath("//div[@id=$val]/p/text()", val="y").getall() == [
+            "three"
+        ]
+        assert sel.xpath("count(//p) = $n", n=3).get() == "1"
