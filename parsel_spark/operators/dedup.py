@@ -50,12 +50,24 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.6, block_col: str = "source"
+    docs: DataFrame, threshold: float = 0.6, block_col: str | None = "source"
 ) -> DataFrame:
-    """Near-duplicate pairs by word-set Jaccard within a blocking key.
+    """Near-duplicate pairs by word-set Jaccard.
+
+    ``block_col`` picks the candidate-generation strategy:
+
+    * a column name: exact self-join within that blocking key.  Only
+      sound at scale when the key is HIGH-cardinality — a handful of
+      giant blocks makes the join quadratic within each block;
+    * ``None`` (the 100 TB path): MinHash-banded LSH candidates over the
+      token sets (shingle_n=1 ⇒ the verified Jaccard IS the word-set
+      Jaccard), then exact verification of candidates only — candidate
+      volume stays near-linear regardless of any natural key's skew.
 
     Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded to 6dp
     for cross-engine comparability."""
+    if block_col is None:
+        return minhash_lsh_pairs(docs, threshold=threshold, shingle_n=1)
     with_tokens = docs.select(
         "doc_id", F.col(block_col).alias("block"), tokens_col().alias("toks")
     ).repartition(F.col("block"))  # one tokenize pass; co-located self-join

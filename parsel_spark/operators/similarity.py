@@ -119,19 +119,39 @@ def knn_lsh(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = "label",
     round_to: int = 6,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key
-    (completes the dedup family: exact / jaccard / minhash / simhash /
-    embedding-cosine).  The self-join is blocked so candidate pairs stay
-    linear-ish; at scale swap the block for an LSH bucket id
-    (``lsh_bucket``) — same join shape."""
-    left = embeddings.alias("a")
-    right = embeddings.alias("b")
+    """Embedding-cosine near-duplicate pairs (completes the dedup
+    family: exact / jaccard / minhash / simhash / embedding-cosine).
+
+    ``block_col`` picks the candidate-generation strategy:
+
+    * a column name: exact self-join within that blocking key — only
+      sound when the key is high-cardinality (a handful of giant
+      labels makes the join quadratic within each);
+    * ``None`` (the 100 TB path): random-hyperplane LSH bucket ids are
+      the join key, so candidate volume is ~N²/2^planes spread evenly
+      across buckets; cosine is verified exactly on candidates only.
+      High-cosine pairs land in the same bucket with probability
+      (1 - θ/π)^planes — recall is tested on planted duplicates."""
+    if block_col is None:
+        planes = hyperplanes(dim, n_planes, seed)
+        blocked = embeddings.withColumn(
+            "block", lsh_bucket(F.col("embedding"), planes)
+        )
+    else:
+        blocked = embeddings.withColumn("block", F.col(block_col))
+    # shuffle barrier: compute buckets once, ReusedExchange on self-join
+    blocked = blocked.repartition(F.col("block"))
+    left = blocked.alias("a")
+    right = blocked.alias("b")
     pairs = left.join(
         right,
-        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        (F.col("a.block") == F.col("b.block"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     sim = F.round(cosine("a.embedding", "b.embedding"), round_to)

@@ -270,7 +270,38 @@ def _fn_lang(ctx, *args):
     return False
 
 
+def _fn_id(ctx, *args):
+    """XPath 1.0 ``id()``.  IDs come from the ``id`` attribute — the
+    libxml2 behavior for HTML documents (its DTD declares ``id`` as an
+    ID attribute).  For DTD-less XML libxml2 returns an empty set; this
+    engine pragmatically matches ``@id`` there too (documents with DTDs
+    are out of scope — the XXE-safe parser keeps DTD internals inert)."""
+    if len(args) != 1:
+        raise XPathEvalError("id() takes exactly one argument")
+    value = args[0]
+    if isinstance(value, list):
+        tokens: set[str] = set()
+        for node in value:
+            tokens.update(_ev.string_value(node).split())
+    else:
+        tokens = set(_ev.to_string(value).split())
+    if not tokens:
+        return []
+    root = ctx.document
+    out: list[Any] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        children = getattr(node, "children", None)
+        if children:
+            stack.extend(reversed(children))
+        if isinstance(node, Element) and node.attrib.get("id") in tokens:
+            out.append(node)
+    return out
+
+
 CORE_FUNCTIONS: dict[str, Callable[..., Any]] = {
+    "id": _fn_id,
     "last": _fn_last,
     "position": _fn_position,
     "count": _fn_count,

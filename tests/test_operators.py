@@ -127,6 +127,60 @@ class TestDedupSpark:
         assert truth, "fixture must plant at least one near-dup pair"
         assert banded == truth  # zero missed pairs, zero extras
 
+    def test_jaccard_lsh_mode_finds_planted_near_dups(self, spark) -> None:
+        """block_col=None routes candidates through MinHash banding (the
+        100 TB path — no quadratic-within-block self-join) and must
+        still find the planted token-set near-dups with the SAME jac
+        values the blocked mode computes."""
+        from parsel_spark.operators.dedup import jaccard_pairs
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day"
+        )
+        rows = [(i, "blk", f"{base} unique{i}") for i in range(30)]
+        rows.append((100, "blk", base + " unique7 tweaked"))
+        rows.append((101, "blk", "completely different words entirely here"))
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        blocked = {
+            (r["doc_a"], r["doc_b"]): r["jac"]
+            for r in jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"]): r["jac"]
+            for r in jaccard_pairs(docs, threshold=0.5, block_col=None).collect()
+        }
+        assert (7, 100) in lsh
+        assert lsh[(7, 100)] == blocked[(7, 100)]  # same exact-jac verify
+        assert set(lsh) <= set(blocked)  # LSH candidates, exactly verified
+        assert all(a != 101 and b != 101 for a, b in lsh)
+
+    def test_embedding_near_dup_lsh_mode(self, spark) -> None:
+        """block_col=None uses hyperplane-LSH buckets as the join key;
+        planted exact duplicates share every hyperplane sign, so recall
+        on them is guaranteed and sims must match the blocked mode."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # plant exact twins of 5 vectors (ids shifted by 10000)
+        twins = emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+        docs = emb.unionByName(twins.select(*emb.columns))
+        pairs = {
+            (r["vec_a"], r["vec_b"]): r["sim"]
+            for r in embedding_near_dup_pairs(
+                docs, threshold=0.999, block_col=None
+            ).collect()
+        }
+        for i in range(5):
+            assert (i, i + 10000) in pairs
+            assert pairs[(i, i + 10000)] == 1.0
+
     def test_simhash_band_widths_pigeonhole(self) -> None:
         from parsel_spark.operators.dedup import (
             SIMHASH_BITS,

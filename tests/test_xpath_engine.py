@@ -268,3 +268,36 @@ class TestNodeSetVariables:
             "three"
         ]
         assert sel.xpath("count(//p) = $n", n=3).get() == "1"
+
+
+class TestIdFunction:
+    DOC = (
+        "<html><body>"
+        '<div id="top">T</div>'
+        '<p id="a">A</p><p id="b">B</p>'
+        '<span class="ref">a b</span>'
+        "</body></html>"
+    )
+
+    def sel(self):
+        from parsel_spark.selector import Selector
+
+        return Selector(text=self.DOC)
+
+    def test_id_string(self) -> None:
+        assert self.sel().xpath('id("a")/text()').getall() == ["A"]
+
+    def test_id_whitespace_tokens(self) -> None:
+        assert self.sel().xpath('id("a b")/text()').getall() == ["A", "B"]
+
+    def test_id_nodeset_arg_uses_string_values(self) -> None:
+        got = self.sel().xpath('id(//span[@class="ref"])/text()').getall()
+        assert got == ["A", "B"]
+
+    def test_id_no_match(self) -> None:
+        assert self.sel().xpath('id("nope")').getall() == []
+
+    def test_id_in_path_context(self) -> None:
+        assert self.sel().xpath('id("top")/following-sibling::p/@id').getall() == [
+            "a", "b",
+        ]
