@@ -49,12 +49,20 @@ def _doc_url(doc_id_col):
     )
 
 
-def _doc_pages(docs: DataFrame, n_total: int) -> DataFrame:
+def _doc_pages(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
     """documents → (doc_id, url, html) with three planted out-links per
     doc in rotating un-canonical trap forms (upper-case host, :80 port,
-    dot-segments) that all canonicalize to the closed-form target URL."""
+    dot-segments) that all canonicalize to the closed-form target URL.
+
+    The link-target modulus (corpus row count) joins in as a broadcast
+    1-row aggregate instead of a driver-side ``count()`` at plan-build
+    time — no extra action, the whole query stays one plan."""
+    corpus = corpus if corpus is not None else docs
+    n_df = corpus.groupBy().agg(F.count(F.lit(1)).alias("__n_total"))
+    docs = docs.crossJoin(F.broadcast(n_df))
     doc_id = F.col("doc_id")
-    targets = [F.pmod(doc_id * 7 + j * 11 + 1, F.lit(n_total)) for j in range(3)]
+    n_total = F.col("__n_total")
+    targets = [F.pmod(doc_id * 7 + j * 11 + 1, n_total) for j in range(3)]
 
     def trap(j: int, target):
         canonical = _doc_url(target)
@@ -282,6 +290,30 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=6)
 
 
+def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-path Jaccard near-dup: MinHash-band candidates over
+    token sets (no quadratic-within-block self-join), exact verify."""
+    from parsel_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.8, block_col=None
+    )
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-path embedding near-dup: hyperplane-LSH buckets as the
+    join key, exact cosine verify of candidates."""
+    from parsel_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.30,
+        block_col=None,
+        round_to=4,
+        n_planes=6,
+    )
+
+
 def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import knn_bruteforce
 
@@ -330,8 +362,7 @@ def q_crawl_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import css_getall
 
     docs = _read(spark, sf_dir, "documents")
-    n_total = docs.count()
-    pages = _doc_pages(docs, n_total)
+    pages = _doc_pages(docs)
     return (
         pages.select(
             "doc_id", F.explode(css_getall("html", "a::attr(href)")).alias("href")
@@ -347,9 +378,8 @@ def q_crawl_frontier_wave1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import css_getall
 
     docs = _read(spark, sf_dir, "documents")
-    n_total = docs.count()
     seeds = docs.filter(F.col("doc_id") < N_SEED_DOCS)
-    pages = _doc_pages(seeds, n_total)
+    pages = _doc_pages(seeds, corpus=docs)
     links = (
         pages.select(F.explode(css_getall("html", "a::attr(href)")).alias("href"))
         .select(canonicalize_udf("href").alias("url"))
@@ -363,8 +393,7 @@ def q_selector_caption_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import xpath_getall
 
     docs = _read(spark, sf_dir, "documents")
-    n_total = docs.count()
-    pages = _doc_pages(docs, n_total)
+    pages = _doc_pages(docs)
     return pages.select(
         "doc_id",
         F.element_at(
@@ -390,8 +419,7 @@ def q_selector_drop_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import css_getall, drop_matching
 
     docs = _read(spark, sf_dir, "documents")
-    n_total = docs.count()
-    pages = _doc_pages(docs, n_total)
+    pages = _doc_pages(docs)
     rewritten = pages.select(
         "doc_id", drop_matching("html", "a.l1").alias("html")
     )
@@ -480,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -887,6 +917,69 @@ def oracle_sql() -> dict[str, str]:
         WHERE b.bucket = q.qb AND b.vec_id != 0
         ORDER BY sim DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # -- hyperplane-LSH embedding near-dup: same plane literals; pairs
+    # share a bucket, cosine verified exactly (SAME fold order)
+    sql["emb_near_dup_lsh"] = f"""
+        WITH planes(p, vec) AS (
+            VALUES {plane_rows}
+        ), b AS (
+            SELECT e.vec_id, e.embedding,
+                   sum(CASE WHEN {_dot("e.embedding", "p.vec")} > 0
+                            THEN (1 << p.p) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({_dot("x.embedding", "y.embedding")}
+                     / ({_norm("x.embedding")} * {_norm("y.embedding")}),
+                     4) AS sim
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round({_dot("x.embedding", "y.embedding")}
+                    / ({_norm("x.embedding")} * {_norm("y.embedding")}),
+                    4) >= 0.30
+    """
+
+    # -- LSH-mode Jaccard: the minhash pipeline with shingle_n=1 (the
+    # shingles ARE the tokens), threshold 0.5 — full replay in SQL
+    sql["doc_jaccard_lsh_pairs"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS shingles
+            FROM documents
+        ), hs AS (
+            SELECT doc_id, shingles,
+                   list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hh
+            FROM t
+        ), sig AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(32),
+                       k -> list_min(list_transform(hh, h -> {mix}))) AS sig
+            FROM hs
+        ), banded AS (
+            SELECT doc_id, shingles, g.b AS band_idx,
+                   array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS band_key
+            FROM sig CROSS JOIN generate_series(0, 7) AS g(b)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.shingles AS sh_a, b.shingles AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(list_distinct(sh_a),
+                                        list_distinct(sh_b)))::DOUBLE
+                     / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
+                     6) AS jac
+        FROM cand
+        WHERE round(len(list_intersect(list_distinct(sh_a),
+                                       list_distinct(sh_b)))::DOUBLE
+                    / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
+                    6) >= 0.8
     """
 
     # -- murmur3 URL sharding: Spark's hash() is Murmur3_x86_32 seed 42

@@ -156,6 +156,7 @@ def main() -> None:
             "doc_exact_dedup",
             "doc_minhash_pairs",
             "doc_simhash_pairs",
+            "emb_near_dup_lsh",
             "img_phash_near_dup",
             "doc_token_stats",
             "doc_lang_id",

@@ -173,9 +173,13 @@ def extract_wave_links(fetched: DataFrame) -> DataFrame:
     )
 
 
-def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
+def robots_filter(
+    links: DataFrame, robots: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Drop robots-denied URLs (broadcast dim join + JVM-side prefix
-    checks via higher-order functions).
+    checks via higher-order functions).  ``keep`` passes extra input
+    columns through (e.g. ``maybe_seen`` when the bloom probe ran
+    first).  Entirely map-side — safe at any point in the wave pipeline.
 
     RFC 9309 longest-match semantics: the longest matching prefix wins,
     so a more specific ``Allow`` overrides a broader ``Disallow``
@@ -188,9 +192,10 @@ def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
             lambda acc, p: F.greatest(acc, F.length(p)),
         )
 
-    with_host = links.withColumn("host", F.parse_url("url", F.lit("HOST"))).withColumn(
-        "path", F.parse_url("url", F.lit("PATH"))
-    )
+    with_host = links
+    if "host" not in links.columns:
+        with_host = with_host.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    with_host = with_host.withColumn("path", F.parse_url("url", F.lit("PATH")))
     joined = with_host.join(F.broadcast(robots), "host", "left")
     deny_len = longest_match("deny_prefixes")
     allow_len = longest_match("allow_prefixes")
@@ -199,7 +204,7 @@ def robots_filter(links: DataFrame, robots: DataFrame) -> DataFrame:
         | (deny_len == 0)
         | (F.coalesce(allow_len, F.lit(0)) >= deny_len)
     )
-    return allowed.select("url", "url_hash", "host")
+    return allowed.select("url", "url_hash", "host", *keep)
 
 
 def _load_shard(
@@ -228,12 +233,18 @@ def bloom_prefilter(
     m_bits: int = DEFAULT_BITS_PER_SHARD,
     k: int = DEFAULT_NUM_HASHES,
     kind: str = "bloom",
+    dedup: bool = False,
 ) -> DataFrame:
     """Adds ``maybe_seen`` to candidates via the sharded approximate
     seen-set (bloom, or cuckoo when deletions are required).
 
     Cogrouped by shard_id: one task touches one bitmap; filter-negative
-    rows are definitely new."""
+    rows are definitely new.  ``dedup=True`` also drops duplicate URLs
+    inside the probe — EXACT, because the shard id is a pure function
+    of the url so every duplicate lands in the same cogroup; this lets
+    the wave pipeline skip a separate ``dropDuplicates`` shuffle of the
+    full link set (duplicate rows carry identical values, so which one
+    survives is immaterial)."""
     with_shard = candidates.withColumn(
         "shard_id", F.pmod(F.hash("url"), F.lit(num_shards))
     )
@@ -243,6 +254,8 @@ def bloom_prefilter(
     def probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf):
             return pd.DataFrame(columns=["url", "url_hash", "host", "maybe_seen"])
+        if dedup:
+            cand_pdf = cand_pdf.drop_duplicates(subset=["url"])
         if len(state_pdf):
             shard = _load_shard(kind, state_pdf, m_bits, k)
             if isinstance(shard, CuckooShard):

@@ -141,16 +141,30 @@ class CrawlRun:
             }
         )
 
+    def _prepared_seen(self, spark: SparkSession) -> DataFrame:
+        """The committed seen table, hash-partitioned by url and cached:
+        the per-wave exact anti-join then shuffles ONLY the (few,
+        bloom-positive) survivors — round 1 re-shuffled the ever-growing
+        seen table every wave.  One partitioning pass per COMMIT,
+        amortized over ``checkpoint_interval`` waves."""
+        return (
+            self.catalog.read_table(spark, "seen")
+            .repartition(self.frontier_partitions, "url")
+            .cache()
+        )
+
     # -- in-memory state between commits ----------------------------------
     def _load_state(self) -> dict[str, Any]:
         spark = self.spark
         snapshot = self.catalog.load_snapshot()
         assert snapshot is not None, "initialize() first"
+        seen = self._prepared_seen(spark)
         return {
             "wave": snapshot.wave,
             "frontier": self.catalog.read_table(spark, "frontier"),
             "host_state": self.catalog.read_table(spark, "host_state"),
-            "seen": self.catalog.read_table(spark, "seen"),
+            "seen": seen,
+            "seen_cache": seen,
             "bloom": self.catalog.read_table(spark, "bloom"),
             # exact frontier row count committed with the snapshot (upper
             # bound for broadcast gating); None on legacy snapshots ⇒
@@ -201,19 +215,27 @@ class CrawlRun:
         # SAME gated plan is the build side (one exchange, reused), so
         # the html payload column never shuffles on the broadcast path.
         page_hits = self.pages.select("url", "html").join(wanted, "url", "left_semi")
-        obs_links = Observation(f"links_w{wave}")
-        links = (
-            fr.extract_wave_links(page_hits)
-            .dropDuplicates(["url"])
-            .observe(obs_links, F.count(F.lit(1)).alias("n"))
+        # link pipeline: extract (map) → shard cogroup (ONE shuffle:
+        # dedups by url AND probes the bloom shards — same-url rows
+        # always share a shard, so the in-shard drop_duplicates is
+        # exact) → robots filter (broadcast, map-side) → exact anti-join
+        # (only the seen-partitioned survivors shuffle).  Round 1 spent
+        # an extra full link shuffle on a standalone dropDuplicates.
+        links = fr.extract_wave_links(page_hits).withColumn(
+            "host", F.parse_url("url", F.lit("HOST"))
         )
-        allowed = fr.robots_filter(links, self.robots)
         # bloom probe against the last FOLDED shards; URLs discovered
         # since that fold are caught by the pending-delta anti-join below
+        obs_links = Observation(f"links_w{wave}")
         probed = fr.bloom_prefilter(
-            allowed, state["bloom"], self.num_shards, kind=self.filter_kind
-        )
-        new_urls = fr.exact_new_filter(probed, state["seen"])
+            links,
+            state["bloom"],
+            self.num_shards,
+            kind=self.filter_kind,
+            dedup=True,
+        ).observe(obs_links, F.count(F.lit(1)).alias("n"))
+        allowed = fr.robots_filter(probed, self.robots, keep=("maybe_seen",))
+        new_urls = fr.exact_new_filter(allowed, state["seen"])
         if state["pending_seen"]:
             pending = reduce(DataFrame.unionByName, state["pending_seen"])
             new_urls = new_urls.join(
@@ -292,7 +314,11 @@ class CrawlRun:
             metrics=totals,
         )
         # refresh committed views; keep frontier/host_state in memory
-        state["seen"] = self.catalog.read_table(spark, "seen")
+        if state.get("seen_cache") is not None:
+            state["seen_cache"].unpersist()
+        seen = self._prepared_seen(spark)
+        state["seen"] = seen
+        state["seen_cache"] = seen
         state["bloom"] = self.catalog.read_table(spark, "bloom")
         state["pending_rows"] = 0
         state["pending_seen"] = []

@@ -181,6 +181,43 @@ class TestDedupSpark:
             assert (i, i + 10000) in pairs
             assert pairs[(i, i + 10000)] == 1.0
 
+    def test_simhash_udf_equals_expression(self, spark) -> None:
+        """The Arrow/numpy simhash twin must be BIT-IDENTICAL to the
+        SQL-expressible definition (which the DuckDB oracle replays)."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.dedup import simhash_col, simhash_expr
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        extra = spark.createDataFrame(
+            [(9001, ""), (9002, "  padded  words  "), (9003, "ONE")],
+            "doc_id long, text string",
+        )
+        both = docs.select("doc_id", "text").unionByName(extra).select(
+            "doc_id",
+            simhash_col().alias("udf"),
+            simhash_expr().alias("expr"),
+        )
+        assert both.filter(F.col("udf") != F.col("expr")).count() == 0
+
+    def test_minhash_udf_equals_expression(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_expr,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fast = minhash_signatures(docs).withColumnRenamed("sig", "sig_udf")
+        ref = minhash_signatures_expr(docs).select(
+            "doc_id", F.col("sig").alias("sig_expr")
+        )
+        joined = fast.join(ref, "doc_id")
+        assert (
+            joined.filter(F.col("sig_udf") != F.col("sig_expr")).count() == 0
+        )
+
     def test_simhash_band_widths_pigeonhole(self) -> None:
         from parsel_spark.operators.dedup import (
             SIMHASH_BITS,

@@ -218,7 +218,21 @@ def spark_submit_level(cpus: int) -> dict:
     out_file = os.path.join(REPO, "BENCH", f"scaling_{cpus}.json")
     env = dict(os.environ)
     env["SCALING_OUT"] = out_file
-    cmd = [
+    # pin the WHOLE process tree (JVM task threads + python UDF workers)
+    # to `cpus` hardware threads: without this, local[8]'s Arrow/pandas
+    # workers are separate processes that spill onto EXTRA cores beyond
+    # the 8 JVM threads, over-reporting "8-core" throughput and
+    # under-reporting scaling efficiency — a real 8-executor cluster has
+    # no such bonus cores.  taskset is the sandbox analog of an
+    # executor's cgroup cpuset.
+    import shutil
+
+    pin = (
+        ["taskset", "-c", f"0-{cpus - 1}"]
+        if shutil.which("taskset")
+        else []
+    )
+    cmd = pin + [
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--py-files", zip_path,
