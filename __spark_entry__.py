@@ -326,6 +326,15 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (decimal-exact
+    centroid updates, fixed Lloyd iterations), probe the 4 nearest of
+    16 clusters, exact cosine top-k on the scanned candidates."""
+    from parsel_spark.operators.similarity import knn_ivf
+
+    return knn_ivf(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_norms": q_emb_norms,
         "emb_label_centroid_dims": q_emb_label_centroid_dims,
@@ -915,6 +925,75 @@ def oracle_sql() -> dict[str, str]:
                      / ({_norm("b.embedding")} * {_norm("q.qe")}), 4) AS sim
         FROM b, q
         WHERE b.bucket = q.qb AND b.vec_id != 0
+        ORDER BY sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    # -- IVF ANN: full k-means replay — decimal-exact centroid sums are
+    # order-independent, so DuckDB recomputes identical centroids,
+    # assignments (row_number argmin, cid tie-break), probes, and top-k
+    def _d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_concat([0.0], list_transform(range(64), "
+            f"i -> ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)"
+            f" * ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE))), (acc, x) -> acc + x)"
+        )
+
+    def _ivf_iteration(i: int) -> str:
+        prev = f"c{i}v" if i else "c0"
+        return f"""
+        a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_d2("e.embedding", "c.centroid")} ASC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM e CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ), m{i} AS (
+            SELECT a{i}.cid, u.dim,
+                   round(sum(u.x::DOUBLE::DECIMAL(30,12))::DOUBLE
+                         / count(*), 6) AS m
+            FROM e JOIN a{i} USING (vec_id),
+                 LATERAL (SELECT generate_subscripts(e.embedding, 1) - 1 AS dim,
+                                 unnest(e.embedding) AS x) u
+            GROUP BY a{i}.cid, u.dim
+        ), c{i + 1}v AS (
+            SELECT cid, list(m ORDER BY dim) AS centroid FROM m{i} GROUP BY cid
+        )"""
+
+    sql["emb_knn_ivf"] = f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> round(x::DOUBLE, 6))
+                       AS centroid
+            FROM e WHERE vec_id < 16
+        ),{_ivf_iteration(0)},{_ivf_iteration(1)},
+        afinal AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_d2("e.embedding", "c.centroid")} ASC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM e CROSS JOIN c2v c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT embedding AS qe FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT c.cid FROM c2v c, q
+            ORDER BY {_d2("c.centroid", "q.qe")} ASC, c.cid ASC
+            LIMIT 4
+        )
+        SELECT e.vec_id,
+               round({_dot("e.embedding", "q.qe")}
+                     / ({_norm("e.embedding")} * {_norm("q.qe")}), 4) AS sim
+        FROM e JOIN afinal USING (vec_id) JOIN probe USING (cid), q
+        WHERE e.vec_id != 0
         ORDER BY sim DESC, vec_id ASC
         LIMIT 10
     """

@@ -162,6 +162,7 @@ def main() -> None:
             "doc_lang_id",
             "emb_knn_bruteforce",
             "emb_knn_lsh",
+            "emb_knn_ivf",
             "q_pricing_summary",
             "q_revenue_by_nation",
             "q_top_orders_per_customer",

@@ -162,6 +162,144 @@ def embedding_near_dup_pairs(
     ).filter(F.col("sim") >= threshold)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _dist2(a, b) -> Column:
+    """Squared L2 distance as the SAME left-to-right IEEE fold on both
+    engines (DuckDB twin: list_reduce over the zipped squares)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid per vector; ``min(struct(dist2,
+    cid))`` gives a deterministic argmin with cid tie-break.  Centroids
+    broadcast — the vectors never shuffle."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(
+            _dist2(F.col("embedding"), F.col("centroid")).alias("d2"),
+            F.col("cid").alias("cid"),
+        ).alias("cand"),
+    )
+    return scored.groupBy("vec_id").agg(F.min("cand").alias("best")).select(
+        "vec_id", F.col("best.cid").alias("cid")
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    round_to: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: k-means with closed-form
+    seeding (the ``n_centroids`` smallest vec_ids) and a FIXED number of
+    Lloyd iterations.
+
+    Cross-engine exactness (the DuckDB oracle replays every step):
+
+    * centroid updates sum components as DECIMAL — exact, order
+      independent, so Spark's partial aggregation order cannot perturb
+      low bits — then divide the double-cast sum by the count and round;
+    * assignments argmin over ``struct(dist2, cid)`` (cid tie-break);
+      distances use the same sequential fold both engines run.
+
+    At 100 TB: assignment is a broadcast map pass (vectors never
+    shuffle); the update shuffles (cid, dim, value) triples only."""
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), round_to)
+        ).alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(embeddings, centroids)
+        exploded = (
+            embeddings.join(assigned, "vec_id")
+            .select("cid", F.posexplode("embedding").alias("dim", "value"))
+        )
+        sums = exploded.groupBy("cid", "dim").agg(
+            F.sum(F.col("value").cast("double").cast("decimal(30,12)")).alias(
+                "s"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        means = sums.select(
+            "cid",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), round_to).alias(
+                "m"
+            ),
+        )
+        centroids = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p")
+            )
+            .select(
+                "cid", F.transform("p", lambda s: s["m"]).alias("centroid")
+            )
+        )
+    assigned = _assign_clusters(embeddings, centroids)
+    return assigned, centroids
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k via the IVF index: score only vectors whose
+    cluster is among the ``n_probe`` centroids nearest the query.  With
+    C clusters and p probes this scans ~N·p/C vectors; recall is tested
+    against the brute-force baseline."""
+    assigned, centroids = ivf_index(embeddings, n_centroids, iters)
+    query = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "cid",
+            F.struct(
+                _dist2(F.col("centroid"), F.col("query_embedding")).alias("d2"),
+                F.col("cid").alias("c"),
+            ).alias("key"),
+        )
+        .orderBy("key")
+        .limit(n_probe)
+        .select("cid")
+    )
+    candidates = embeddings.join(assigned, "vec_id").join(
+        F.broadcast(probe), "cid", "left_semi"
+    )
+    scored = (
+        candidates.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine("embedding", "query_embedding"), round_to).alias(
+                "sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
 def label_centroids(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
     """Per-label centroid vectors via posexplode + groupBy — the
     aggregate-over-array pattern for embedding columns."""

@@ -234,6 +234,28 @@ class TestDedupSpark:
 
 
 class TestSimilaritySpark:
+    def test_ivf_recall_vs_bruteforce(self, spark) -> None:
+        from parsel_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {r["vec_id"] for r in knn_bruteforce(emb, 0, k=10).collect()}
+        approx = knn_ivf(emb, 0, k=10).collect()
+        approx_ids = {r["vec_id"] for r in approx}
+        # probing 4/16 clusters must surface genuinely similar vectors
+        assert len(approx_ids & exact) >= 3
+        assert all(r["sim"] <= 1.0 for r in approx)
+
+    def test_ivf_assignment_deterministic(self, spark) -> None:
+        """Two independent index builds produce identical assignments
+        (decimal-exact centroid sums are partitioning-independent)."""
+        from parsel_spark.operators.similarity import ivf_index
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a1, _ = ivf_index(emb)
+        a2, _ = ivf_index(emb.repartition(7))
+        assert a1.exceptAll(a2).count() == 0
+        assert a2.exceptAll(a1).count() == 0
+
     def test_lsh_recall_vs_bruteforce(self, spark) -> None:
         from parsel_spark.operators.similarity import knn_bruteforce, knn_lsh
 

@@ -29,8 +29,13 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_PAGES = int(os.environ.get("SCALING_N_PAGES", "1600000"))
-N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "400000"))
+# 3.2M pages / 800k hosts: sized so the politeness-budgeted waves are
+# DATA-PLANE dominated at local[32] too (at 1.6M pages the 32-thread
+# level finished a wave in ~20s and per-wave latency — not engine
+# throughput — set the ratio; the 10^10 design point is the opposite
+# regime).  Round-1 history: zipf 1.2 → 0.5 for the same reason.
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "3200000"))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", "800000"))
 N_SEEDS = int(os.environ.get("SCALING_N_SEEDS", str(N_PAGES // 4)))
 WAVES = int(os.environ.get("SCALING_WAVES", "3"))
 # the scaling corpus models a production frontier: broad host coverage
