@@ -63,7 +63,7 @@ def allowed_fetches(tokens: float, max_fetch_per_wave: int, available: int) -> i
 
 
 def politeness_dequeue(
-    frontier: DataFrame, host_state: DataFrame
+    frontier: DataFrame, host_state: DataFrame, skew_prune: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Per-host priority-queue dequeue under token-bucket politeness.
 
@@ -74,8 +74,14 @@ def politeness_dequeue(
        expressions over the (small) host-state join — the double-precision
        ops are the same IEEE sequence the oracle runs, so results are
        bit-identical;
-    2. a SALTED pre-window bounds any Zipf-skewed host to ≤16×cap rows
-       before the per-host ranking window;
+    2. with ``skew_prune`` a SALTED pre-window bounds any Zipf-skewed
+       host to ≤16×cap rows before the per-host ranking window.  The
+       pre-window shuffles the WHOLE frontier a second time, which only
+       pays off when hosts are deep — ``CrawlRun`` auto-disables it
+       when the exact frontier-rows/host ratio says the frontier is
+       broad (results are identical either way: pruning keeps ≥
+       min(|candidates|, CAP) rows per host, strictly more than the
+       final window emits);
     3. final per-host ``row_number() <= k`` with the budget broadcast.
 
     A per-host ``applyInPandas`` gate would create one pandas frame per
@@ -96,11 +102,21 @@ def politeness_dequeue(
     )
 
     salted = frontier.withColumn(
-        "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
+        "salt",
+        F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
+        if skew_prune
+        else F.lit(0),
     )
     pre_window = Window.partitionBy("host", "salt").orderBy(
         F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
     )
+    if not skew_prune:
+        # single host-partitioned sort; the hottest host is one task's
+        # sort (fine when the frontier is broad; the salted path is the
+        # guard for adversarially deep hosts)
+        pre_window = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
+        )
     pruned = (
         salted.withColumn("rn", F.row_number().over(pre_window))
         .filter(F.col("rn") <= MAX_FETCH_CAP)

@@ -72,6 +72,8 @@ class CrawlRun:
         filter_kind: str = "bloom",
         checkpoint_interval: int = 1,
         broadcast_max_rows: int = 2_000_000,
+        skew_prune: bool | str = "auto",
+        skew_prune_ratio: int = 64,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -94,6 +96,16 @@ class CrawlRun:
         self.broadcast_max_rows = int(broadcast_max_rows)
         # commit a snapshot every k waves (k=1: classic wave-per-commit)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
+        # salted skew pre-pruning for the politeness windows: "auto"
+        # enables it only when the exact frontier-rows/host ratio says
+        # hosts are deep (> skew_prune_ratio rows/host on average) — on
+        # a broad production frontier the salt pass re-shuffles the
+        # whole frontier for nothing, and without it both windows share
+        # ONE hash(host) exchange.  Results are identical either way
+        # (test_skew_prune_equivalence).
+        self.skew_prune: bool | str = skew_prune
+        self.skew_prune_ratio = int(skew_prune_ratio)
+        self._n_hosts = robots.count() if skew_prune == "auto" else None
 
     @contextmanager
     def _static_planning(self):
@@ -219,8 +231,17 @@ class CrawlRun:
         wave, the measured scaling-efficiency bottleneck)."""
         wave = int(state["wave"])
         frontier = state["frontier"]
+        if self.skew_prune == "auto":
+            rows = state.get("frontier_rows")
+            prune = (
+                rows is None
+                or not self._n_hosts
+                or rows / self._n_hosts > self.skew_prune_ratio
+            )
+        else:
+            prune = bool(self.skew_prune)
         dequeued, new_host_state = fr.politeness_dequeue(
-            frontier, state["host_state"]
+            frontier, state["host_state"], skew_prune=prune
         )
         obs_deq = Observation(f"deq_w{wave}")
         dequeued = dequeued.observe(

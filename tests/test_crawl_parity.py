@@ -146,3 +146,23 @@ def test_broadcast_gate_equivalence(spark, corpus, oracle_result, tmp_path) -> N
         row["partition_id"]: row["bloom_shard_hash"] for row in snapshot.lineage
     }
     assert engine_hashes == oracle.bloom_shard_hashes()
+
+
+def test_skew_prune_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
+    """Forced salted pre-pruning and forced single-window dequeue must
+    produce identical crawl order / seen set / metrics — the salt pass
+    is a physical skew guard, never a semantic choice."""
+    pages, robots, seeds = corpus
+    oracle, oracle_metrics = oracle_result
+
+    for mode, name in ((True, "salted"), (False, "plain")):
+        catalog = SnapshotCatalog(str(tmp_path / name))
+        run = CrawlRun(
+            spark, catalog, pages, robots, num_shards=SHARDS,
+            checkpoint_interval=2, skew_prune=mode,
+        )
+        run.initialize(seeds)
+        metrics = run.run(WAVES)
+        assert metrics == oracle_metrics, name
+        assert run.crawl_order() == oracle.crawl_order(), name
+        assert run.seen_set() == oracle.seen_set(), name
