@@ -135,7 +135,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     try:
-        n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+        # parquet footer metadata (pyarrow) — no Spark job for a plain
+        # driver-side sizing constant
+        import pyarrow.dataset as pads
+
+        n_docs = pads.dataset(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).count_rows()
     except Exception:
         n_docs = 5000
 

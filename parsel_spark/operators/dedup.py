@@ -53,25 +53,66 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def check_block_cardinality(
+    blocked: DataFrame,
+    block_col: str,
+    op_name: str,
+    min_block_ratio: float,
+) -> None:
+    """Guard for the blocked (exact self-join) candidate mode: when the
+    blocking key's cardinality is below ``min_block_ratio`` of the row
+    count, blocks average > 1/min_block_ratio rows and the within-block
+    self-join degenerates toward all-pairs at scale.  Emits a
+    ``RuntimeWarning`` naming the LSH mode (``block_col=None``) — the
+    scale-safe default.  ``min_block_ratio<=0`` disables the check (and
+    its one small aggregate job)."""
+    if min_block_ratio <= 0:
+        return
+    row = blocked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(block_col).alias("d"),
+    ).first()
+    n, d = int(row["n"]), int(row["d"])
+    if n and d / n < min_block_ratio:
+        import warnings
+
+        warnings.warn(
+            f"{op_name}: blocking key {block_col!r} has ~{d} distinct "
+            f"values over {n} rows (ratio {d / n:.4f} < {min_block_ratio}); "
+            "the within-block self-join is quadratic in the largest block "
+            "and will not survive a 100x scale-up — use block_col=None "
+            "(LSH candidate generation) instead",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.6, block_col: str | None = "source"
+    docs: DataFrame,
+    threshold: float = 0.6,
+    block_col: str | None = None,
+    min_block_ratio: float = 0.01,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard.
 
     ``block_col`` picks the candidate-generation strategy:
 
+    * ``None`` (DEFAULT — the 100 TB path): MinHash-banded LSH
+      candidates over the token sets (shingle_n=1 ⇒ the verified
+      Jaccard IS the word-set Jaccard), then exact verification of
+      candidates only — candidate volume stays near-linear regardless
+      of any natural key's skew;
     * a column name: exact self-join within that blocking key.  Only
       sound at scale when the key is HIGH-cardinality — a handful of
-      giant blocks makes the join quadratic within each block;
-    * ``None`` (the 100 TB path): MinHash-banded LSH candidates over the
-      token sets (shingle_n=1 ⇒ the verified Jaccard IS the word-set
-      Jaccard), then exact verification of candidates only — candidate
-      volume stays near-linear regardless of any natural key's skew.
+      giant blocks makes the join quadratic within each block, so a
+      low cardinality/rows ratio (< ``min_block_ratio``) raises a
+      ``RuntimeWarning``.
 
     Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded to 6dp
     for cross-engine comparability."""
     if block_col is None:
         return minhash_lsh_pairs(docs, threshold=threshold, shingle_n=1)
+    check_block_cardinality(docs, block_col, "jaccard_pairs", min_block_ratio)
     with_tokens = docs.select(
         "doc_id", F.col(block_col).alias("block"), tokens_col().alias("toks")
     ).repartition(F.col("block"))  # one tokenize pass; co-located self-join

@@ -64,7 +64,7 @@ def allowed_fetches(tokens: float, max_fetch_per_wave: int, available: int) -> i
 
 def politeness_dequeue(
     frontier: DataFrame, host_state: DataFrame, skew_prune: bool = True
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """Per-host priority-queue dequeue under token-bucket politeness.
 
     Returns (dequeued frontier rows, updated host_state).

@@ -119,31 +119,40 @@ def knn_lsh(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    block_col: str | None = "label",
+    block_col: str | None = None,
     round_to: int = 6,
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    min_block_ratio: float = 0.01,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup
     family: exact / jaccard / minhash / simhash / embedding-cosine).
 
     ``block_col`` picks the candidate-generation strategy:
 
+    * ``None`` (DEFAULT — the 100 TB path): random-hyperplane LSH
+      bucket ids are the join key, so candidate volume is ~N²/2^planes
+      spread evenly across buckets; cosine is verified exactly on
+      candidates only.  High-cosine pairs land in the same bucket with
+      probability (1 - θ/π)^planes — recall is tested on planted
+      duplicates;
     * a column name: exact self-join within that blocking key — only
       sound when the key is high-cardinality (a handful of giant
-      labels makes the join quadratic within each);
-    * ``None`` (the 100 TB path): random-hyperplane LSH bucket ids are
-      the join key, so candidate volume is ~N²/2^planes spread evenly
-      across buckets; cosine is verified exactly on candidates only.
-      High-cosine pairs land in the same bucket with probability
-      (1 - θ/π)^planes — recall is tested on planted duplicates."""
+      labels makes the join quadratic within each), so a low
+      cardinality/rows ratio (< ``min_block_ratio``) raises a
+      ``RuntimeWarning``."""
     if block_col is None:
         planes = hyperplanes(dim, n_planes, seed)
         blocked = embeddings.withColumn(
             "block", lsh_bucket(F.col("embedding"), planes)
         )
     else:
+        from .dedup import check_block_cardinality
+
+        check_block_cardinality(
+            embeddings, block_col, "embedding_near_dup_pairs", min_block_ratio
+        )
         blocked = embeddings.withColumn("block", F.col(block_col))
     # shuffle barrier: compute buckets once, ReusedExchange on self-join
     blocked = blocked.repartition(F.col("block"))

@@ -19,10 +19,12 @@ costs (snapshot parquet write + read-back, bloom fold cogroup, lineage
 collect) are the scaling bottleneck at small wave sizes, so the loop
 keeps state in memory between commits and snapshots every ``k`` waves:
 
-* frontier/host-state are carried as ``localCheckpoint``-truncated
-  DataFrames (lineage cannot grow across waves — essential for
-  iterative DataFrame loops; on a real cluster swap for reliable
-  ``checkpoint()`` to the cluster FS);
+* frontier/host-state are carried as checkpoint-truncated DataFrames
+  (lineage cannot grow across waves — essential for iterative DataFrame
+  loops).  ``CrawlRun(reliable_checkpoints=True)`` uses reliable
+  ``checkpoint()`` to the cluster checkpoint dir (survives executor
+  loss); the default ``localCheckpoint`` is executor-local and faster —
+  a lost executor between commits replays from the committed snapshot;
 * bloom shards fold the batch's new URLs ONCE per commit instead of
   once per wave (lazy fold).  Correctness is preserved because the
   bloom filter is only ever a pre-filter: URLs discovered since the
@@ -74,6 +76,7 @@ class CrawlRun:
         broadcast_max_rows: int = 2_000_000,
         skew_prune: bool | str = "auto",
         skew_prune_ratio: int = 64,
+        reliable_checkpoints: bool = False,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -105,7 +108,40 @@ class CrawlRun:
         # (test_skew_prune_equivalence).
         self.skew_prune: bool | str = skew_prune
         self.skew_prune_ratio = int(skew_prune_ratio)
-        self._n_hosts = robots.count() if skew_prune == "auto" else None
+        # skew-prune heuristic denominator: robots-table host count, an
+        # approximation of frontier host cardinality.  Computed LAZILY on
+        # first _step (memoized) so construction never triggers a Spark
+        # job (forget-only / never-dequeue usages pay nothing); results
+        # are identical either way (test_skew_prune_equivalence).
+        self._n_hosts_memo: int | None = None
+        # lineage truncation between waves: ``localCheckpoint`` keeps the
+        # truncation point on executors (fast; an executor loss replays
+        # from the last COMMITTED snapshot).  ``reliable_checkpoints=True``
+        # swaps in reliable ``checkpoint()`` to the cluster checkpoint dir
+        # (spark.sparkContext.setCheckpointDir — on a real cluster point
+        # it at the cluster FS) so lineage survives executor loss between
+        # commits too.
+        self.reliable_checkpoints = bool(reliable_checkpoints)
+        if reliable_checkpoints and spark.sparkContext.getCheckpointDir() is None:
+            import tempfile
+
+            spark.sparkContext.setCheckpointDir(
+                tempfile.mkdtemp(prefix="parsel_spark_ckpt_")
+            )
+
+    @property
+    def _n_hosts(self) -> int | None:
+        if self.skew_prune != "auto":
+            return None
+        if self._n_hosts_memo is None:
+            self._n_hosts_memo = self.robots.count()
+        return self._n_hosts_memo
+
+    def _truncate(self, df: DataFrame) -> DataFrame:
+        """Cut lineage so iterative plans cannot grow across waves."""
+        if self.reliable_checkpoints:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     @contextmanager
     def _static_planning(self):
@@ -297,10 +333,10 @@ class CrawlRun:
         # union is map-only; no repartition shuffle — partition count
         # stays bounded; lineage truncated so it cannot grow across waves
         # (materializes lazily inside the next wave's first action)
-        new_frontier = remaining.unionByName(
-            fr.new_frontier_rows(new_urls, wave)
-        ).localCheckpoint(eager=False)
-        new_host_state = new_host_state.localCheckpoint(eager=False)
+        new_frontier = self._truncate(
+            remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
+        )
+        new_host_state = self._truncate(new_host_state)
 
         log_delta = dequeued.select(
             F.lit(wave + 1).alias("wave"),

@@ -441,17 +441,21 @@ def _set_has_same_node(context: ExtensionContext, left: Any, right: Any) -> bool
 def _split_around(left: list, right: list, fname: str) -> tuple[list, list]:
     """(nodes before ref, nodes after ref) where ref is the first node of
     ``right`` in document order — the EXSLT set:leading/set:trailing
-    pivot.  Empty ``right`` keeps the whole first set (libxslt)."""
+    pivot.  Empty ``right`` keeps the whole first set (libxslt); a pivot
+    NOT contained in ``left`` yields the empty set, matching libxslt's
+    xmlXPathNodeLeadingSorted/TrailingSorted containment guard."""
     from ..dom import sort_document_order
 
     if not right:
         return list(left), list(left)
     ref = sort_document_order(list(right))[0]
-    merged = sort_document_order([*left, ref])
-    ref_index = next(i for i, n in enumerate(merged) if n is ref)
     left_ids = {id(n) for n in left}
-    before = [n for n in merged[:ref_index] if id(n) in left_ids]
-    after = [n for n in merged[ref_index + 1 :] if id(n) in left_ids and n is not ref]
+    if id(ref) not in left_ids:
+        return [], []
+    merged = sort_document_order(list(left))
+    ref_index = next(i for i, n in enumerate(merged) if n is ref)
+    before = merged[:ref_index]
+    after = merged[ref_index + 1 :]
     return before, after
 
 

@@ -148,6 +148,28 @@ def test_broadcast_gate_equivalence(spark, corpus, oracle_result, tmp_path) -> N
     assert engine_hashes == oracle.bloom_shard_hashes()
 
 
+def test_reliable_checkpoint_equivalence(
+    spark, corpus, oracle_result, tmp_path
+) -> None:
+    """reliable ``checkpoint()`` lineage truncation (the cluster-FS mode
+    for surviving executor loss between commits) must be byte-equivalent
+    to the default executor-local ``localCheckpoint``."""
+    pages, robots, seeds = corpus
+    oracle, oracle_metrics = oracle_result
+
+    catalog = SnapshotCatalog(str(tmp_path / "reliable"))
+    run = CrawlRun(
+        spark, catalog, pages, robots, num_shards=SHARDS,
+        checkpoint_interval=2, reliable_checkpoints=True,
+    )
+    run.initialize(seeds)
+    metrics = run.run(WAVES)
+
+    assert metrics == oracle_metrics
+    assert run.crawl_order() == oracle.crawl_order()
+    assert run.seen_set() == oracle.seen_set()
+
+
 def test_skew_prune_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
     """Forced salted pre-pruning and forced single-window dequeue must
     produce identical crawl order / seen set / metrics — the salt pass

@@ -144,7 +144,9 @@ class TestDedupSpark:
         docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
         blocked = {
             (r["doc_a"], r["doc_b"]): r["jac"]
-            for r in jaccard_pairs(docs, threshold=0.5).collect()
+            for r in jaccard_pairs(
+                docs, threshold=0.5, block_col="source"
+            ).collect()
         }
         lsh = {
             (r["doc_a"], r["doc_b"]): r["jac"]
@@ -154,6 +156,33 @@ class TestDedupSpark:
         assert lsh[(7, 100)] == blocked[(7, 100)]  # same exact-jac verify
         assert set(lsh) <= set(blocked)  # LSH candidates, exactly verified
         assert all(a != 101 and b != 101 for a, b in lsh)
+
+    def test_blocked_mode_warns_on_low_block_cardinality(self, spark) -> None:
+        """The quadratic-within-block trap: a blocking key whose
+        cardinality is a tiny fraction of the row count must raise a
+        RuntimeWarning steering users to the LSH default (block_col=None
+        — which must NOT warn)."""
+        import warnings
+
+        from parsel_spark.operators.dedup import jaccard_pairs
+
+        rows = [(i, "only-block", f"word{i} word{i + 1}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        with pytest.warns(RuntimeWarning, match="quadratic"):
+            jaccard_pairs(docs, threshold=0.9, block_col="source")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            jaccard_pairs(docs, threshold=0.9)  # LSH default: no warning
+
+    def test_embedding_blocked_mode_warns(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        one_label = emb.withColumn("label", F.lit("all"))
+        with pytest.warns(RuntimeWarning, match="block_col=None"):
+            embedding_near_dup_pairs(one_label, threshold=0.99, block_col="label")
 
     def test_embedding_near_dup_lsh_mode(self, spark) -> None:
         """block_col=None uses hyperplane-LSH buckets as the join key;

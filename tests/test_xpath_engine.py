@@ -207,6 +207,18 @@ class TestExsltSets:
             'set:trailing(//li/text(), //li[@class="b"]/text())'
         ).getall() == ["4"]
 
+    def test_leading_pivot_not_contained_yields_empty(self) -> None:
+        # libxslt xmlXPathNodeLeadingSorted containment guard: when the
+        # pivot (first node of the second set) is not IN the first set,
+        # the result is empty — not the doc-order preceding subset.
+        sel = self.sel()
+        assert sel.xpath(
+            'set:leading(//li[@class="a"], //li[@class="b"])'
+        ).getall() == []
+        assert sel.xpath(
+            'set:trailing(//li[@class="a"], //li[@class="b"])'
+        ).getall() == []
+
     def test_leading_empty_second_set_keeps_first(self) -> None:
         got = self.sel().xpath(
             'set:leading(//li/text(), //nope)'
