@@ -291,9 +291,15 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit simhash near-dup (two md5-segment lanes): k+1=7 bands of
+    ≥17 bits, so band-bucket cardinality stays ~2^17 at billions of
+    docs (the 60-bit fingerprint's k=6 bands are 8-9 bits ⇒ ≤512
+    buckets — oracle-correct but not scale-safe)."""
     from parsel_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=6, bits=120
+    )
 
 
 def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,30 +819,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # -- simhash: DuckDB recomputes the exact 60-bit simhashes (same
-    # md5-based bit votes as operators/dedup.simhash_expr) and states the
-    # ALL-PAIRS ground truth — the banded-LSH Spark plan must recall
-    # every pair (pigeonhole guarantee, bands = max_hamming+1)
-    sql["doc_simhash_pairs"] = """
-        WITH h AS (
-            SELECT doc_id,
-                   list_transform(string_split_regex(lower(trim(text)), ' +'),
-                                  w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)
-                       AS hs
-            FROM documents
-        ), s AS (
-            SELECT doc_id,
+    # -- simhash: DuckDB recomputes the exact 120-bit simhashes (two
+    # independent 60-bit md5-segment vote lanes, same bit votes as
+    # operators/dedup.simhash_expr(seg=0/1)) and states the ALL-PAIRS
+    # ground truth — the banded-LSH Spark plan must recall every pair
+    # (pigeonhole guarantee, bands = max_hamming+1)
+    def _simhash_lane(hex_start: int) -> str:
+        return f"""
                    list_sum(list_transform(range(60), b ->
-                       CASE WHEN list_sum(list_transform(hs,
+                       CASE WHEN list_sum(list_transform(
+                                 list_transform(
+                                     string_split_regex(lower(trim(text)), ' +'),
+                                     w -> ('0x' || substr(md5(w), {hex_start}, 15))::BIGINT),
                                  h -> 2 * ((h >> b) & 1) - 1)) >= 0
                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                   ))::BIGINT AS sh
-            FROM h
+                   ))::BIGINT"""
+
+    sql["doc_simhash_pairs"] = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {_simhash_lane(1)} AS sh1,
+                   {_simhash_lane(16)} AS sh2
+            FROM documents
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+               CAST(bit_count(xor(a.sh1, b.sh1))
+                    + bit_count(xor(a.sh2, b.sh2)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        WHERE bit_count(xor(a.sh1, b.sh1)) + bit_count(xor(a.sh2, b.sh2)) <= 6
     """
 
     # -- minhash-LSH: DuckDB recomputes the exact signatures (md5 base

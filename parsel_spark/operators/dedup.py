@@ -353,21 +353,25 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 
 
-def simhash_expr(text_col: str = "text"):
-    """60-bit simhash as ONE Spark SQL expression: word hashes are the
-    first 60 bits of md5 (``md5_hash60``), each word (with multiplicity)
-    votes ±1 per bit, bit b of the result is 1 iff the vote sum is ≥ 0.
+def simhash_expr(text_col: str = "text", seg: int = 0):
+    """60-bit simhash as ONE Spark SQL expression: word hashes are 60
+    bits of md5 (hex chars ``1 + 15*seg`` .. ``15 + 15*seg``), each word
+    (with multiplicity) votes ±1 per bit, bit b of the result is 1 iff
+    the vote sum is ≥ 0.  ``seg=0`` is the classic 60-bit simhash
+    (``md5_hash60`` word hashes); ``seg=1`` is the second independent
+    60-bit lane of the 120-bit fingerprint (``simhash120_col``).
 
     Entirely JVM-side (no Python in the hot path) AND reproducible by
     an independent SQL engine — the DuckDB oracle computes the same
     value from the same text, which is the hard correctness gate the
     previous siphash pandas-UDF variant could not have."""
+    hex_start = 1 + 15 * seg
     return F.expr(
         f"""
         aggregate(
           transform(
             split(lower(trim({text_col})), ' +'),
-            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint)
+            w -> cast(conv(substring(md5(w), {hex_start}, 15), 16, 10) AS bigint)
           ),
           array_repeat(cast(0 AS bigint), {SIMHASH_BITS}),
           (acc, h) -> zip_with(
@@ -415,6 +419,53 @@ def simhash_col(text_col: str = "text"):
     return F.pandas_udf(_simhash60_batch, "long")(F.col(text_col))
 
 
+def _simhash120_batch(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-batched 120-bit simhash: TWO independent 60-bit vote lanes
+    from one md5 per word — lane 1 over md5 hex chars 1–15 (identical
+    to ``_simhash60_batch``), lane 2 over chars 16–30.  Values are
+    bit-identical to ``simhash_expr(seg=0/1)`` (cross-checked in
+    tests); one C md5 + one numpy broadcast per document computes both
+    lanes."""
+    import re as _re
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    mask60 = (1 << 60) - 1
+    sh1_out: list[int | None] = []
+    sh2_out: list[int | None] = []
+    for text in texts:
+        if text is None:
+            sh1_out.append(None)
+            sh2_out.append(None)
+            continue
+        words = _re.split(" +", text.lower().strip(" "))
+        digests = [hashlib.md5(w.encode("utf-8")).digest() for w in words]
+        seg1 = np.fromiter(
+            (int.from_bytes(d[:8], "big") >> 4 for d in digests),
+            dtype=np.int64,
+            count=len(digests),
+        )
+        # hex chars 16-30 == nibbles 15-29 of the big-endian digest
+        seg2 = np.fromiter(
+            ((int.from_bytes(d, "big") >> 8) & mask60 for d in digests),
+            dtype=np.int64,
+            count=len(digests),
+        )
+        for seg, out in ((seg1, sh1_out), (seg2, sh2_out)):
+            bits = (seg[:, None] >> shifts[None, :]) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            out.append(int(((votes >= 0).astype(np.int64) << shifts).sum()))
+    return pd.DataFrame({"sh1": sh1_out, "sh2": sh2_out})
+
+
+def simhash120_col(text_col: str = "text"):
+    """``STRUCT<sh1: BIGINT, sh2: BIGINT>`` — the 120-bit fingerprint
+    as two 60-bit md5-segment lanes (the scale path: at billions of
+    docs, 120 bits keeps the hamming-LSH bands ≥ ~17 bits wide at k=6
+    instead of ~8, so band-bucket cardinality stays ~2^17 and the
+    candidate join cannot degenerate toward all-pairs)."""
+    return F.pandas_udf(_simhash120_batch, "sh1 long, sh2 long")(F.col(text_col))
+
+
 def simhash_band_widths(max_hamming: int, bits: int = SIMHASH_BITS) -> list[int]:
     """Chunk widths for hamming-LSH blocking: ``max_hamming + 1`` bands
     (pigeonhole: ≤ k bit errors cannot touch all k+1 bands, so at least
@@ -426,37 +477,71 @@ def simhash_band_widths(max_hamming: int, bits: int = SIMHASH_BITS) -> list[int]
     return [base + 1] * rem + [base] * (bands - rem)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _chunk120(sh1, sh2, offset: int, width: int):
+    """Bits ``offset .. offset+width-1`` of the 120-bit fingerprint
+    (sh1 = bits 0–59, sh2 = bits 60–119) as one BIGINT — bands that
+    straddle the 60-bit lane boundary splice both lanes."""
+    if offset + width <= 60:
+        return F.shiftrightunsigned(sh1, offset).bitwiseAND(F.lit((1 << width) - 1))
+    if offset >= 60:
+        return F.shiftrightunsigned(sh2, offset - 60).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+    lo = 60 - offset
+    low_part = F.shiftrightunsigned(sh1, offset).bitwiseAND(F.lit((1 << lo) - 1))
+    high_part = sh2.bitwiseAND(F.lit((1 << (width - lo)) - 1))
+    return low_part.bitwiseOR(F.shiftleft(high_part, lo))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 120
+) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ k.
 
     Candidate blocking derives the band count FROM k: ``k+1`` bands of
-    ~``60/(k+1)`` bits, so the pigeonhole recall guarantee holds for
+    ~``bits/(k+1)`` bits, so the pigeonhole recall guarantee holds for
     any ``max_hamming`` (round-1 shipped fixed 4×16-bit chunks, whose
     guarantee silently broke above k=3 — 35% of true pairs missed at
-    k=6).  For corpora where ``60/(k+1)``-bit bands get too coarse
-    (billions of docs), widen the fingerprint (e.g. two md5 segments →
-    120 bits) rather than shrinking k."""
-    widths = simhash_band_widths(max_hamming)
+    k=6).
+
+    ``bits`` picks the fingerprint width: 120 (DEFAULT — two md5
+    segments, ``simhash120_col``) keeps bands ≥ ~17 bits wide at k=6,
+    i.e. ~2^17 distinct band values, so candidate-bucket sizes stay
+    ~N/2^17 at billions of docs; the classic 60-bit fingerprint at k=6
+    leaves ~8-bit bands (≤512 buckets — degenerates toward all-pairs
+    at scale) and is kept for parity/compat."""
+    if bits not in (60, 120):
+        raise ValueError(f"bits must be 60 or 120, got {bits}")
+    widths = simhash_band_widths(max_hamming, bits=bits)
     assert len(widths) >= max_hamming + 1  # pigeonhole recall guard
     offsets = [sum(widths[:c]) for c in range(len(widths))]
-    # simhash_col = Arrow/numpy twin of simhash_expr (identical values,
-    # ~3× faster than the interpreted 60-lambda vote expression)
-    hashed = docs.select("doc_id", simhash_col().alias("sh"))
+    # simhash{,120}_col = Arrow/numpy twins of simhash_expr(seg=0/1)
+    # (identical values, ~3× faster than the interpreted 60-lambda vote
+    # expression)
+    if bits == 60:
+        hashed = docs.select("doc_id", simhash_col().alias("sh1"))
+        sh_cols = ["sh1"]
+        chunk_exprs = [
+            F.shiftrightunsigned("sh1", offsets[c]).bitwiseAND(
+                F.lit((1 << widths[c]) - 1)
+            )
+            for c in range(len(widths))
+        ]
+    else:
+        hashed = docs.select(
+            "doc_id", simhash120_col().alias("s")
+        ).select("doc_id", F.col("s.sh1").alias("sh1"), F.col("s.sh2").alias("sh2"))
+        sh_cols = ["sh1", "sh2"]
+        chunk_exprs = [
+            _chunk120(F.col("sh1"), F.col("sh2"), offsets[c], widths[c])
+            for c in range(len(widths))
+        ]
     # shuffle barrier: one simhash pass + ReusedExchange on self-join
     hashed = hashed.repartition(F.col("doc_id"))
     chunks = hashed.select(
         "doc_id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sh", offsets[c]).bitwiseAND(
-                        F.lit((1 << widths[c]) - 1)
-                    )
-                    for c in range(len(widths))
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        *sh_cols,
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     left = chunks.alias("a")
     right = chunks.alias("b")
@@ -470,12 +555,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in sh_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in sh_cols],
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    hamming = F.bit_count(F.col("sh1_a").bitwiseXOR(F.col("sh1_b"))).cast("long")
+    if bits == 120:
+        hamming = hamming + F.bit_count(
+            F.col("sh2_a").bitwiseXOR(F.col("sh2_b"))
+        ).cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -74,7 +74,10 @@ class TestDedupSpark:
         assert (7, 100) in found
         assert all(a != 101 and b != 101 for a, b in found)
 
-    def test_simhash_hamming_close_for_near_dups(self, spark) -> None:
+    @pytest.mark.parametrize("bits,max_hamming", [(60, 6), (120, 12)])
+    def test_simhash_hamming_close_for_near_dups(
+        self, spark, bits, max_hamming
+    ) -> None:
         from parsel_spark.operators.dedup import simhash_pairs
 
         base = " ".join(f"word{i}" for i in range(60))
@@ -84,19 +87,21 @@ class TestDedupSpark:
             (2, " ".join(f"other{i}" for i in range(60))),
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        pairs = simhash_pairs(docs, max_hamming=6).collect()
+        pairs = simhash_pairs(docs, max_hamming=max_hamming, bits=bits).collect()
         found = {(r["doc_a"], r["doc_b"]) for r in pairs}
         assert (0, 1) in found
         assert (0, 2) not in found and (1, 2) not in found
 
-    @pytest.mark.parametrize("max_hamming", [3, 6, 9])
+    @pytest.mark.parametrize(
+        "max_hamming,bits", [(3, 60), (6, 60), (9, 60), (6, 120), (9, 120)]
+    )
     def test_simhash_banded_recall_equals_bruteforce(
-        self, spark, max_hamming
+        self, spark, max_hamming, bits
     ) -> None:
         """The banded-LSH plan must recall EVERY pair the all-pairs
         ground truth contains (round-1 regression: fixed 4×16-bit bands
         silently lost the pigeonhole guarantee above k=3 and missed 35%
-        of true pairs at k=6)."""
+        of true pairs at k=6) — at BOTH fingerprint widths."""
         from pyspark.sql import functions as F
 
         from parsel_spark.operators.dedup import simhash_expr, simhash_pairs
@@ -104,28 +109,77 @@ class TestDedupSpark:
         docs = spark.read.parquet(
             "/root/testdata/sf0.001/documents.parquet"
         ).select("doc_id", "text")
-        hashed = docs.select("doc_id", simhash_expr().alias("sh")).cache()
+        hashed = docs.select(
+            "doc_id",
+            simhash_expr().alias("sh1"),
+            simhash_expr(seg=1).alias("sh2"),
+        ).cache()
         a, b = hashed.alias("a"), hashed.alias("b")
+        ham = F.bit_count(F.col("a.sh1").bitwiseXOR(F.col("b.sh1"))).cast("long")
+        if bits == 120:
+            ham = ham + F.bit_count(
+                F.col("a.sh2").bitwiseXOR(F.col("b.sh2"))
+            ).cast("long")
         truth = {
             (r["doc_a"], r["doc_b"], r["hamming"])
             for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-                .cast("long")
-                .alias("hamming"),
+                ham.alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
             .collect()
         }
         banded = {
             (r["doc_a"], r["doc_b"], r["hamming"])
-            for r in simhash_pairs(docs, max_hamming=max_hamming).collect()
+            for r in simhash_pairs(
+                docs, max_hamming=max_hamming, bits=bits
+            ).collect()
         }
         hashed.unpersist()
         assert truth, "fixture must plant at least one near-dup pair"
         assert banded == truth  # zero missed pairs, zero extras
+
+    def test_simhash120_band_width_scale_guard(self) -> None:
+        """At the driver query's k=6, the 120-bit fingerprint must keep
+        every band ≥ 12 bits wide (≥ 4096 distinct band values) — the
+        scale guarantee the 60-bit fingerprint cannot give (its k=6
+        bands are 8-9 bits ⇒ ≤512 buckets ⇒ near-all-pairs at 10^9
+        docs)."""
+        from parsel_spark.operators.dedup import simhash_band_widths
+
+        widths_120 = simhash_band_widths(6, bits=120)
+        assert len(widths_120) == 7 and sum(widths_120) == 120
+        assert min(widths_120) >= 12
+        assert min(simhash_band_widths(6, bits=60)) < 12  # why 120 exists
+
+    def test_simhash120_udf_equals_expressions(self, spark) -> None:
+        """The Arrow 120-bit twin must be BIT-IDENTICAL per lane to the
+        SQL-expressible definitions the DuckDB oracle replays."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.dedup import simhash120_col, simhash_expr
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        extra = spark.createDataFrame(
+            [(9001, ""), (9002, "  padded  words  "), (9003, "ONE")],
+            "doc_id long, text string",
+        )
+        both = (
+            docs.select("doc_id", "text")
+            .unionByName(extra)
+            .select(
+                "doc_id",
+                simhash120_col().alias("udf"),
+                simhash_expr().alias("e1"),
+                simhash_expr(seg=1).alias("e2"),
+            )
+        )
+        bad = both.filter(
+            (F.col("udf.sh1") != F.col("e1")) | (F.col("udf.sh2") != F.col("e2"))
+        ).count()
+        assert bad == 0
 
     def test_jaccard_lsh_mode_finds_planted_near_dups(self, spark) -> None:
         """block_col=None routes candidates through MinHash banding (the
