@@ -383,32 +383,32 @@ def q_emb_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """css-extract + canonicalize the planted links; output must equal
-    the closed-form target set."""
-    from parsel_spark.functions.canonical import canonicalize_udf
-    from parsel_spark.functions.udfs import css_getall
+    the closed-form target set.  Uses the FUSED parse+select+resolve+
+    canonicalize UDF (one ArrowEvalPython hop — the loop's hot path;
+    round 2 paid two Python hops here: css_getall, explode, then a
+    second canonicalize pass)."""
+    from parsel_spark.functions.udfs import extract_canonical_links
 
     docs = _read(spark, sf_dir, "documents")
     pages = _doc_pages(docs)
-    return (
-        pages.select(
-            "doc_id", F.explode(css_getall("html", "a::attr(href)")).alias("href")
-        )
-        .select("doc_id", canonicalize_udf("href").alias("url"))
+    return pages.select(
+        "doc_id",
+        F.explode(extract_canonical_links("html", "url")).alias("url"),
     )
 
 
 def q_crawl_frontier_wave1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wave-1 frontier: links of the seed docs, deduped, minus the
     already-seen seed URLs (bloom-style prefilter + exact anti-join)."""
-    from parsel_spark.functions.canonical import canonicalize_udf
-    from parsel_spark.functions.udfs import css_getall
+    from parsel_spark.functions.udfs import extract_canonical_links
 
     docs = _read(spark, sf_dir, "documents")
     seeds = docs.filter(F.col("doc_id") < N_SEED_DOCS)
     pages = _doc_pages(seeds, corpus=docs)
     links = (
-        pages.select(F.explode(css_getall("html", "a::attr(href)")).alias("href"))
-        .select(canonicalize_udf("href").alias("url"))
+        pages.select(
+            F.explode(extract_canonical_links("html", "url")).alias("url")
+        )
         .dropDuplicates(["url"])
     )
     seed_urls = seeds.select(_doc_url(F.col("doc_id")).alias("url"))
@@ -439,19 +439,21 @@ def q_selector_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_selector_drop_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document mutation: drop the middle anchor (``a.l1``) from each
-    page, re-serialize, re-extract — output must be exactly the planted
-    links for j ∈ {0, 2} (tests drop + serialization + reparse E2E)."""
-    from parsel_spark.functions.canonical import canonicalize_udf
-    from parsel_spark.functions.udfs import css_getall, drop_matching
+    page, then extract + canonicalize — output must be exactly the
+    planted links for j ∈ {0, 2} (tests drop + reselection E2E).  The
+    drop+select+resolve+canonicalize pipeline is FUSED into one pandas
+    UDF pass (one ArrowEvalPython hop; round 2 paid three: drop UDF,
+    css_getall UDF, canonicalize UDF)."""
+    from parsel_spark.functions.udfs import extract_canonical_links
 
     docs = _read(spark, sf_dir, "documents")
     pages = _doc_pages(docs)
-    rewritten = pages.select(
-        "doc_id", drop_matching("html", "a.l1").alias("html")
+    return pages.select(
+        "doc_id",
+        F.explode(
+            extract_canonical_links("html", "url", drop_css="a.l1")
+        ).alias("url"),
     )
-    return rewritten.select(
-        "doc_id", F.explode(css_getall("html", "a::attr(href)")).alias("href")
-    ).select("doc_id", canonicalize_udf("href").alias("url"))
 
 
 def q_selector_jmespath(spark: SparkSession, sf_dir: str) -> DataFrame:

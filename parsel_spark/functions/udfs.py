@@ -272,20 +272,26 @@ def extract_links(column: Column | str) -> Column:
 
 
 def extract_canonical_links(
-    html_column: Column | str, base_url_column: Column | str
+    html_column: Column | str,
+    base_url_column: Column | str,
+    drop_css: str | None = None,
 ) -> Column:
-    """FUSED hot path: parse + ``a::attr(href)`` + resolve-against-base +
-    RFC-3986 canonicalization in ONE pandas UDF pass, returning
-    ``ARRAY<STRING>`` of canonical URLs.
+    """FUSED hot path: parse + [optional ``drop_css`` node removal] +
+    ``a::attr(href)`` + resolve-against-base + RFC-3986 canonicalization
+    in ONE pandas UDF pass, returning ``ARRAY<STRING>`` of canonical
+    URLs.
 
     Fusion matters at scale: the unfused plan round-trips every exploded
     href JVM→Python→JVM for the resolve UDF — at ~12 links/page that is
     an order of magnitude more Arrow traffic than the pages themselves.
-    Here only the final canonical array crosses the boundary once.
+    Here only the final canonical array crosses the boundary once, and
+    the explained plan shows a single ArrowEvalPython node.
     """
     from .canonical import resolve_url
 
     compile_css("a::attr(href)", "html")
+    if drop_css is not None:
+        compile_css(drop_css, "html")
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _udf(payloads: pd.Series, bases: pd.Series) -> pd.Series:
@@ -296,6 +302,16 @@ def extract_canonical_links(
                 out.append([])
                 continue
             try:
+                if drop_css is not None:
+                    # drop, then round-trip through the serializer and
+                    # re-parse (still ONE Python hop): keeps the driver
+                    # query an E2E check of drop + serialization +
+                    # reparse, not just in-tree mutation
+                    sel.css(drop_css).drop()
+                    sel = _make_selector(sel.get(), None)
+                    if sel is None:
+                        out.append([])
+                        continue
                 hrefs = sel.css("a::attr(href)").getall()
                 resolved = []
                 for href in hrefs:

@@ -158,3 +158,36 @@ def test_image_payload_invariants(spark, pages) -> None:
         else:
             assert value >= 40.0
         assert row["alt"] == row["caption"]  # caption byte-equality
+
+
+def test_fused_extract_drop_css_single_python_hop(spark, pages) -> None:
+    """extract_canonical_links(drop_css=...) must (a) equal the unfused
+    drop → serialize → reparse → select → canonicalize pipeline
+    row-for-row and (b) compile to ONE ArrowEvalPython node (the fusion
+    is the point: one JVM→Python round-trip per page, not three)."""
+    from parsel_spark.functions.canonical import resolve_url
+    from parsel_spark.functions.udfs import extract_canonical_links
+
+    fused = pages.select(
+        "url",
+        extract_canonical_links("html", "url", drop_css="a:first-child").alias(
+            "links"
+        ),
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+    got = {r["url"]: list(r["links"]) for r in fused.collect()}
+    for row in pages.select("url", "html").collect():
+        sel = Selector(text=row["html"])
+        sel.css("a:first-child").drop()
+        reparsed = Selector(text=sel.get())
+        expected = [
+            u
+            for u in (
+                resolve_url(row["url"], h)
+                for h in reparsed.css("a::attr(href)").getall()
+            )
+            if u is not None
+        ]
+        assert got[row["url"]] == expected
