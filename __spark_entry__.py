@@ -931,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
         )
 
+    # multi-probe: the query bucket plus its hamming-1 neighbors (one
+    # bucket-bit away = just across one hyperplane) — replays the Spark
+    # plan's bit_count(xor) <= 1 probe-set predicate
     sql["emb_knn_lsh"] = f"""
         WITH planes(p, vec) AS (
             VALUES {plane_rows}
@@ -947,7 +950,8 @@ def oracle_sql() -> dict[str, str]:
                round({_dot("b.embedding", "q.qe")}
                      / ({_norm("b.embedding")} * {_norm("q.qe")}), 4) AS sim
         FROM b, q
-        WHERE b.bucket = q.qb AND b.vec_id != 0
+        WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 1
+          AND b.vec_id != 0
         ORDER BY sim DESC, vec_id ASC
         LIMIT 10
     """

@@ -91,22 +91,33 @@ def knn_lsh(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 4,
+    max_probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k via hyperplane LSH with MULTI-PROBE: score
+    vectors whose bucket is within hamming distance ``max_probe_hamming``
+    of the query's bucket (0 = classic single-bucket probing).
 
-    With B buckets this scans ~N/B vectors; recall is tested against the
-    brute-force baseline."""
+    Single-bucket probing has a recall cliff when the query sits near a
+    hyperplane — its true neighbors land just across that plane, one
+    bucket-bit away.  Probing the query bucket plus its ``n_planes``
+    hamming-1 neighbors scans ~N·(1+planes)/2^planes vectors (still a
+    pruned scan at scale: with the bucket id as the storage partition
+    key this reads 1+planes of 2^planes partitions) and recovers
+    exactly those across-one-plane neighbors; recall vs brute force is
+    pinned in tests."""
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     query = bucketed.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("query_embedding"),
         F.col("bucket").alias("query_bucket"),
     )
+    probe_dist = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.col("query_bucket")).cast("long")
+    )
     scored = (
         bucketed.crossJoin(F.broadcast(query))
         .filter(
-            (F.col("bucket") == F.col("query_bucket"))
-            & (F.col("vec_id") != query_id)
+            (probe_dist <= max_probe_hamming) & (F.col("vec_id") != query_id)
         )
         .select(
             "vec_id",
@@ -263,6 +274,36 @@ def ivf_index(
     return assigned, centroids
 
 
+def build_ivf_index(
+    catalog,
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    name: str = "ivf",
+):
+    """Build the IVF coarse quantizer ONCE and persist it through the
+    snapshot catalog (``{name}_assigned`` + ``{name}_centroids`` tables)
+    — at scale the index is built at ingest cadence and PROBED at query
+    cadence; rebuilding k-means per query (what the oracle-replay query
+    does) is wrong at 100 TB.  Returns the committed snapshot."""
+    assigned, centroids = ivf_index(embeddings, n_centroids, iters)
+    return catalog.commit(
+        wave=0,
+        tables={f"{name}_assigned": assigned, f"{name}_centroids": centroids},
+        metrics={"n_centroids": n_centroids, "iters": iters},
+    )
+
+
+def load_ivf_index(
+    spark, catalog, name: str = "ivf"
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) as committed by ``build_ivf_index``."""
+    return (
+        catalog.read_table(spark, f"{name}_assigned"),
+        catalog.read_table(spark, f"{name}_centroids"),
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_id: int,
@@ -271,12 +312,21 @@ def knn_ivf(
     n_probe: int = 4,
     iters: int = 2,
     round_to: int = 4,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via the IVF index: score only vectors whose
     cluster is among the ``n_probe`` centroids nearest the query.  With
     C clusters and p probes this scans ~N·p/C vectors; recall is tested
-    against the brute-force baseline."""
-    assigned, centroids = ivf_index(embeddings, n_centroids, iters)
+    against the brute-force baseline.
+
+    ``index=(assigned, centroids)`` probes a PREBUILT index (see
+    ``build_ivf_index``/``load_ivf_index``) without re-running k-means —
+    the scale path; omitted, the index is built inline (the
+    self-contained, oracle-replayable form)."""
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids = ivf_index(embeddings, n_centroids, iters)
     query = embeddings.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("query_embedding")
     )

@@ -350,6 +350,89 @@ class TestSimilaritySpark:
         assert len(approx_ids & exact) >= 1
         assert all(r["sim"] <= 1.0 for r in approx)
 
+    def test_lsh_multiprobe_pinned_recall(self, spark) -> None:
+        """Multi-probe (hamming-1 neighbor buckets) vs single-bucket
+        probing, PINNED: everything here is deterministic (fixed planes,
+        fixed data), so the bounds are exact floors, not noise-bounded.
+        Single-probe exhausts the query bucket (returned 4/10 rows for
+        vec 0 at sf0.001) and its summed recall@10 over three queries is
+        0.1; multi-probe must fill k and dominate per-query."""
+        from parsel_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        single_sum = multi_sum = 0.0
+        for qid in (0, 1, 7):
+            exact = {r["vec_id"] for r in knn_bruteforce(emb, qid, k=10).collect()}
+            single = {
+                r["vec_id"]
+                for r in knn_lsh(emb, qid, k=10, max_probe_hamming=0).collect()
+            }
+            multi = {
+                r["vec_id"]
+                for r in knn_lsh(emb, qid, k=10, max_probe_hamming=1).collect()
+            }
+            assert len(multi) == 10  # probe set can always fill k here
+            assert len(multi & exact) >= len(single & exact)
+            single_sum += len(single & exact) / 10
+            multi_sum += len(multi & exact) / 10
+        assert multi_sum >= 0.7  # measured 0.8; floor with slack
+        assert multi_sum > single_sum  # the cliff single-probe pays
+
+    def test_lsh_multiprobe_planted_twins_guaranteed(self, spark) -> None:
+        """Exact twins of the query share its bucket bit-for-bit, so ANY
+        probe set containing the query bucket must recall them all."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.similarity import knn_lsh
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        planted = emb
+        for i in range(5):
+            planted = planted.unionByName(
+                emb.filter(F.col("vec_id") == 0).withColumn(
+                    "vec_id", F.lit(10000 + i)
+                )
+            )
+        got = knn_lsh(planted, 0, k=10).collect()
+        ids = {r["vec_id"] for r in got}
+        sims = {r["vec_id"]: r["sim"] for r in got}
+        for i in range(5):
+            assert 10000 + i in ids
+            assert sims[10000 + i] == 1.0
+
+    def test_ivf_persisted_index_probe_equals_rebuild(
+        self, spark, tmp_path
+    ) -> None:
+        """build_ivf_index → snapshot catalog → load_ivf_index →
+        knn_ivf(index=...) must return EXACTLY the inline-rebuild
+        results (the k-means is deterministic, so parquet round-tripping
+        the index is invisible) — without re-running k-means."""
+        from parsel_spark.operators.similarity import (
+            build_ivf_index,
+            knn_ivf,
+            load_ivf_index,
+        )
+        from parsel_spark.sources.snapshots import SnapshotCatalog
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        catalog = SnapshotCatalog(str(tmp_path / "ivf"))
+        build_ivf_index(catalog, emb, n_centroids=16, iters=2)
+        index = load_ivf_index(spark, catalog)
+
+        rebuilt = knn_ivf(emb, 0, k=10).collect()
+        probed = knn_ivf(emb, 0, k=10, index=index).collect()
+        assert [tuple(r) for r in probed] == [tuple(r) for r in rebuilt]
+
+        # probe-only plan contains no aggregation (the k-means update's
+        # groupBy) — the index really is reused, not recomputed
+        plan = (
+            knn_ivf(emb, 0, k=10, index=index)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Aggregate" not in plan
+
 
 class TestStreaming:
     def test_politeness_stream_state(self, spark, tmp_path) -> None:
