@@ -475,6 +475,45 @@ def q_selector_jmespath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming variant of crawl_extract_links: the SAME
+    planted-link corpus flows readStream → fused extract/canonicalize
+    UDF → watermarked streaming dedup → parquet sink (availableNow
+    micro-batch); the materialized sink must equal the closed-form
+    DISTINCT planted-target set — a full value-level oracle for the
+    streaming pipeline, not a rows-only check."""
+    import tempfile
+
+    from parsel_spark.streaming.stream_crawl import (
+        extract_link_stream,
+        read_page_stream,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _doc_pages(docs).select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        "html",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("fetched_at"),
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_q_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    pages.write.mode("overwrite").parquet(in_dir)
+    stream = extract_link_stream(read_page_stream(spark, in_dir))
+    query = (
+        stream.select("url")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """murmur3 sharding + xxhash64 keying of canonical URLs (the
     seen-set key path); oracle checks shard balance via counts."""
@@ -552,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
         "img_phash_near_dup": q_img_phash_near_dup,
+        "stream_extract_links": q_stream_extract_links,
     }
 
 
@@ -784,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["crawl_extract_links"] = _oracle_doc_targets()
+
+    # streaming variant: watermarked dedup ⇒ the DISTINCT target set
+    sql["stream_extract_links"] = (
+        f"SELECT DISTINCT url FROM ({_oracle_doc_targets()})"
+    )
 
     sql["selector_drop_rewrite"] = _oracle_doc_targets("(0),(2)")
 

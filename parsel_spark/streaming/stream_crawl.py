@@ -19,9 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.canonical import resolve_udf
-from ..functions.udfs import css_getall
-from ..operators.frontier import TOKEN_CAP
+from ..functions.udfs import extract_canonical_links
+from ..operators.frontier import (
+    INITIAL_TOKENS,
+    MAX_FETCH_CAP,
+    TOKEN_CAP,
+)
 
 
 def read_page_stream(
@@ -36,26 +39,37 @@ def read_page_stream(
 
 def extract_link_stream(pages: DataFrame) -> DataFrame:
     """Streaming link extraction + canonicalization + per-watermark
-    dedup.  ``dropDuplicatesWithinWatermark`` bounds the dedup state —
-    the global exact seen-set still lives in the snapshot tables and is
+    dedup, via the SAME fused parse+select+resolve+canonicalize pandas
+    UDF the batch wave runs (one Python hop per page).
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state — the
+    global exact seen-set still lives in the snapshot tables and is
     applied by the batch join of each micro-run's output."""
     links = pages.withWatermark("fetched_at", "10 minutes").select(
-        F.col("url").alias("src_url"),
         "fetched_at",
-        F.explode(css_getall("html", "a::attr(href)")).alias("href"),
+        F.explode(extract_canonical_links("html", "url")).alias("url"),
     )
-    resolved = links.select(
-        resolve_udf("src_url", "href").alias("url"), "fetched_at"
-    ).filter(F.col("url").isNotNull())
-    return resolved.withColumn(
+    return links.withColumn(
         "url_hash", F.xxhash64("url")
     ).dropDuplicatesWithinWatermark(["url"])
 
 
-def politeness_stream(pages: DataFrame, crawl_delay_s: float = 1.0) -> DataFrame:
+def politeness_stream(
+    pages: DataFrame,
+    crawl_delay_s: float = 1.0,
+    max_fetch_per_batch: int | None = None,
+) -> DataFrame:
     """Stateful per-host token bucket over a page-request stream
     (``applyInPandasWithState``): emits the requests each host may fetch
-    now; carries the token balance as GroupState."""
+    now; carries the token balance as GroupState.
+
+    Batch parity (the wave loop is the oracle-exact reference; tests
+    assert this gate reproduces ``politeness_dequeue`` on identical
+    input): per trigger the bucket refills once by ``1/crawl_delay``
+    (per-host ``crawl_delay`` / ``max_fetch_per_wave`` input columns
+    override the defaults), candidates are ranked by the SAME
+    ``(priority DESC, seq, url_hash, url)`` total order when those
+    columns are present (arrival order otherwise), and the admit count
+    is ``min(floor(tokens), max_fetch, |candidates|, MAX_FETCH_CAP)``."""
 
     out_schema = "host string, url string, allowed boolean"
     state_schema = "tokens double"
@@ -66,24 +80,37 @@ def politeness_stream(pages: DataFrame, crawl_delay_s: float = 1.0) -> DataFrame
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
-        tokens = state.get[0] if state.exists else 1.0
-        tokens = min(TOKEN_CAP, tokens + 1.0 / crawl_delay_s)
-        out = []
-        for pdf in batches:
-            allowed = []
-            for _ in range(len(pdf)):
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    allowed.append(True)
-                else:
-                    allowed.append(False)
-            out.append(
-                pd.DataFrame(
-                    {"host": host, "url": pdf["url"], "allowed": allowed}
-                )
-            )
+        tokens = state.get[0] if state.exists else INITIAL_TOKENS
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            state.update((tokens,))
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        delay = (
+            float(pdf["crawl_delay"].iloc[0])
+            if "crawl_delay" in pdf.columns
+            else crawl_delay_s
+        )
+        max_fetch = (
+            int(pdf["max_fetch_per_wave"].iloc[0])
+            if "max_fetch_per_wave" in pdf.columns
+            else (max_fetch_per_batch or MAX_FETCH_CAP)
+        )
+        tokens = min(TOKEN_CAP, tokens + 1.0 / delay)
+        order_cols = [c for c in ("priority", "seq", "url_hash", "url") if c in pdf.columns]
+        if order_cols:
+            pdf = pdf.sort_values(
+                order_cols,
+                ascending=[c != "priority" for c in order_cols],
+                kind="mergesort",
+            ).reset_index(drop=True)
+        k = min(int(tokens), max_fetch, len(pdf), MAX_FETCH_CAP)
+        tokens -= float(k)
+        allowed = [i < k for i in range(len(pdf))]
         state.update((tokens,))
-        yield from out
+        yield pd.DataFrame(
+            {"host": host, "url": pdf["url"], "allowed": allowed}
+        )
 
     return pages.groupBy("host").applyInPandasWithState(
         gate,

@@ -1,0 +1,168 @@
+"""Streaming ↔ batch parity gate: the batch wave loop is oracle-exact
+(crawl order + seen set vs the single-process oracle), so asserting the
+Structured-Streaming operators reproduce the batch operators on
+identical input gives the streaming family a transitive hard oracle —
+the one operator family previously outside the 30-query driver gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestStreamingBatchParity:
+    def test_politeness_stream_equals_batch_dequeue_two_waves(
+        self, spark, tmp_path
+    ) -> None:
+        """politeness_stream (applyInPandasWithState) must admit EXACTLY
+        the rows politeness_dequeue admits, for two consecutive waves —
+        including the GroupState token carry between triggers (matching
+        the batch host_state update)."""
+        from parsel_spark.operators.frontier import (
+            INITIAL_TOKENS,
+            politeness_dequeue,
+        )
+        from parsel_spark.streaming.stream_crawl import politeness_stream
+
+        hosts = [
+            ("h0.test", 1.0, 3),   # fast host, deep budget
+            ("h1.test", 2.0, 8),   # slow refill
+            ("h2.test", 0.5, 1),   # fast refill, mf-bound
+            ("h3.test", 1.0, 8),   # few candidates (avail-bound)
+        ]
+        host_state = spark.createDataFrame(
+            [(h, INITIAL_TOKENS, d, mf) for h, d, mf in hosts],
+            "host string, tokens double, crawl_delay double, "
+            "max_fetch_per_wave int",
+        )
+        rows = []
+        for hi, (host, delay, mf) in enumerate(hosts):
+            n = [9, 5, 4, 1][hi]
+            for i in range(n):
+                rows.append(
+                    (
+                        f"http://{host}/p/{i}",
+                        (hi * 37 + i * 101) % 1000 - 500,  # url_hash
+                        host,
+                        float((i * 7) % 3),  # priorities with ties
+                        (i * 13) % 5,  # seq with ties
+                        0,
+                    )
+                )
+        frontier = spark.createDataFrame(
+            rows,
+            "url string, url_hash long, host string, priority double, "
+            "seq long, discovered_wave int",
+        )
+
+        # -- batch reference: two waves
+        batch_waves = []
+        state = host_state
+        remaining = frontier
+        for _ in range(2):
+            dequeued, state = politeness_dequeue(remaining, state)
+            got = {r["url"] for r in dequeued.collect()}
+            batch_waves.append(got)
+            remaining = remaining.join(
+                spark.createDataFrame([(u,) for u in got], "url string"),
+                "url",
+                "left_anti",
+            )
+
+        # -- streaming: same candidates arrive as two triggers over the
+        # SAME checkpoint (GroupState carries tokens like host_state)
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        chk = str(tmp_path / "chk")
+        out_dir = str(tmp_path / "out")
+        delays = {h: (d, mf) for h, d, mf in hosts}
+        stream_waves: list[set[str]] = []
+        seen_so_far: set[str] = set()
+        for wave, batch_got in enumerate(batch_waves):
+            wave_rows = [
+                {
+                    "url": u,
+                    "url_hash": uh,
+                    "host": h,
+                    "priority": p,
+                    "seq": s,
+                    "crawl_delay": delays[h][0],
+                    "max_fetch_per_wave": delays[h][1],
+                }
+                for (u, uh, h, p, s, _w) in rows
+                if u not in seen_so_far
+            ]
+            spark.createDataFrame(pd.DataFrame(wave_rows)).coalesce(1).write.parquet(
+                str(in_dir / f"b{wave}")
+            )
+            stream = spark.readStream.schema(
+                "url string, url_hash long, host string, priority double, "
+                "seq long, crawl_delay double, max_fetch_per_wave long"
+            ).parquet(str(in_dir / "b*"))
+            gated = politeness_stream(stream)
+            query = (
+                gated.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(120)
+            allowed_all = {
+                r["url"]
+                for r in spark.read.parquet(out_dir).collect()
+                if r["allowed"]
+            }
+            stream_waves.append(allowed_all - seen_so_far)
+            seen_so_far |= allowed_all
+
+        assert stream_waves[0] == batch_waves[0]
+        assert stream_waves[1] == batch_waves[1]
+
+    def test_extract_stream_equals_batch_extract(self, spark, tmp_path) -> None:
+        """extract_link_stream over a one-batch page stream must produce
+        exactly the batch extract_wave_links + dropDuplicates output
+        (urls AND xxhash64 keys) — same fused UDF, same canonicalizer,
+        streaming dedup == batch dedup."""
+        from parsel_spark.operators.frontier import extract_wave_links
+        from parsel_spark.sources.synth import SynthConfig, synth_pages
+        from parsel_spark.streaming.stream_crawl import (
+            extract_link_stream,
+            read_page_stream,
+        )
+
+        cfg = SynthConfig(
+            n_pages=150, n_hosts=10, out_degree=5, seed=11, with_images=False
+        )
+        pages = synth_pages(spark, cfg).select("url", "host", "html")
+        batch = {
+            (r["url"], r["url_hash"])
+            for r in extract_wave_links(pages.select("url", "html"))
+            .dropDuplicates(["url"])
+            .collect()
+        }
+
+        in_dir = str(tmp_path / "pages")
+        pages.withColumn(
+            "fetched_at", F.lit("2026-01-01 00:00:00").cast("timestamp")
+        ).write.parquet(in_dir)
+        stream = extract_link_stream(read_page_stream(spark, in_dir))
+        query = (
+            stream.writeStream.format("memory")
+            .queryName("extract_parity")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        streamed = {
+            (r["url"], r["url_hash"])
+            for r in spark.sql(
+                "select url, url_hash from extract_parity"
+            ).collect()
+        }
+        assert streamed == batch
+        assert batch  # non-trivial corpus
