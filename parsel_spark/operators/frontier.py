@@ -15,9 +15,10 @@ Scale shape (10^10-URL frontier):
   on as a backstop);
 * the html payload column stays in the map stage that extracts links;
   only (url, host, hash, priority) tuples shuffle;
-* seen-set: bloom shards pre-filter (definitely-new URLs skip the join
-  entirely); the exact ``left_anti`` join runs only on bloom-positive
-  survivors, hash-partitioned by url.
+* seen-set: bloom shards pre-filter; the exact ``left_anti`` join runs
+  in one pass against the url-partitioned seen cache, with
+  bloom-negative rows riding through on never-matching bypass keys
+  (probing the seen hash map only for bloom-positive rows).
 """
 
 from __future__ import annotations
@@ -62,36 +63,43 @@ def allowed_fetches(tokens: float, max_fetch_per_wave: int, available: int) -> i
     return min(int(math.floor(tokens)), int(max_fetch_per_wave), available, MAX_FETCH_CAP)
 
 
-def politeness_dequeue(
-    frontier: DataFrame, host_state: DataFrame, skew_prune: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """Per-host priority-queue dequeue under token-bucket politeness.
+FRONTIER_COLS = ("url", "url_hash", "host", "priority", "seq", "discovered_wave")
 
-    Returns (dequeued frontier rows, updated host_state).
-    Entirely JVM-side:
 
-    1. per-host candidate counts + token arithmetic as column
-       expressions over the (small) host-state join — the double-precision
-       ops are the same IEEE sequence the oracle runs, so results are
-       bit-identical;
+def politeness_split(
+    frontier: DataFrame, host_state: DataFrame, skew_prune: bool = False
+) -> DataFrame:
+    """Per-host priority-queue dequeue under token-bucket politeness,
+    as ONE flagged pass: every frontier row comes back with a
+    ``dequeued`` boolean, so the wave needs NO separate remaining
+    anti-join (round 2 broadcast the dequeued url set back at the
+    frontier every wave) and the output keeps the window's hash(host)
+    partitioning for the host-state update that follows.
+
+    Entirely JVM-side and broadcast-free:
+
+    1. per-host refill as column expressions (same IEEE double sequence
+       the oracle runs — results bit-identical);
     2. with ``skew_prune`` a SALTED pre-window bounds any Zipf-skewed
-       host to ≤16×cap rows before the per-host ranking window.  The
-       pre-window shuffles the WHOLE frontier a second time, which only
-       pays off when hosts are deep — ``CrawlRun`` auto-disables it
-       when the exact frontier-rows/host ratio says the frontier is
-       broad (results are identical either way: pruning keeps ≥
-       min(|candidates|, CAP) rows per host, strictly more than the
-       final window emits);
-    3. final per-host ``row_number() <= k`` with the budget broadcast.
+       host to ≤16×cap rows before the per-host ranking window; the
+       extra full-frontier shuffle only pays off when hosts are deep —
+       ``CrawlRun`` auto-disables it on broad frontiers (results are
+       identical either way: pruning keeps ≥ min(|candidates|, CAP)
+       rows per host, strictly more than the final window emits);
+    3. the budget join is CO-PARTITIONED (``SHUFFLE_HASH`` on the
+       host-state side, which the loop carries hash(host)-partitioned
+       across waves) — no per-wave driver collect+broadcast of the
+       O(hosts) state table;
+    4. ``dequeued`` = ``row_number() <= k`` with the oracle's
+       k = min(floor(refill), max_fetch, |candidates|, CAP) (the
+       candidate-count term is enforced by row_number itself).
 
     A per-host ``applyInPandas`` gate would create one pandas frame per
     host (~1 ms each — minutes at 10^6 hosts); this shape is pure
-    codegen'd window + broadcast-join work.
+    codegen'd window + co-partitioned-join work.
     """
     from pyspark.sql import Window
 
-    # per-host refill as column expressions (same IEEE double sequence
-    # the oracle runs, so results are bit-identical)
     refill_expr = F.least(
         F.lit(TOKEN_CAP), F.col("tokens") + F.lit(1.0) / F.col("crawl_delay")
     )
@@ -101,40 +109,27 @@ def politeness_dequeue(
         F.col("max_fetch_per_wave").alias("mf"),
     )
 
-    salted = frontier.withColumn(
-        "salt",
-        F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
-        if skew_prune
-        else F.lit(0),
-    )
-    pre_window = Window.partitionBy("host", "salt").orderBy(
-        F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
-    )
-    if not skew_prune:
-        # single host-partitioned sort; the hottest host is one task's
-        # sort (fine when the frontier is broad; the salted path is the
-        # guard for adversarially deep hosts)
-        pre_window = Window.partitionBy("host").orderBy(
+    candidates = frontier
+    if skew_prune:
+        pre_window = Window.partitionBy("host", "salt").orderBy(
             F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
         )
-    pruned = (
-        salted.withColumn("rn", F.row_number().over(pre_window))
-        .filter(F.col("rn") <= MAX_FETCH_CAP)
-        .drop("rn", "salt")
-    )
-    # NOTE: the oracle's k = min(floor(refill), max_fetch, |candidates|,
-    # CAP).  The candidate-count term never binds differently after salt
-    # pruning: pruning keeps ≥ min(|candidates|, CAP) rows per host and
-    # k ≤ CAP, so row_number() ≤ k enforces it exactly — no full-frontier
-    # count aggregation is needed.
+        candidates = (
+            frontier.withColumn(
+                "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
+            )
+            .withColumn("prn", F.row_number().over(pre_window))
+            .filter(F.col("prn") <= MAX_FETCH_CAP)
+            .drop("prn", "salt")
+        )
     host_window = Window.partitionBy("host").orderBy(
         F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
     )
     # defaults for hosts without registered state: tokens=INITIAL, delay 1
     default_refilled = min(TOKEN_CAP, INITIAL_TOKENS + 1.0)
-    dequeued = (
-        pruned.join(F.broadcast(prepared), "host", "left")
-        .withColumn("rn", F.row_number().over(host_window))
+    return (
+        candidates.withColumn("rn", F.row_number().over(host_window))
+        .join(prepared.hint("SHUFFLE_HASH"), "host", "left")
         .withColumn(
             "k",
             F.least(
@@ -143,32 +138,47 @@ def politeness_dequeue(
                 F.lit(MAX_FETCH_CAP),
             ),
         )
-        .filter(F.col("rn") <= F.col("k"))
-        .select("url", "url_hash", "host", "priority", "seq", "discovered_wave")
+        .withColumn("dequeued", F.col("rn") <= F.col("k"))
+        .drop("rn", "k", "refilled", "mf")
     )
 
-    # token-state update from what was ACTUALLY dequeued (== k clipped by
-    # availability, which is exactly what the oracle consumes)
+
+def host_state_update(host_state: DataFrame, dequeued: DataFrame) -> DataFrame:
+    """Token-state update from what was ACTUALLY dequeued (== k clipped
+    by availability — exactly what the oracle consumes).  Both the
+    ``groupBy`` and the full-outer join run co-partitioned when
+    ``dequeued`` comes out of ``politeness_split`` (hash(host)) and
+    ``host_state`` is carried hash(host)-partitioned — zero exchanges
+    in the loop's steady state."""
     used = dequeued.groupBy("host").agg(F.count(F.lit(1)).alias("used"))
-    new_state = (
-        host_state.join(used, "host", "full_outer")
-        .select(
-            "host",
-            (
-                F.least(
-                    F.lit(TOKEN_CAP),
-                    F.coalesce(F.col("tokens"), F.lit(INITIAL_TOKENS))
-                    + F.lit(1.0) / F.coalesce(F.col("crawl_delay"), F.lit(1.0)),
-                )
-                - F.coalesce(F.col("used"), F.lit(0)).cast("double")
-            ).alias("tokens"),
-            F.coalesce(F.col("crawl_delay"), F.lit(1.0)).alias("crawl_delay"),
-            F.coalesce(F.col("max_fetch_per_wave"), F.lit(1)).alias(
-                "max_fetch_per_wave"
-            ),
-        )
+    return host_state.join(used.hint("SHUFFLE_HASH"), "host", "full_outer").select(
+        "host",
+        (
+            F.least(
+                F.lit(TOKEN_CAP),
+                F.coalesce(F.col("tokens"), F.lit(INITIAL_TOKENS))
+                + F.lit(1.0) / F.coalesce(F.col("crawl_delay"), F.lit(1.0)),
+            )
+            - F.coalesce(F.col("used"), F.lit(0)).cast("double")
+        ).alias("tokens"),
+        F.coalesce(F.col("crawl_delay"), F.lit(1.0)).alias("crawl_delay"),
+        F.coalesce(F.col("max_fetch_per_wave"), F.lit(1)).alias(
+            "max_fetch_per_wave"
+        ),
     )
-    return dequeued, new_state
+
+
+def politeness_dequeue(
+    frontier: DataFrame, host_state: DataFrame, skew_prune: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Classic two-output API over ``politeness_split`` +
+    ``host_state_update``: (dequeued frontier rows, updated host_state).
+    The loop uses the flagged split directly (one pass feeds dequeued,
+    remaining AND the state update); this wrapper serves tests and
+    standalone callers."""
+    flagged = politeness_split(frontier, host_state, skew_prune=skew_prune)
+    dequeued = flagged.filter(F.col("dequeued")).select(*FRONTIER_COLS)
+    return dequeued, host_state_update(host_state, dequeued)
 
 
 def extract_wave_links(fetched: DataFrame) -> DataFrame:
@@ -242,6 +252,23 @@ def _load_shard(
     return BloomShard(m_bits, k)
 
 
+def robots_allowed_py(
+    host: str, path: str, rules_map: dict
+) -> bool:
+    """Python twin of ``robots_filter``'s RFC 9309 longest-match (and of
+    the oracle's ``_robots_allowed``): the longest matching prefix wins,
+    so a more specific ``Allow`` overrides a broader ``Disallow``."""
+    rules = rules_map.get(host)
+    if rules is None:
+        return True
+    deny, allow = rules
+    deny_len = max((len(p) for p in deny if path.startswith(p)), default=0)
+    if deny_len == 0:
+        return True
+    allow_len = max((len(p) for p in allow if path.startswith(p)), default=0)
+    return allow_len >= deny_len
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     bloom_state: DataFrame,
@@ -250,6 +277,8 @@ def bloom_prefilter(
     k: int = DEFAULT_NUM_HASHES,
     kind: str = "bloom",
     dedup: bool = False,
+    pending: DataFrame | None = None,
+    robots_bc=None,
 ) -> DataFrame:
     """Adds ``maybe_seen`` to candidates via the sharded approximate
     seen-set (bloom, or cuckoo when deletions are required).
@@ -260,20 +289,69 @@ def bloom_prefilter(
     of the url so every duplicate lands in the same cogroup; this lets
     the wave pipeline skip a separate ``dropDuplicates`` shuffle of the
     full link set (duplicate rows carry identical values, so which one
-    survives is immaterial)."""
+    survives is immaterial).
+
+    Two more wave stages can ride the SAME cogroup shuffle instead of
+    costing a per-wave driver broadcast each (the round-2 plan
+    broadcast both every wave):
+
+    * ``pending`` — (url,) rows discovered since the last bloom fold;
+      they union into the state side (their shard id is the same pure
+      function of url) and the probe flags EXACT string matches in an
+      ``in_pending`` column.  Exactness is preserved: a pending match
+      is definitely-seen; everything else still flows through the
+      bloom + exact-join path;
+    * ``robots_bc`` — a ``sc.broadcast`` python dict
+      ``{host: (deny_prefixes, allow_prefixes)}`` shipped ONCE per
+      crawl (Spark re-ships a JVM broadcast join table every job ⇒
+      every wave); the probe emits a ``robots_allowed`` column via the
+      same longest-match the JVM filter computes.
+
+    Flag columns appear only when the corresponding input is given;
+    FILTERING on them is the caller's (map-side) job, so observation
+    counters keep their meaning."""
     with_shard = candidates.withColumn(
         "shard_id", F.pmod(F.hash("url"), F.lit(num_shards))
     )
 
+    state = bloom_state
+    if pending is not None:
+        state = bloom_state.withColumn(
+            "pending_url", F.lit(None).cast("string")
+        ).unionByName(
+            pending.select(
+                F.pmod(F.hash("url"), F.lit(num_shards)).alias("shard_id"),
+                F.lit(None).cast("binary").alias("bitmap"),
+                F.lit(None).cast("long").alias("n_items"),
+                F.lit(None).cast("long").alias("shard_hash"),
+                F.col("url").alias("pending_url"),
+            )
+        )
+
+    has_pending = pending is not None
+    check_robots = robots_bc is not None
+    out_cols = ["url", "url_hash", "host", "maybe_seen"]
     out_schema = "url string, url_hash long, host string, maybe_seen boolean"
+    if check_robots:
+        out_cols.append("robots_allowed")
+        out_schema += ", robots_allowed boolean"
+    if has_pending:
+        out_cols.append("in_pending")
+        out_schema += ", in_pending boolean"
 
     def probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf):
-            return pd.DataFrame(columns=["url", "url_hash", "host", "maybe_seen"])
+            return pd.DataFrame(columns=out_cols)
         if dedup:
             cand_pdf = cand_pdf.drop_duplicates(subset=["url"])
-        if len(state_pdf):
-            shard = _load_shard(kind, state_pdf, m_bits, k)
+        bitmap_pdf = state_pdf
+        pending_set: set | None = None
+        if "pending_url" in state_pdf.columns:
+            mask = state_pdf["bitmap"].notna()
+            bitmap_pdf = state_pdf[mask]
+            pending_set = set(state_pdf["pending_url"][~mask])
+        if len(bitmap_pdf):
+            shard = _load_shard(kind, bitmap_pdf, m_bits, k)
             if isinstance(shard, CuckooShard):
                 maybe = np.fromiter(
                     (shard.contains(int(h)) for h in cand_pdf["url_hash"]),
@@ -284,18 +362,39 @@ def bloom_prefilter(
                 maybe = shard.maybe_contains(cand_pdf["url_hash"].to_numpy())
         else:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
-        return pd.DataFrame(
-            {
-                "url": cand_pdf["url"].to_numpy(),
-                "url_hash": cand_pdf["url_hash"].to_numpy(),
-                "host": cand_pdf["host"].to_numpy(),
-                "maybe_seen": maybe,
-            }
-        )
+        out = {
+            "url": cand_pdf["url"].to_numpy(),
+            "url_hash": cand_pdf["url_hash"].to_numpy(),
+            "host": cand_pdf["host"].to_numpy(),
+            "maybe_seen": maybe,
+        }
+        if check_robots:
+            from urllib.parse import urlsplit
+
+            rules_map = robots_bc.value
+            out["robots_allowed"] = np.fromiter(
+                (
+                    robots_allowed_py(
+                        h, urlsplit(u).path or "/", rules_map
+                    )
+                    for u, h in zip(cand_pdf["url"], cand_pdf["host"])
+                ),
+                dtype=bool,
+                count=len(cand_pdf),
+            )
+        if pending_set is not None:
+            out["in_pending"] = np.fromiter(
+                (u in pending_set for u in cand_pdf["url"]),
+                dtype=bool,
+                count=len(cand_pdf),
+            )
+        elif has_pending:
+            out["in_pending"] = np.zeros(len(cand_pdf), dtype=bool)
+        return pd.DataFrame(out)
 
     return (
         with_shard.groupBy("shard_id")
-        .cogroup(bloom_state.groupBy("shard_id"))
+        .cogroup(state.groupBy("shard_id"))
         .applyInPandas(probe, schema=out_schema)
     )
 
@@ -350,17 +449,32 @@ def bloom_update(
 
 
 def exact_new_filter(candidates: DataFrame, seen: DataFrame) -> DataFrame:
-    """Split bloom-positive candidates with the exact seen-set anti-join;
-    bloom-negative rows bypass the join entirely."""
-    definite_new = candidates.filter(~F.col("maybe_seen")).select(
-        "url", "url_hash", "host"
+    """Exact seen-set anti-join in ONE pass: bloom-positive rows join on
+    their url; bloom-negative rows (definitely new — bloom filters have
+    no false negatives) get a private ``\\x00``-prefixed join key that
+    can never match a canonical URL, so they flow through the same
+    anti-join untouched instead of forking a second plan branch.
+
+    The earlier filter-split-union shape (definite-new bypasses the
+    join entirely) referenced the candidate pipeline TWICE in one
+    query; Spark re-analyzes the second branch with fresh attribute ids
+    and the python cogroup probe — the wave's most expensive stage —
+    ran twice, cache or not.  The bypass key keeps one plan instance
+    and one probe pass; the join stays co-partitioned with the
+    url-partitioned seen cache (aliasing preserves hash partitioning),
+    and bypass keys hash-spread evenly (no null-key skew)."""
+    keyed = candidates.withColumn(
+        "__jk",
+        F.when(F.col("maybe_seen"), F.col("url")).otherwise(
+            F.concat(F.lit("\x00"), F.col("url"))
+        ),
     )
-    survivors = (
-        candidates.filter(F.col("maybe_seen"))
+    return (
+        keyed.join(
+            seen.select(F.col("url").alias("__jk")), "__jk", "left_anti"
+        )
         .select("url", "url_hash", "host")
-        .join(seen.select("url"), "url", "left_anti")
     )
-    return definite_new.unionByName(survivors)
 
 
 def new_frontier_rows(new_urls: DataFrame, wave: int) -> DataFrame:

