@@ -383,8 +383,6 @@ class CrawlRun:
         )
         state["to_unpersist"].append(flagged)
         dequeued = flagged.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
-        remaining = flagged.filter(~F.col("dequeued")).select(*fr.FRONTIER_COLS)
-        new_host_state = fr.host_state_update(state["host_state"], dequeued)
 
         # "fetch": co-partitioned left-semi against the url-bucketed
         # corpus — only the wave's url keys shuffle; the html payload
@@ -433,15 +431,36 @@ class CrawlRun:
                 candidates, self.robots, keep=("maybe_seen",)
             )
         new_urls = fr.exact_new_filter(allowed, state["seen"]).cache()
-        n_new = new_urls.count()  # the wave's ONE action
+        n_new = new_urls.count()  # the wave's ONE heavy action
         n_dequeued = int(obs_deq.get["n"])
-        state["to_unpersist"].append(new_urls)
 
-        # union is map-only; no repartition shuffle — partition count
-        # stays bounded; lineage truncated so it cannot grow across waves
-        # (materializes lazily inside the next wave's first action)
+        # pin the wave's two outputs as checkpointed RDDs while their
+        # caches are hot (two cheap cache-scan jobs), then DERIVE all
+        # carried state from the LogicalRDD leaves.  This is a
+        # correctness-of-cost guard, not a style choice: a plan that
+        # embeds these cached subtrees NEXT TO LogicalRDD leaves (the
+        # next frontier = remaining ∪ new rows) misses the cache under
+        # Spark's relation dedup and silently recomputes the whole wave
+        # pipeline — fetch, extract UDF, cogroup — at checkpoint
+        # materialization time (measured: 51s of a 74s wave at 3.2M
+        # pages).  LogicalRDD-derived plans have nothing to recompute.
+        flagged_rdd = flagged.localCheckpoint(eager=True)
+        new_urls_rdd = new_urls.localCheckpoint(eager=True)
+        flagged.unpersist()
+        new_urls.unpersist()
+        state["to_unpersist"].remove(flagged)
+        dequeued = flagged_rdd.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
+        remaining = flagged_rdd.filter(~F.col("dequeued")).select(
+            *fr.FRONTIER_COLS
+        )
+        new_host_state = fr.host_state_update(state["host_state"], dequeued)
+
+        # union is map-only over the two checkpoint scans; no repartition
+        # shuffle — partition count stays bounded; lineage truncated so
+        # it cannot grow across waves (materializes lazily inside the
+        # next wave's first action, now a cheap block scan)
         new_frontier = self._truncate(
-            remaining.unionByName(fr.new_frontier_rows(new_urls, wave))
+            remaining.unionByName(fr.new_frontier_rows(new_urls_rdd, wave))
         )
         # one small explicit exchange re-asserts hash(host) (a full-outer
         # join's output partitioning is not propagated), so next wave's
@@ -472,17 +491,13 @@ class CrawlRun:
                 int(state["frontier_rows"]) - int(n_dequeued) + int(n_new)
             )
         state["pending_rows"] = int(state.get("pending_rows") or 0) + int(n_new)
-        # pending handles MUST be lineage-truncated: the delta feeds the
-        # next wave's cogroup state side, whose subtree appears in both
-        # exact-filter branches — carrying the raw plan would nest every
-        # prior wave's plan 2× per wave (2^N logical-plan blowup; at 3
-        # waves that was ~6s of driver-side plan compilation per action,
-        # repeated for every commit write).  The LogicalRDD leaf keeps
-        # every wave's plan O(wave-size); data materializes from the
-        # new_urls cache inside the next wave's job.
-        state["pending_seen"].append(
-            self._truncate(new_urls.select("url", "url_hash"))
-        )
+        # pending handle derives from the checkpointed RDD: the delta
+        # feeds the next wave's cogroup state side, and a raw plan there
+        # would nest every prior wave's plan 2× per wave (2^N
+        # logical-plan blowup — seconds of driver-side plan compilation
+        # per action); a LogicalRDD leaf keeps every wave's plan
+        # O(wave-size).
+        state["pending_seen"].append(new_urls_rdd.select("url", "url_hash"))
         state["pending_log"].append(log_delta)
         state["batch_metrics"].append(metrics)
         return metrics
