@@ -44,6 +44,10 @@ WAVES = int(os.environ.get("SCALING_WAVES", "3"))
 # zipf 1.2 skew a wave is budget-bound at ~5k hosts and measures only
 # per-wave fixed cost, not the engine
 ZIPF_S = float(os.environ.get("SCALING_ZIPF_S", "0.5"))
+# partitions per level = PARTS_MULT × cores: 2 gives 2 task rounds per
+# stage at both levels; raising it trades scheduling overhead for
+# straggler smoothing in the wide-short stages
+PARTS_MULT = int(os.environ.get("SCALING_PARTS_MULT", "2"))
 LEVELS = (8, 32)
 
 
@@ -156,7 +160,7 @@ def run_level(cpus: int) -> dict:
     # (a real cluster buckets the table once at ingest) — both excluded
     # from the timed window
     pages = CrawlRun.prepare_pages(
-        synth_pages(spark, cfg, num_partitions=cpus * 2), cpus * 2
+        synth_pages(spark, cfg, num_partitions=cpus * PARTS_MULT), cpus * PARTS_MULT
     )
     robots = synth_robots(spark, cfg, fast=True)
     from parsel_spark.sources.synth import robots_rows
@@ -180,7 +184,7 @@ def run_level(cpus: int) -> dict:
         with tempfile.TemporaryDirectory() as tmp:
             run = CrawlRun(
                 spark, SnapshotCatalog(tmp), pages, robots,
-                num_shards=64, frontier_partitions=cpus * 2,
+                num_shards=64, frontier_partitions=cpus * PARTS_MULT,
                 checkpoint_interval=WAVES,
                 pages_prepared=True,
                 robots_rules=rules,
