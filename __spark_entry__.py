@@ -238,12 +238,14 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-mode Jaccard (explicit opt-in; the operator DEFAULT is
     the scale-safe LSH mode — see q_doc_jaccard_lsh_pairs).  The
-    low-cardinality 'source' key warns by design here: the oracle is
+    low-cardinality 'source' key warns by design here — and
+    ``force=True`` acknowledges the extreme-ratio guard: the oracle is
     the blocked-mode semantics, not a scale claim."""
     from parsel_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5, block_col="source"
+        _read(spark, sf_dir, "documents"), threshold=0.5, block_col="source",
+        force=True,
     )
 
 
@@ -352,12 +354,14 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # blocked-mode opt-in (the operator DEFAULT is LSH — see
     # q_emb_near_dup_lsh); low threshold so the synthetic embeddings
-    # yield non-trivial output
+    # yield non-trivial output; force=True acknowledges the
+    # extreme-ratio guard (this query oracle-checks blocked semantics)
     return embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"),
         threshold=0.30,
         block_col="label",
         round_to=4,
+        force=True,
     )
 
 

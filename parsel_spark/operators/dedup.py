@@ -53,38 +53,69 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+# (semantic-plan-hash, col) → (n, d): the guard's aggregate is an eager
+# Spark job, so repeated calls on the same input (bench warm-ups, the
+# driver's query + oracle passes) must not pay it twice
+_BLOCK_GUARD_MEMO: dict[tuple, tuple[int, int]] = {}
+
+
 def check_block_cardinality(
     blocked: DataFrame,
     block_col: str,
     op_name: str,
     min_block_ratio: float,
+    force: bool = False,
 ) -> None:
     """Guard for the blocked (exact self-join) candidate mode: when the
     blocking key's cardinality is below ``min_block_ratio`` of the row
     count, blocks average > 1/min_block_ratio rows and the within-block
-    self-join degenerates toward all-pairs at scale.  Emits a
-    ``RuntimeWarning`` naming the LSH mode (``block_col=None``) — the
-    scale-safe default.  ``min_block_ratio<=0`` disables the check (and
-    its one small aggregate job)."""
+    self-join degenerates toward all-pairs at scale.
+
+    * grey zone (ratio < ``min_block_ratio``): ``RuntimeWarning`` naming
+      the LSH mode (``block_col=None``) — the scale-safe default;
+    * extreme zone (ratio < ``min_block_ratio / 10``): raises
+      ``ValueError`` unless ``force=True`` — a key this coarse makes the
+      self-join effectively all-pairs and must be an explicit opt-in.
+
+    NOTE: the check runs ONE small aggregate Spark job eagerly at
+    plan-construction time (memoized per (plan, column), so repeated
+    calls on the same input are free).  ``min_block_ratio<=0`` disables
+    it entirely — the zero-action path for pre-vetted keys."""
     if min_block_ratio <= 0:
         return
-    row = blocked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(block_col).alias("d"),
-    ).first()
-    n, d = int(row["n"]), int(row["d"])
-    if n and d / n < min_block_ratio:
-        import warnings
-
-        warnings.warn(
-            f"{op_name}: blocking key {block_col!r} has ~{d} distinct "
-            f"values over {n} rows (ratio {d / n:.4f} < {min_block_ratio}); "
-            "the within-block self-join is quadratic in the largest block "
-            "and will not survive a 100x scale-up — use block_col=None "
-            "(LSH candidate generation) instead",
-            RuntimeWarning,
-            stacklevel=3,
+    try:
+        plan_key: object = (
+            blocked._jdf.queryExecution().analyzed().semanticHash()
         )
+    except Exception:  # pragma: no cover - connect/other backends
+        plan_key = id(blocked)
+    key = (plan_key, block_col)
+    if key in _BLOCK_GUARD_MEMO:
+        n, d = _BLOCK_GUARD_MEMO[key]
+    else:
+        row = blocked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(block_col).alias("d"),
+        ).first()
+        n, d = int(row["n"]), int(row["d"])
+        _BLOCK_GUARD_MEMO[key] = (n, d)
+    if not n or d / n >= min_block_ratio:
+        return
+    msg = (
+        f"{op_name}: blocking key {block_col!r} has ~{d} distinct "
+        f"values over {n} rows (ratio {d / n:.4f} < {min_block_ratio}); "
+        "the within-block self-join is quadratic in the largest block "
+        "and will not survive a 100x scale-up — use block_col=None "
+        "(LSH candidate generation) instead"
+    )
+    if d / n < min_block_ratio / 10 and not force:
+        raise ValueError(
+            msg + " (ratio is in the extreme zone; pass force=True to "
+            "run the blocked mode anyway)"
+        )
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
 def jaccard_pairs(
@@ -92,6 +123,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     block_col: str | None = None,
     min_block_ratio: float = 0.01,
+    force: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard.
 
@@ -106,13 +138,16 @@ def jaccard_pairs(
       sound at scale when the key is HIGH-cardinality — a handful of
       giant blocks makes the join quadratic within each block, so a
       low cardinality/rows ratio (< ``min_block_ratio``) raises a
-      ``RuntimeWarning``.
+      ``RuntimeWarning``, and an EXTREME ratio (< min_block_ratio/10)
+      raises ``ValueError`` unless ``force=True``.
 
     Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac rounded to 6dp
     for cross-engine comparability."""
     if block_col is None:
         return minhash_lsh_pairs(docs, threshold=threshold, shingle_n=1)
-    check_block_cardinality(docs, block_col, "jaccard_pairs", min_block_ratio)
+    check_block_cardinality(
+        docs, block_col, "jaccard_pairs", min_block_ratio, force=force
+    )
     with_tokens = docs.select(
         "doc_id", F.col(block_col).alias("block"), tokens_col().alias("toks")
     ).repartition(F.col("block"))  # one tokenize pass; co-located self-join

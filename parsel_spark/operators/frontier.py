@@ -83,9 +83,14 @@ def politeness_split(
     2. with ``skew_prune`` a SALTED pre-window bounds any Zipf-skewed
        host to ≤16×cap rows before the per-host ranking window; the
        extra full-frontier shuffle only pays off when hosts are deep —
-       ``CrawlRun`` auto-disables it on broad frontiers (results are
-       identical either way: pruning keeps ≥ min(|candidates|, CAP)
-       rows per host, strictly more than the final window emits);
+       ``CrawlRun`` auto-disables it on broad frontiers.  Rows the salt
+       pass prunes are provably never dequeuable (``prn > CAP`` within a
+       (host, salt) bucket ⇒ ≥ CAP same-host rows rank above them, and
+       the admit count k ≤ MAX_FETCH_CAP = CAP), so they rejoin the
+       output as ``dequeued = false`` WITHOUT passing through the
+       per-host window — every frontier row appears in the result
+       exactly once, pruned or not (results identical either way:
+       test_skew_prune_equivalence + the deep-host tests);
     3. the budget join is CO-PARTITIONED (``SHUFFLE_HASH`` on the
        host-state side, which the loop carries hash(host)-partitioned
        across waves) — no per-wave driver collect+broadcast of the
@@ -110,24 +115,30 @@ def politeness_split(
     )
 
     candidates = frontier
+    pruned_out = None
     if skew_prune:
         pre_window = Window.partitionBy("host", "salt").orderBy(
             F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
         )
-        candidates = (
-            frontier.withColumn(
-                "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
-            )
-            .withColumn("prn", F.row_number().over(pre_window))
-            .filter(F.col("prn") <= MAX_FETCH_CAP)
-            .drop("prn", "salt")
+        salted = frontier.withColumn(
+            "salt", F.pmod(F.hash("url"), F.lit(DEQUEUE_SALT_BUCKETS))
+        ).withColumn("prn", F.row_number().over(pre_window))
+        candidates = salted.filter(F.col("prn") <= MAX_FETCH_CAP).drop(
+            "prn", "salt"
+        )
+        # pigeonhole: prn > CAP ⇒ rn-over-host > CAP ≥ k ⇒ never dequeued.
+        # These rows MUST still flow through (the loop derives the next
+        # frontier from this output); both branches read the SAME salted
+        # exchange (ReuseExchange), so the frontier shuffles once.
+        pruned_out = salted.filter(F.col("prn") > MAX_FETCH_CAP).drop(
+            "prn", "salt"
         )
     host_window = Window.partitionBy("host").orderBy(
         F.desc("priority"), F.asc("seq"), F.asc("url_hash"), F.asc("url")
     )
     # defaults for hosts without registered state: tokens=INITIAL, delay 1
     default_refilled = min(TOKEN_CAP, INITIAL_TOKENS + 1.0)
-    return (
+    flagged = (
         candidates.withColumn("rn", F.row_number().over(host_window))
         .join(prepared.hint("SHUFFLE_HASH"), "host", "left")
         .withColumn(
@@ -141,6 +152,11 @@ def politeness_split(
         .withColumn("dequeued", F.col("rn") <= F.col("k"))
         .drop("rn", "k", "refilled", "mf")
     )
+    if pruned_out is not None:
+        flagged = flagged.unionByName(
+            pruned_out.withColumn("dequeued", F.lit(False))
+        )
+    return flagged
 
 
 def host_state_update(host_state: DataFrame, dequeued: DataFrame) -> DataFrame:
@@ -221,7 +237,15 @@ def robots_filter(
     with_host = links
     if "host" not in links.columns:
         with_host = with_host.withColumn("host", F.parse_url("url", F.lit("HOST")))
-    with_host = with_host.withColumn("path", F.parse_url("url", F.lit("PATH")))
+    # path-less URLs ('http://host') default to '/' — the oracle and the
+    # udf mode both use ``urlsplit(url).path or '/'``; parse_url returns
+    # an empty path there, which would make every deny prefix miss
+    with_host = with_host.withColumn(
+        "path",
+        F.coalesce(
+            F.nullif(F.parse_url("url", F.lit("PATH")), F.lit("")), F.lit("/")
+        ),
+    )
     joined = with_host.join(F.broadcast(robots), "host", "left")
     deny_len = longest_match("deny_prefixes")
     allow_len = longest_match("allow_prefixes")

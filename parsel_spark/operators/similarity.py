@@ -136,6 +136,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     min_block_ratio: float = 0.01,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (completes the dedup
     family: exact / jaccard / minhash / simhash / embedding-cosine).
@@ -152,7 +153,8 @@ def embedding_near_dup_pairs(
       sound when the key is high-cardinality (a handful of giant
       labels makes the join quadratic within each), so a low
       cardinality/rows ratio (< ``min_block_ratio``) raises a
-      ``RuntimeWarning``."""
+      ``RuntimeWarning``, and an EXTREME ratio (< min_block_ratio/10)
+      raises ``ValueError`` unless ``force=True``."""
     if block_col is None:
         planes = hyperplanes(dim, n_planes, seed)
         blocked = embeddings.withColumn(
@@ -162,7 +164,8 @@ def embedding_near_dup_pairs(
         from .dedup import check_block_cardinality
 
         check_block_cardinality(
-            embeddings, block_col, "embedding_near_dup_pairs", min_block_ratio
+            embeddings, block_col, "embedding_near_dup_pairs",
+            min_block_ratio, force=force,
         )
         blocked = embeddings.withColumn("block", F.col(block_col))
     # shuffle barrier: compute buckets once, ReusedExchange on self-join

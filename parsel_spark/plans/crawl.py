@@ -157,6 +157,17 @@ class CrawlRun:
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
 
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """EAGER checkpoint of a wave output (see _step's pin comment).
+        Honors ``reliable_checkpoints``: the pending seen/log deltas and
+        the carried frontier/host-state all derive from these pins, so
+        with the reliable mode they must live on the cluster FS too —
+        an executor loss between commits would otherwise lose the
+        executor-local blocks the option promises to survive."""
+        if self.reliable_checkpoints:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     @contextmanager
     def _static_planning(self):
         """Pin the loop's physical planning:
@@ -444,8 +455,8 @@ class CrawlRun:
         # pipeline — fetch, extract UDF, cogroup — at checkpoint
         # materialization time (measured: 51s of a 74s wave at 3.2M
         # pages).  LogicalRDD-derived plans have nothing to recompute.
-        flagged_rdd = flagged.localCheckpoint(eager=True)
-        new_urls_rdd = new_urls.localCheckpoint(eager=True)
+        flagged_rdd = self._pin(flagged)
+        new_urls_rdd = self._pin(new_urls)
         flagged.unpersist()
         new_urls.unpersist()
         state["to_unpersist"].remove(flagged)

@@ -72,7 +72,10 @@ def politeness_stream(
     is ``min(floor(tokens), max_fetch, |candidates|, MAX_FETCH_CAP)``."""
 
     out_schema = "host string, url string, allowed boolean"
-    state_schema = "tokens double"
+    # the host's crawl_delay rides the state so an empty trigger still
+    # refills at the HOST's rate (batch parity: host_state_update
+    # refills every host each wave, candidates or not)
+    state_schema = "tokens double, crawl_delay double"
 
     def gate(
         key: tuple,
@@ -80,10 +83,14 @@ def politeness_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
-        tokens = state.get[0] if state.exists else INITIAL_TOKENS
+        if state.exists:
+            tokens, stored_delay = state.get[0], state.get[1]
+        else:
+            tokens, stored_delay = INITIAL_TOKENS, None
         pdfs = [pdf for pdf in batches if len(pdf)]
         if not pdfs:
-            state.update((tokens,))
+            delay = stored_delay if stored_delay is not None else crawl_delay_s
+            state.update((min(TOKEN_CAP, tokens + 1.0 / delay), delay))
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         delay = (
@@ -107,7 +114,7 @@ def politeness_stream(
         k = min(int(tokens), max_fetch, len(pdf), MAX_FETCH_CAP)
         tokens -= float(k)
         allowed = [i < k for i in range(len(pdf))]
-        state.update((tokens,))
+        state.update((tokens, delay))
         yield pd.DataFrame(
             {"host": host, "url": pdf["url"], "allowed": allowed}
         )

@@ -178,6 +178,88 @@ def test_reliable_checkpoint_equivalence(
     assert run.crawl_order() == oracle.crawl_order()
     assert run.seen_set() == oracle.seen_set()
 
+    # the wave-output pins (flagged / new_urls) must ALSO live in the
+    # cluster checkpoint dir in this mode — the pending deltas carried
+    # between commits derive from them, so executor-local pins would
+    # defeat the option's executor-loss guarantee
+    import os
+
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None
+    ckpt_path = ckpt_dir[len("file:"):] if ckpt_dir.startswith("file:") else ckpt_dir
+    # getCheckpointDir already includes the per-context uuid subdir;
+    # reliable checkpoints land directly under it as rdd-<id>/
+    rdd_dirs = [d for d in os.listdir(ckpt_path) if d.startswith("rdd-")]
+    # 3 waves × 2 eager pins + lazy frontier/host-state truncations
+    assert len(rdd_dirs) >= 2 * WAVES
+
+
+def test_politeness_split_deep_host_keeps_pruned_rows(spark) -> None:
+    """A host whose frontier depth exceeds the salt pass's retention
+    bound (16 salt buckets × MAX_FETCH_CAP = 128 rows) must still see
+    EVERY row in the flagged output — the pre-pruned rows rejoin as
+    ``dequeued = false`` (they are provably never admitted), they are
+    not silently dropped from the frontier."""
+    from parsel_spark.operators import frontier as fr
+
+    n_rows = 300  # > DEQUEUE_SALT_BUCKETS * MAX_FETCH_CAP
+    assert n_rows > fr.DEQUEUE_SALT_BUCKETS * fr.MAX_FETCH_CAP
+    rows = [
+        (f"http://deep.test/p/{i}", i * 7919 % 100_000 - 50_000,
+         "deep.test", 1.0, i, 0)
+        for i in range(n_rows)
+    ]
+    frontier = spark.createDataFrame(rows, fr.FRONTIER_SCHEMA)
+    host_state = spark.createDataFrame(
+        [("deep.test", fr.INITIAL_TOKENS, 1.0, 8)], fr.HOST_STATE_SCHEMA
+    )
+    plain = fr.politeness_split(frontier, host_state, skew_prune=False)
+    salted = fr.politeness_split(frontier, host_state, skew_prune=True)
+    plain_rows = {tuple(r) for r in plain.collect()}
+    salted_rows = {tuple(r) for r in salted.collect()}
+    assert len(salted_rows) == n_rows  # nothing dropped
+    assert salted_rows == plain_rows  # identical flags row-for-row
+
+
+def test_skew_prune_deep_frontier_exact_parity(spark, tmp_path) -> None:
+    """End-to-end guard for the salt-prune branch: a 2-host corpus whose
+    per-host frontier depth exceeds 16×MAX_FETCH_CAP (asserted via the
+    oracle's own frontier) must still match the oracle's crawl order /
+    seen set exactly with ``skew_prune=True``."""
+    from parsel_spark.operators import frontier as fr
+
+    deep_cfg = SynthConfig(
+        n_pages=600, n_hosts=2, out_degree=8, seed=7, with_images=False
+    )
+    n_seeds, waves = 200, 3
+    oracle = OracleCrawler(deep_cfg, num_shards=SHARDS)
+    oracle.initialize(seed_rows(deep_cfg, n_seeds=n_seeds))
+    depth_hit = False
+    oracle_metrics = []
+    for _ in range(waves):
+        from collections import Counter
+
+        per_host = Counter(row[2] for row in oracle.state.frontier)
+        if per_host and max(per_host.values()) > (
+            fr.DEQUEUE_SALT_BUCKETS * fr.MAX_FETCH_CAP
+        ):
+            depth_hit = True
+        oracle_metrics.append(oracle.run_wave())
+    assert depth_hit, "corpus too shallow — pruned branch not exercised"
+
+    pages = synth_pages(spark, deep_cfg)
+    robots = synth_robots(spark, deep_cfg)
+    seeds = synth_seeds(spark, deep_cfg, n_seeds=n_seeds)
+    run = CrawlRun(
+        spark, SnapshotCatalog(str(tmp_path / "deep")), pages, robots,
+        num_shards=SHARDS, skew_prune=True,
+    )
+    run.initialize(seeds)
+    metrics = run.run(waves)
+    assert metrics == oracle_metrics
+    assert run.crawl_order() == oracle.crawl_order()
+    assert run.seen_set() == oracle.seen_set()
+
 
 def test_skew_prune_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
     """Forced salted pre-pruning and forced single-window dequeue must

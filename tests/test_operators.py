@@ -228,6 +228,46 @@ class TestDedupSpark:
             warnings.simplefilter("error")
             jaccard_pairs(docs, threshold=0.9)  # LSH default: no warning
 
+    def test_blocked_mode_extreme_ratio_raises_unless_forced(self, spark) -> None:
+        """Below min_block_ratio/10 the blocked mode must REFUSE (the
+        self-join is effectively all-pairs) unless force=True, which
+        downgrades it to the grey-zone warning."""
+        from parsel_spark.operators.dedup import jaccard_pairs
+
+        rows = [(i, "only-block", f"word{i} word{i + 1}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        # ratio 1/200 = 0.005 < 0.06/10 → extreme zone for min_block_ratio=0.06
+        with pytest.raises(ValueError, match="force=True"):
+            jaccard_pairs(
+                docs, threshold=0.9, block_col="source", min_block_ratio=0.06
+            )
+        with pytest.warns(RuntimeWarning, match="quadratic"):
+            jaccard_pairs(
+                docs, threshold=0.9, block_col="source", min_block_ratio=0.06,
+                force=True,
+            )
+
+    def test_block_guard_memoizes_per_plan(self, spark) -> None:
+        """The guard's aggregate job runs ONCE per (plan, column):
+        repeated calls on the same input hit the memo (proven by
+        poisoning the memo entry and observing the poisoned verdict)."""
+        import warnings
+
+        from parsel_spark.operators import dedup
+
+        rows = [(i, "only-block", f"w{i}") for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        dedup._BLOCK_GUARD_MEMO.clear()
+        with pytest.warns(RuntimeWarning):
+            dedup.check_block_cardinality(docs, "source", "t", 0.5, force=True)
+        assert len(dedup._BLOCK_GUARD_MEMO) == 1
+        (key,) = dedup._BLOCK_GUARD_MEMO
+        dedup._BLOCK_GUARD_MEMO[key] = (50, 50)  # poison: ratio 1.0 → silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            dedup.check_block_cardinality(docs, "source", "t", 0.5, force=True)
+        dedup._BLOCK_GUARD_MEMO.clear()
+
     def test_embedding_blocked_mode_warns(self, spark) -> None:
         from pyspark.sql import functions as F
 

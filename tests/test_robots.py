@@ -176,3 +176,34 @@ def test_allow_overrides_broader_disallow(spark) -> None:
     }
     assert oracle._robots_allowed("http://a.test/tmp/public/file")
     assert not oracle._robots_allowed("http://a.test/tmp/secret")
+
+
+def test_pathless_url_defaults_to_root_in_both_modes(spark) -> None:
+    """'http://host' (no path) must evaluate as path '/' in the JVM
+    join mode, the python udf mode AND the oracle — a root-level deny
+    ('/') blocks it everywhere (parse_url returns an empty path there,
+    which previously made the JVM side allow what the udf side denied)."""
+    from pyspark.sql import functions as F
+
+    from parsel_spark.operators.frontier import robots_allowed_py, robots_filter
+
+    table = spark.createDataFrame(
+        [("a.test", ["/"], [], 1.0, 8)],
+        "host string, deny_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay double, "
+        "max_fetch_per_wave int",
+    )
+    links = spark.createDataFrame(
+        [("http://a.test",), ("http://b.test",)], "url string"
+    ).select("url", F.xxhash64("url").alias("url_hash"))
+    jvm_allowed = {r["url"] for r in robots_filter(links, table).collect()}
+    assert jvm_allowed == {"http://b.test"}
+
+    rules_map = {"a.test": (("/",), ())}
+    from urllib.parse import urlsplit
+
+    for url in ("http://a.test", "http://b.test"):
+        path = urlsplit(url).path or "/"
+        host = urlsplit(url).hostname
+        udf_ok = robots_allowed_py(host, path, rules_map)
+        assert udf_ok == (url in jvm_allowed), url
