@@ -35,7 +35,7 @@ CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"parsel_spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
@@ -45,8 +45,21 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_EVENTLOG=<dir>: per-stage event-log capture for the
+    # stage-profile artifact (tools/stage_profile.py)
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", eventlog_dir)
+            # plain single-file JSON so tools/stage_profile.py can read
+            # it without a zstd codec
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
+    return builder.getOrCreate()
 
 
 def run_noop(df) -> None:

@@ -472,6 +472,162 @@ def bloom_update(
     )
 
 
+GATE_STATE_SCHEMA = (
+    "shard_id int, bitmap binary, n_items long, shard_hash long, "
+    "seen_url string"
+)
+
+
+def seen_state_table(
+    seen: DataFrame,
+    bloom_state: DataFrame,
+    num_shards: int,
+    partitions: int,
+) -> DataFrame:
+    """Combined per-shard gate state: the bloom/cuckoo shard rows
+    (``bitmap`` non-null) unioned with the exact seen rows reshaped into
+    the same schema (``seen_url`` non-null), repartitioned
+    hash(shard_id) — the layout ``shard_gate``'s cogroup consumes with
+    ZERO state-side exchange.  Built once per COMMIT (the seen set and
+    the folded bloom only change at commits) and cached; per wave only
+    the wave's candidate keys shuffle."""
+    bloom_rows = bloom_state.withColumn("seen_url", F.lit(None).cast("string"))
+    seen_rows = seen.select(
+        F.pmod(F.hash("url"), F.lit(num_shards)).alias("shard_id"),
+        F.lit(None).cast("binary").alias("bitmap"),
+        F.lit(None).cast("long").alias("n_items"),
+        F.lit(None).cast("long").alias("shard_hash"),
+        F.col("url").alias("seen_url"),
+    )
+    return bloom_rows.unionByName(seen_rows).repartition(
+        partitions, "shard_id"
+    )
+
+
+def shard_gate(
+    candidates: DataFrame,
+    gate_state: DataFrame,
+    num_shards: int,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_NUM_HASHES,
+    kind: str = "bloom",
+    pending: DataFrame | None = None,
+    robots_bc=None,
+) -> DataFrame:
+    """The wave's FUSED seen-set gate: dedup + bloom probe + EXACT seen
+    check + pending-delta match (+ robots when ``robots_bc`` is given),
+    all riding ONE cogroup shuffle of wave-sized keys.
+
+    vs the two-phase shape (``bloom_prefilter`` → JVM anti-join): the
+    cogroup's python output has UNKNOWN partitioning to Catalyst, so the
+    exact anti-join ALWAYS forced one more full exchange + join stage
+    per wave — fixed stage overhead that does not shrink with executors
+    (the measured scaling residual).  Here the exact check happens where
+    the physical layout is KNOWN: the seen rows ride the state side of
+    the SAME cogroup (``seen_state_table`` pre-partitions them
+    hash(shard_id) once per commit), and same-url rows always share a
+    shard (shard id is a pure function of the url), so set membership in
+    the python gate is exactly the anti-join's semantics.  The bloom
+    filter remains the first-line probe (north-rule architecture): the
+    exact set is consulted only for bloom-positive rows.
+
+    ``pending`` (urls discovered since the last commit) rides the
+    CANDIDATE side as tagged rows — the state cache cannot be unioned
+    per wave without destroying its partitioning — and pending tags are
+    never emitted.
+
+    Output: deduped candidate rows with ``is_seen`` (bloom ∧ exact ∨
+    pending) and optional ``robots_allowed`` flags; filtering stays
+    map-side with the caller so observation counters keep their
+    meaning."""
+    with_shard = candidates.select(
+        "url", "url_hash", "host", F.lit(False).alias("is_pending")
+    )
+    if pending is not None:
+        # NOTE: non-null fillers, not nulls — a null in the long column
+        # would arrive in pandas as float64 and silently corrupt the
+        # real rows' 64-bit hashes above 2^53 (pending rows are never
+        # emitted, so the filler VALUES are immaterial; the dtype is not)
+        with_shard = with_shard.unionByName(
+            pending.select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                F.lit("").alias("host"),
+                F.lit(True).alias("is_pending"),
+            )
+        )
+    with_shard = with_shard.withColumn(
+        "shard_id", F.pmod(F.hash("url"), F.lit(num_shards))
+    )
+
+    check_robots = robots_bc is not None
+    out_cols = ["url", "url_hash", "host", "is_seen"]
+    out_schema = "url string, url_hash long, host string, is_seen boolean"
+    if check_robots:
+        out_cols.append("robots_allowed")
+        out_schema += ", robots_allowed boolean"
+
+    def gate(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        pending_mask = cand_pdf["is_pending"].to_numpy(dtype=bool)
+        pending_set = set(cand_pdf["url"][pending_mask])
+        cand_pdf = cand_pdf[~pending_mask]
+        if not len(cand_pdf):
+            return pd.DataFrame(columns=out_cols)
+        cand_pdf = cand_pdf.drop_duplicates(subset=["url"])
+        bitmap_mask = state_pdf["bitmap"].notna()
+        bitmap_pdf = state_pdf[bitmap_mask]
+        seen_set = set(state_pdf["seen_url"][~bitmap_mask])
+        urls = cand_pdf["url"].to_numpy()
+        if len(bitmap_pdf):
+            shard = _load_shard(kind, bitmap_pdf, m_bits, k)
+            if isinstance(shard, CuckooShard):
+                maybe = np.fromiter(
+                    (shard.contains(int(h)) for h in cand_pdf["url_hash"]),
+                    dtype=bool,
+                    count=len(cand_pdf),
+                )
+            else:
+                maybe = shard.maybe_contains(cand_pdf["url_hash"].to_numpy())
+        else:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        # exact membership consulted ONLY where the bloom says maybe
+        # (no false negatives ⇒ bloom-negative rows are definitely new);
+        # pending matches are exact string equality, same as the seen set
+        is_seen = np.fromiter(
+            (
+                (m and u in seen_set) or u in pending_set
+                for u, m in zip(urls, maybe)
+            ),
+            dtype=bool,
+            count=len(cand_pdf),
+        )
+        out = {
+            "url": urls,
+            "url_hash": cand_pdf["url_hash"].to_numpy(),
+            "host": cand_pdf["host"].to_numpy(),
+            "is_seen": is_seen,
+        }
+        if check_robots:
+            from urllib.parse import urlsplit
+
+            rules_map = robots_bc.value
+            out["robots_allowed"] = np.fromiter(
+                (
+                    robots_allowed_py(h, urlsplit(u).path or "/", rules_map)
+                    for u, h in zip(urls, cand_pdf["host"])
+                ),
+                dtype=bool,
+                count=len(cand_pdf),
+            )
+        return pd.DataFrame(out)
+
+    return (
+        with_shard.groupBy("shard_id")
+        .cogroup(gate_state.groupBy("shard_id"))
+        .applyInPandas(gate, schema=out_schema)
+    )
+
+
 def exact_new_filter(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """Exact seen-set anti-join in ONE pass: bloom-positive rows join on
     their url; bloom-negative rows (definitely new — bloom filters have

@@ -79,6 +79,7 @@ class CrawlRun:
         robots_mode: str = "udf",
         pages_prepared: bool = False,
         robots_rules: dict | None = None,
+        seen_check: str = "cogroup",
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -98,6 +99,18 @@ class CrawlRun:
         if robots_mode not in ("udf", "join"):
             raise ValueError(f"robots_mode must be 'udf' or 'join', got {robots_mode}")
         self.robots_mode = robots_mode
+        # exact seen-set enforcement: "cogroup" (default) fuses the
+        # exact check into the bloom cogroup's state side (the seen rows
+        # ride the per-commit shard-partitioned state cache — one fewer
+        # exchange + join stage per wave; fixed stage overhead is the
+        # measured scaling residual); "join" keeps the two-phase shape
+        # (bloom_prefilter → JVM anti-join against the url-partitioned
+        # seen cache).  Results identical (test_seen_check_mode_equivalence).
+        if seen_check not in ("cogroup", "join"):
+            raise ValueError(
+                f"seen_check must be 'cogroup' or 'join', got {seen_check}"
+            )
+        self.seen_check = seen_check
         # pages_prepared=True: caller already bucketed the corpus
         # hash(url, frontier_partitions) (CrawlRun.prepare_pages) and
         # cached it — on a real cluster this is the corpus table's
@@ -313,24 +326,45 @@ class CrawlRun:
         )
 
     def _prepared_seen(self, spark: SparkSession) -> DataFrame:
-        """The committed seen table, hash-partitioned by url and cached:
-        the per-wave exact anti-join then shuffles ONLY the (few,
-        bloom-positive) survivors — round 1 re-shuffled the ever-growing
-        seen table every wave.  One partitioning pass per COMMIT,
-        amortized over ``checkpoint_interval`` waves."""
+        """(seen_check='join') The committed seen table, hash-partitioned
+        by url and cached: the per-wave exact anti-join then shuffles
+        ONLY the (few, bloom-positive) survivors — round 1 re-shuffled
+        the ever-growing seen table every wave.  One partitioning pass
+        per COMMIT, amortized over ``checkpoint_interval`` waves."""
         return (
             self.catalog.read_table(spark, "seen")
             .repartition(self.frontier_partitions, "url")
             .cache()
         )
 
+    def _refresh_committed(self, state: dict[str, Any]) -> None:
+        """(Re)build the per-commit caches from the committed tables."""
+        spark = self.spark
+        state["bloom"] = self.catalog.read_table(spark, "bloom")
+        if self.seen_check == "cogroup":
+            # bloom shards + exact seen rows in ONE shard-partitioned
+            # cache: the per-wave gate cogroup's state side then needs
+            # no exchange, and the exact check rides the same stage
+            state["gate_state"] = fr.seen_state_table(
+                self.catalog.read_table(spark, "seen"),
+                state["bloom"],
+                self.num_shards,
+                self.frontier_partitions,
+            ).cache()
+            state["seen"] = None
+            state["seen_cache"] = state["gate_state"]
+        else:
+            seen = self._prepared_seen(spark)
+            state["gate_state"] = None
+            state["seen"] = seen
+            state["seen_cache"] = seen
+
     # -- in-memory state between commits ----------------------------------
     def _load_state(self) -> dict[str, Any]:
         spark = self.spark
         snapshot = self.catalog.load_snapshot()
         assert snapshot is not None, "initialize() first"
-        seen = self._prepared_seen(spark)
-        return {
+        state: dict[str, Any] = {
             "wave": snapshot.wave,
             "frontier": self.catalog.read_table(spark, "frontier"),
             # re-establish the carried hash(host) layout after a resume
@@ -338,9 +372,6 @@ class CrawlRun:
             # RESUME, not per wave
             "host_state": self.catalog.read_table(spark, "host_state")
             .repartition(self.frontier_partitions, "host"),
-            "seen": seen,
-            "seen_cache": seen,
-            "bloom": self.catalog.read_table(spark, "bloom"),
             # exact frontier row count committed with the snapshot (for
             # the skew-prune heuristic); None on legacy snapshots
             "frontier_rows": snapshot.metrics.get("frontier_rows"),
@@ -350,24 +381,34 @@ class CrawlRun:
             "batch_metrics": [],  # per-wave metric dicts since last commit
             "to_unpersist": [],   # cached frames released after commit
         }
+        self._refresh_committed(state)
+        return state
 
     def _step(self, state: dict[str, Any]) -> dict[str, Any]:
         """Run one wave against the in-memory state; no snapshot IO.
 
-        Exactly ONE driver action runs per wave (``new_urls.count()``;
-        all counters ride it as ``Observation`` metrics) and ZERO
-        per-wave driver broadcasts: the round-2 plan collected
-        and re-broadcast the dequeued url set, the O(hosts) politeness
-        table, the robots table and the pending deltas EVERY wave —
-        serial driver work that does not shrink with executors.  Now the
-        politeness join, host-state update and fetch join run
-        co-partitioned against state carried hash-partitioned across
-        waves (host_state by host, corpus + seen by url), robots rules
-        ship once per crawl as a python broadcast evaluated inside the
-        bloom cogroup, and pending-delta dedup rides the same cogroup's
-        state side with exact string matching.  Per wave the only
-        full-frontier movement is the politeness window's exchange;
-        everything else shuffles wave-sized keys."""
+        Exactly TWO driver actions run per wave — the eager checkpoint
+        pins of the wave's two outputs (``flagged`` and ``new_urls``) —
+        and every counter rides them as ``Observation`` metrics; there
+        is no separate ``count()`` job and ZERO per-wave driver
+        broadcasts.  The politeness join, host-state update and fetch
+        join run co-partitioned against state carried hash-partitioned
+        across waves (host_state by host, corpus by url, gate state by
+        shard), robots rules ship once per crawl as a python broadcast,
+        and dedup + bloom probe + EXACT seen check + pending-delta match
+        all ride ONE cogroup shuffle (``shard_gate``; the seen rows live
+        on its state side, pre-partitioned per commit).  Per wave the
+        only full-frontier movement is the politeness window's exchange;
+        everything else shuffles wave-sized keys.
+
+        Pinning the wave outputs as eager checkpoints (and deriving ALL
+        carried state from the LogicalRDD leaves) is a correctness-of-
+        cost guard, not a style choice: a plan that embeds the wave
+        pipeline NEXT TO LogicalRDD leaves misses Spark's relation-dedup
+        cache and silently recomputes the whole wave — fetch, extract
+        UDF, cogroup — at materialization time (measured: 51s of a 74s
+        wave at 3.2M pages).  LogicalRDD-derived plans have nothing to
+        recompute, and the eager pin doubles as the wave's action."""
         wave = int(state["wave"])
         frontier = state["frontier"]
         if self.skew_prune == "auto":
@@ -379,35 +420,31 @@ class CrawlRun:
             )
         else:
             prune = bool(self.skew_prune)
-        # ONE flagged pass: dequeued + remaining + (via groupBy on the
-        # same cache) the host-state update — no remaining anti-join
+        # -- job 1: ONE flagged pass (dequeued + remaining + the source
+        # of the host-state update), pinned eagerly; the dequeue counter
+        # rides the pin's action as an Observation
         obs_deq = Observation(f"deq_w{wave}")
-        flagged = (
-            fr.politeness_split(frontier, state["host_state"], skew_prune=prune)
-            .observe(
-                obs_deq,
-                F.coalesce(
-                    F.sum(F.col("dequeued").cast("long")), F.lit(0)
-                ).alias("n"),
-            )
-            .cache()
+        flagged = fr.politeness_split(
+            frontier, state["host_state"], skew_prune=prune
+        ).observe(
+            obs_deq,
+            F.coalesce(F.sum(F.col("dequeued").cast("long")), F.lit(0)).alias(
+                "n"
+            ),
         )
-        state["to_unpersist"].append(flagged)
-        dequeued = flagged.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
+        flagged_rdd = self._pin(flagged)
+        dequeued = flagged_rdd.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
+        remaining = flagged_rdd.filter(~F.col("dequeued")).select(
+            *fr.FRONTIER_COLS
+        )
 
-        # "fetch": co-partitioned left-semi against the url-bucketed
-        # corpus — only the wave's url keys shuffle; the html payload
-        # column NEVER moves (neither shuffle nor driver broadcast)
+        # -- job 2: fetch → extract → fused gate → pin.  "fetch" is a
+        # co-partitioned left-semi against the url-bucketed corpus —
+        # only the wave's url keys shuffle; the html payload column
+        # NEVER moves (neither shuffle nor driver broadcast)
         page_hits = self._prepared_pages().join(
             dequeued.select("url").hint("SHUFFLE_HASH"), "url", "left_semi"
         )
-        # link pipeline: extract (map) → shard cogroup (ONE shuffle that
-        # dedups by url, probes the bloom shards, applies robots rules
-        # and flags pending-delta matches — same-url rows always share a
-        # shard, so the in-shard dedup and pending match are exact) →
-        # map-side flag filters → one-pass exact anti-join against the
-        # url-partitioned seen cache (bloom-negative rows ride bypass
-        # keys; the seen side never re-shuffles)
         links = fr.extract_wave_links(page_hits).withColumn(
             "host", F.parse_url("url", F.lit("HOST"))
         )
@@ -421,61 +458,72 @@ class CrawlRun:
             self._robots_broadcast() if self.robots_mode == "udf" else None
         )
         obs_links = Observation(f"links_w{wave}")
-        probed = fr.bloom_prefilter(
-            links,
-            state["bloom"],
-            self.num_shards,
-            kind=self.filter_kind,
-            dedup=True,
-            pending=pending,
-            robots_bc=robots_bc,
-        ).observe(obs_links, F.count(F.lit(1)).alias("n"))
-        candidates = probed
-        if pending is not None:
-            candidates = candidates.filter(~F.col("in_pending")).drop("in_pending")
-        if robots_bc is not None:
-            allowed = candidates.filter(F.col("robots_allowed")).drop(
-                "robots_allowed"
-            )
+        obs_new = Observation(f"new_w{wave}")
+        if self.seen_check == "cogroup":
+            # dedup + bloom + exact seen + pending (+ robots) in ONE
+            # cogroup stage; everything after is map-side flag filtering
+            probed = fr.shard_gate(
+                links,
+                state["gate_state"],
+                self.num_shards,
+                kind=self.filter_kind,
+                pending=pending,
+                robots_bc=robots_bc,
+            ).observe(obs_links, F.count(F.lit(1)).alias("n"))
+            candidates = probed.filter(~F.col("is_seen")).drop("is_seen")
+            if robots_bc is not None:
+                new_urls = candidates.filter(F.col("robots_allowed")).drop(
+                    "robots_allowed"
+                )
+            else:
+                new_urls = fr.robots_filter(candidates, self.robots)
         else:
-            allowed = fr.robots_filter(
-                candidates, self.robots, keep=("maybe_seen",)
-            )
-        new_urls = fr.exact_new_filter(allowed, state["seen"]).cache()
-        n_new = new_urls.count()  # the wave's ONE heavy action
+            # two-phase compat shape: cogroup probe, then the one-pass
+            # exact anti-join against the url-partitioned seen cache
+            # (bloom-negative rows ride bypass keys) — one more exchange
+            # + join stage per wave than the fused gate
+            probed = fr.bloom_prefilter(
+                links,
+                state["bloom"],
+                self.num_shards,
+                kind=self.filter_kind,
+                dedup=True,
+                pending=pending,
+                robots_bc=robots_bc,
+            ).observe(obs_links, F.count(F.lit(1)).alias("n"))
+            candidates = probed
+            if pending is not None:
+                candidates = candidates.filter(~F.col("in_pending")).drop(
+                    "in_pending"
+                )
+            if robots_bc is not None:
+                allowed = candidates.filter(F.col("robots_allowed")).drop(
+                    "robots_allowed"
+                )
+            else:
+                allowed = fr.robots_filter(
+                    candidates, self.robots, keep=("maybe_seen",)
+                )
+            new_urls = fr.exact_new_filter(allowed, state["seen"])
+        new_urls = new_urls.observe(obs_new, F.count(F.lit(1)).alias("n"))
+        new_urls_rdd = self._pin(new_urls)
+        n_new = int(obs_new.get["n"])
         n_dequeued = int(obs_deq.get["n"])
 
-        # pin the wave's two outputs as checkpointed RDDs while their
-        # caches are hot (two cheap cache-scan jobs), then DERIVE all
-        # carried state from the LogicalRDD leaves.  This is a
-        # correctness-of-cost guard, not a style choice: a plan that
-        # embeds these cached subtrees NEXT TO LogicalRDD leaves (the
-        # next frontier = remaining ∪ new rows) misses the cache under
-        # Spark's relation dedup and silently recomputes the whole wave
-        # pipeline — fetch, extract UDF, cogroup — at checkpoint
-        # materialization time (measured: 51s of a 74s wave at 3.2M
-        # pages).  LogicalRDD-derived plans have nothing to recompute.
-        flagged_rdd = self._pin(flagged)
-        new_urls_rdd = self._pin(new_urls)
-        flagged.unpersist()
-        new_urls.unpersist()
-        state["to_unpersist"].remove(flagged)
-        dequeued = flagged_rdd.filter(F.col("dequeued")).select(*fr.FRONTIER_COLS)
-        remaining = flagged_rdd.filter(~F.col("dequeued")).select(
-            *fr.FRONTIER_COLS
-        )
         new_host_state = fr.host_state_update(state["host_state"], dequeued)
 
         # union is map-only over the two checkpoint scans; no repartition
-        # shuffle — partition count stays bounded; lineage truncated so
-        # it cannot grow across waves (materializes lazily inside the
-        # next wave's first action, now a cheap block scan)
-        new_frontier = self._truncate(
-            remaining.unionByName(fr.new_frontier_rows(new_urls_rdd, wave))
+        # shuffle, and NO further checkpoint: both inputs already ARE
+        # this wave's LogicalRDD leaves, so the next frontier's lineage
+        # depth is constant by construction — truncating the union again
+        # would just re-write the full frontier a second time per wave
+        new_frontier = remaining.unionByName(
+            fr.new_frontier_rows(new_urls_rdd, wave)
         )
         # one small explicit exchange re-asserts hash(host) (a full-outer
         # join's output partitioning is not propagated), so next wave's
-        # politeness + update joins stay exchange-free
+        # politeness + update joins stay exchange-free; host_state DOES
+        # need the lineage truncation — it chains through every wave
         new_host_state = self._truncate(
             new_host_state.repartition(self.frontier_partitions, "host")
         )
@@ -546,10 +594,7 @@ class CrawlRun:
         # refresh committed views; keep frontier/host_state in memory
         if state.get("seen_cache") is not None:
             state["seen_cache"].unpersist()
-        seen = self._prepared_seen(spark)
-        state["seen"] = seen
-        state["seen_cache"] = seen
-        state["bloom"] = self.catalog.read_table(spark, "bloom")
+        self._refresh_committed(state)
         state["pending_rows"] = 0
         state["pending_seen"] = []
         state["pending_log"] = []

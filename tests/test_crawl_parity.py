@@ -279,3 +279,31 @@ def test_skew_prune_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
         assert metrics == oracle_metrics, name
         assert run.crawl_order() == oracle.crawl_order(), name
         assert run.seen_set() == oracle.seen_set(), name
+
+
+def test_seen_check_mode_equivalence(spark, corpus, oracle_result, tmp_path) -> None:
+    """The fused cogroup seen-gate (default) and the two-phase
+    bloom_prefilter → JVM anti-join shape are physical choices, never
+    semantic ones: identical crawl order / seen set / metrics / bloom
+    lineage, including across micro-batched commits (pending deltas ride
+    different sides of the plan in the two modes)."""
+    pages, robots, seeds = corpus
+    oracle, oracle_metrics = oracle_result
+
+    for mode in ("cogroup", "join"):
+        catalog = SnapshotCatalog(str(tmp_path / f"seen-{mode}"))
+        run = CrawlRun(
+            spark, catalog, pages, robots, num_shards=SHARDS,
+            checkpoint_interval=2, seen_check=mode,
+        )
+        run.initialize(seeds)
+        metrics = run.run(WAVES)
+        assert metrics == oracle_metrics, mode
+        assert run.crawl_order() == oracle.crawl_order(), mode
+        assert run.seen_set() == oracle.seen_set(), mode
+        snapshot = catalog.load_snapshot()
+        engine_hashes = {
+            row["partition_id"]: row["bloom_shard_hash"]
+            for row in snapshot.lineage
+        }
+        assert engine_hashes == oracle.bloom_shard_hashes(), mode

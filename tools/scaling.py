@@ -122,6 +122,23 @@ def _mp_work(args):
             resolve_url(row["url"], href)
 
 
+def _level_spin(cpus: int) -> float:
+    """Same-window hardware probe: spin throughput with ``cpus`` workers
+    measured INSIDE this level's pinned process (taskset affinity is
+    inherited), so each level's wall numbers carry their own hardware
+    context — a degraded window (co-tenant load) is then visible in the
+    level's own record instead of silently inflating the other level's
+    ratio."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(2):
+        with mp.Pool(cpus) as pool:
+            ops = sum(pool.map(_spin_1s, range(cpus)))
+        best = max(best, float(ops))
+    return best
+
+
 def run_level(cpus: int) -> dict:
     from bench import build_spark
     from parsel_spark.plans.crawl import CrawlRun
@@ -221,6 +238,8 @@ def run_level(cpus: int) -> dict:
     n_pages = pages.count()
 
     spark.stop()
+    # hardware probe AFTER the spark work, inside the same pinned window
+    spin_ops = _level_spin(cpus)
     processed = dequeued + extracted
     return {
         "cpus": cpus,
@@ -233,6 +252,8 @@ def run_level(cpus: int) -> dict:
         "extract_pages": n_pages,
         "extract_links": n_links,
         "extract_pages_per_sec": round(n_pages / map_elapsed, 2),
+        "spin_ops_per_sec": round(spin_ops, 0),
+        "spin_ops_per_core": round(spin_ops / cpus, 0),
     }
 
 
@@ -251,6 +272,11 @@ def spark_submit_level(cpus: int) -> dict:
     out_file = os.path.join(REPO, "BENCH", f"scaling_{cpus}.json")
     env = dict(os.environ)
     env["SCALING_OUT"] = out_file
+    # per-stage event logs → BENCH/eventlogs/<cpus>/ for the
+    # stage-profile artifact (tools/stage_profile.py)
+    env["SPARK_GRAFT_EVENTLOG"] = os.path.join(
+        REPO, "BENCH", "eventlogs", str(cpus)
+    )
     # pin the WHOLE process tree (JVM task threads + python UDF workers)
     # to `cpus` hardware threads: without this, local[8]'s Arrow/pandas
     # workers are separate processes that spill onto EXTRA cores beyond
@@ -310,14 +336,57 @@ def main() -> None:
     t32 = results[32]["urls_per_sec"]
     m8 = results[8]["extract_pages_per_sec"]
     m32 = results[32]["extract_pages_per_sec"]
+    loop_eff = round((t32 / t8) / (32 / 8), 3)
+    extract_eff = round((m32 / m8) / (32 / 8), 3)
+    # same-window hardware ceiling: each level's spin probe ran inside
+    # ITS OWN pinned process, so the ratio reflects the actual hardware
+    # conditions the two measurements saw — a raw efficiency above this
+    # ceiling (or per-core spin imbalance between the windows) means a
+    # degraded window, not a real engine property
+    spin8 = results[8].get("spin_ops_per_sec")
+    spin32 = results[32].get("spin_ops_per_sec")
+    same_window_ceiling = (
+        round((spin32 / spin8) / 4.0, 3) if spin8 and spin32 else None
+    )
+    window_flags = []
+    if spin8 and spin32:
+        core8 = results[8]["spin_ops_per_core"]
+        core32 = results[32]["spin_ops_per_core"]
+        if abs(core8 - core32) / max(core8, core32) > 0.15:
+            slower = 8 if core8 < core32 else 32
+            window_flags.append(
+                f"per-core spin imbalance >15% between windows — the "
+                f"{slower}-core window ran on degraded hardware; treat "
+                f"raw ratios with caution"
+            )
+    for name, eff in (("loop", loop_eff), ("extract", extract_eff)):
+        if same_window_ceiling and eff > same_window_ceiling:
+            window_flags.append(
+                f"{name} raw efficiency {eff} exceeds the same-window "
+                f"hardware ceiling {same_window_ceiling} — super-linear "
+                f"readings are co-tenant artifacts of the slower window, "
+                f"not engine properties; use the vs_ceiling value"
+            )
     summary = {
         "levels": results,
         "loop_throughput_8": t8,
         "loop_throughput_32": t32,
-        "loop_scaling_efficiency": round((t32 / t8) / (32 / 8), 3),
+        "loop_scaling_efficiency": loop_eff,
         "extract_throughput_8": m8,
         "extract_throughput_32": m32,
-        "extract_scaling_efficiency": round((m32 / m8) / (32 / 8), 3),
+        "extract_scaling_efficiency": extract_eff,
+        "same_window_spin_ceiling": same_window_ceiling,
+        "loop_efficiency_vs_ceiling": (
+            round(loop_eff / same_window_ceiling, 3)
+            if same_window_ceiling
+            else None
+        ),
+        "extract_efficiency_vs_ceiling": (
+            round(min(extract_eff / same_window_ceiling, 1.0), 3)
+            if same_window_ceiling
+            else None
+        ),
+        "window_flags": window_flags,
         "python_engine_no_jvm_colocation": mp_results,
         "cpu_spin_ceiling": spin,
         "config": {
