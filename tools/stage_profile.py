@@ -193,5 +193,68 @@ def main() -> None:
         print(payload)
 
 
+
+
+def compare(path8: str, path32: str) -> dict:
+    """Job-matched 8-vs-32 comparison: for every job id present in both
+    profiles, the total task time (parallel work) at each level and its
+    inflation factor.  Work inflation >1 means the SAME logical work
+    costs more task-seconds when run 32-wide on one box — memory
+    bandwidth / GC / SMT co-location, the component a real 4N-machine
+    cluster does not pay (4N machines bring 4N memory buses).  Stage
+    overhead columns show the ramp/tail fixed cost separately."""
+    p8 = json.load(open(path8))
+    p32 = json.load(open(path32))
+    by8 = {j["job_id"]: j for j in p8["jobs"]}
+    rows = []
+    for j32 in p32["jobs"]:
+        j8 = by8.get(j32["job_id"])
+        if j8 is None:
+            continue
+        work8 = j8["stage_ideal_ms"] * p8["cores"]
+        work32 = j32["stage_ideal_ms"] * p32["cores"]
+        if work8 < 1000:  # skip trivial jobs
+            continue
+        rows.append(
+            {
+                "job_id": j32["job_id"],
+                "wall_8_ms": j8["wall_ms"],
+                "wall_32_ms": j32["wall_ms"],
+                "task_work_8_s": round(work8 / 1000, 1),
+                "task_work_32_s": round(work32 / 1000, 1),
+                "work_inflation_32_vs_8": (
+                    round(work32 / work8, 2) if work8 else None
+                ),
+                "stage_overhead_8_ms": j8["stage_overhead_ms"],
+                "stage_overhead_32_ms": j32["stage_overhead_ms"],
+                "speedup": (
+                    round(j8["wall_ms"] / j32["wall_ms"], 2)
+                    if j8["wall_ms"] and j32["wall_ms"]
+                    else None
+                ),
+            }
+        )
+    return {"jobs": rows}
+
+
+def main_compare() -> None:
+    i = sys.argv.index("--compare")
+    path8, path32 = sys.argv[i + 1], sys.argv[i + 2]
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    result = compare(path8, path32)
+    payload = json.dumps(result, indent=1)
+    if out:
+        with open(out, "w") as fh:
+            fh.write(payload)
+        print(f"wrote {out}: {len(result['jobs'])} matched jobs")
+    else:
+        print(payload)
+
+
 if __name__ == "__main__":
-    main()
+    if "--compare" in sys.argv:
+        main_compare()
+    else:
+        main()
