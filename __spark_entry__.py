@@ -304,6 +304,21 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the minhash-LSH
+    pair graph (iterative min-label propagation, eager-pinned rounds,
+    converged-row counter riding each pin as an Observation) — the step
+    that turns pairwise dup evidence into dedup groups.  Every doc gets
+    a (doc_id, cluster_id = min reachable doc_id) row; singletons label
+    themselves.  The DuckDB oracle replays the SAME pair graph (full
+    minhash SQL) and closes it transitively with a recursive CTE."""
+    from parsel_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.35)
+    return dup_clusters(pairs, docs)
+
+
 def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-path Jaccard near-dup: MinHash-band candidates over
     token sets (no quadratic-within-block self-join), exact verify."""
@@ -663,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1068,6 +1084,27 @@ def oracle_sql() -> dict[str, str]:
                                        list_distinct(sh_b)))::DOUBLE
                     / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
                     6) >= 0.35
+    """
+
+    # -- dup clustering: the SAME minhash pair graph, transitively
+    # closed with a recursive CTE (min reachable doc_id per node;
+    # singletons from the full documents table label themselves) —
+    # replays the Spark side's iterative min-label fixpoint in closed
+    # form
+    sql["doc_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+            {sql["doc_minhash_pairs"]}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, min(anc) AS cluster_id
+        FROM reach GROUP BY node
     """
 
     # -- hyperplane-LSH kNN: the planes are deterministic constants

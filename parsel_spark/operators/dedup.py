@@ -603,3 +603,92 @@ def simhash_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the step that
+    turns pairwise dup evidence (exact / jaccard / minhash / simhash /
+    embedding / phash ``*_pairs`` outputs) into DEDUP GROUPS: output is
+    ``(doc_id, cluster_id)`` for EVERY node, where ``cluster_id`` is the
+    smallest doc_id reachable through the pair graph (singletons label
+    themselves).  Downstream "keep one per cluster" is then a trivial
+    ``groupBy(cluster_id).agg(min(doc_id))``.
+
+    Algorithm: iterative min-label propagation.  Per round each node
+    takes ``min(own label, min neighbor label)``; a fixpoint is reached
+    after O(graph diameter) rounds — dup graphs are overwhelmingly
+    tiny cliques/chains, so this converges in a handful of rounds (the
+    alternating large-star/small-star variant trades more logic for
+    fewer rounds on adversarial long paths; ``max_iters`` guards those).
+
+    Scale shape: the edge list is symmetrized once, repartitioned
+    hash(dst) and CACHED — per round it joins co-partitioned against
+    the label table (carried hash(doc_id)), the neighbor-min is a
+    map-side-combined groupBy, and labels are pinned with an eager
+    ``localCheckpoint`` per round (iterative DataFrames MUST truncate
+    lineage) with the converged-row counter riding the pin as an
+    ``Observation`` — one action per round, no driver-side data.
+
+    Determinism: min-label is a pure function of the graph; rounds and
+    partitioning cannot change the fixpoint."""
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
+    partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a, b = "doc_a", "doc_b"
+    if a not in pairs.columns:  # embedding pairs use vec_a/vec_b
+        a, b = "vec_a", "vec_b"
+    half = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(partitions, "dst")
+        .cache()
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        .repartition(partitions, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.hint("SHUFFLE_HASH"),
+                edges["dst"] == labels["node"],
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        obs = Observation()
+        stepped = (
+            labels.join(
+                nbr_min.hint("SHUFFLE_HASH"),
+                labels["node"] == nbr_min["src"],
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("__changed"),
+            )
+            .observe(obs, F.coalesce(F.sum("__changed"), F.lit(0)).alias("n"))
+            .drop("__changed")
+            .repartition(partitions, "node")
+        )
+        labels = stepped.localCheckpoint(eager=True)
+        if int(obs.get["n"]) == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

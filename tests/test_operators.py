@@ -356,6 +356,66 @@ class TestDedupSpark:
             simhash_band_widths(SIMHASH_BITS + 1)
 
 
+class TestDupClusters:
+    def test_chain_clique_singleton(self, spark) -> None:
+        """Min-label fixpoint: a 3-chain (diameter 2 — needs >1 round),
+        a 2-clique and a singleton; every node labeled, cluster_id =
+        min reachable doc_id."""
+        from parsel_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in (1, 5, 9, 20, 21, 30)], "doc_id long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, nodes).collect()
+        }
+        assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30}
+
+    def test_long_path_converges(self, spark) -> None:
+        """A 12-node path (diameter 11) exercises the multi-round loop;
+        the whole path collapses to the smallest endpoint."""
+        from parsel_spark.operators.dedup import dup_clusters
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = dup_clusters(pairs, nodes).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == n
+
+    def test_no_pairs_all_singletons(self, spark) -> None:
+        from parsel_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        nodes = spark.createDataFrame([(3,), (7,)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, nodes).collect()
+        }
+        assert got == {3: 3, 7: 7}
+
+    def test_embedding_pair_columns(self, spark) -> None:
+        """vec_a/vec_b pair outputs (embedding_near_dup_pairs) feed the
+        same operator via the column fallback."""
+        from parsel_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame([(2, 4)], "vec_a long, vec_b long")
+        nodes = spark.createDataFrame(
+            [(2,), (4,), (6,)], "vec_id long"
+        )
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, nodes, id_col="vec_id").collect()
+        }
+        assert got == {2: 2, 4: 2, 6: 6}
+
+
 class TestSimilaritySpark:
     def test_ivf_recall_vs_bruteforce(self, spark) -> None:
         from parsel_spark.operators.similarity import knn_bruteforce, knn_ivf
