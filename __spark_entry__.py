@@ -286,6 +286,52 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ts.fingerprint().alias("fingerprint"))
 
 
+def q_doc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample keyed on doc_id (md5-unit-hash filter —
+    map-side, no shuffle, stable across reruns/partitionings/engines;
+    `df.sample` is none of those).  Returns the sampled ids plus the
+    unit hash so the oracle checks the VALUE, not just membership."""
+    from parsel_spark.functions.sampling import hash_sample, unit_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate=0.1, seed=7).select(
+        "doc_id", F.round(unit_hash("doc_id", seed=7), 9).alias("u")
+    )
+
+
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint+exhaustive train/val/test assignment
+    (interval partition of the unit hash): every doc gets a stable
+    split label — the reproducible dataset-split op of a training
+    pipeline."""
+    from parsel_spark.functions.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    ).select("doc_id", "split")
+
+
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails / IPv4s / phone runs → typed placeholders,
+    entirely JVM-side regexp_replace.  PII is PLANTED deterministically
+    (an address and an IP derived from doc_id appended to every text)
+    so the redaction provably fires on every row and the oracle states
+    the expected output in closed form over the same planted input."""
+    from parsel_spark.functions.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        doc_id,
+        F.lit("@example.com or 10.0.0."),
+        F.pmod(doc_id, F.lit(256)),
+    )
+    return docs.select("doc_id", redact_pii(planted).alias("clean_text"))
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import minhash_lsh_pairs
 
@@ -679,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_sample_hash": q_doc_sample_hash,
+        "doc_train_split": q_doc_train_split,
+        "doc_redact_pii": q_doc_redact_pii,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1084,6 +1133,40 @@ def oracle_sql() -> dict[str, str]:
                                        list_distinct(sh_b)))::DOUBLE
                     / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
                     6) >= 0.35
+    """
+
+    # -- deterministic sampling/splitting: the unit hash is the SAME
+    # md5-60-bit expression in both engines (pure function of the key,
+    # so membership AND value replay exactly); split thresholds are the
+    # IEEE-accumulated python floats embedded verbatim
+    unit = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || '#{seed}'), 1, 15))::BIGINT"
+        "::DOUBLE / 1152921504606846976.0)"
+    )
+    sql["doc_sample_hash"] = f"""
+        SELECT doc_id, round({unit.format(seed=7)}, 9) AS u
+        FROM documents
+        WHERE {unit.format(seed=7)} < 0.1
+    """
+    sql["doc_train_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {unit.format(seed=3)} < 0.8::DOUBLE THEN 'train'
+                    WHEN {unit.format(seed=3)} < 0.9::DOUBLE THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+    # -- PII redaction: same planted input, same ordered regex chain
+    # (patterns chosen for Java-regex / RE2 parity), 'g' = Spark's
+    # replace-all default
+    from parsel_spark.functions.textstats import PII_PATTERNS
+
+    redacted = "text || ' contact: user' || doc_id::VARCHAR || '@example.com or 10.0.0.' || (doc_id % 256)::VARCHAR"
+    for _name, pattern, repl in PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{escaped}', '{repl}', 'g')"
+    sql["doc_redact_pii"] = f"""
+        SELECT doc_id, {redacted} AS clean_text FROM documents
     """
 
     # -- dup clustering: the SAME minhash pair graph, transitively

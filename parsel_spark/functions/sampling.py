@@ -1,0 +1,84 @@
+"""Deterministic hash-based sampling / splitting — training-data
+pipeline staples over a 100 TB corpus.
+
+Random sampling (``df.sample``) is NOT what a production pipeline wants:
+it changes across reruns, partitions and Spark versions, so a resumed or
+re-executed job sees a different dataset.  These operators derive a
+uniform [0, 1) value from ``md5(key || '#' || seed)`` — a pure function
+of the ROW KEY, so:
+
+* the same row lands in the same sample/split on every run, at every
+  parallelism, on every engine (the exact same expression runs in the
+  DuckDB oracle);
+* sampling is a map-side FILTER — no shuffle, full predicate pushdown
+  around it, and rates compose (a 10% sample of a 50% sample is the 5%
+  sample of matching keys);
+* train/val/test splits are disjoint and exhaustive by construction
+  (interval partition of [0, 1)).
+
+The unit value uses the first 15 md5 hex digits (60 bits) — BIGINT-safe
+in any engine, bias < 2^-60.
+
+Reference surface: the reference crawler has no sampling layer (its
+test corpus is enumerated); these operators cover SURVEY §2's
+training-data-pipeline extension the same way dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^60 as a double — divisor turning the 60-bit hash into U[0, 1)
+_UNIT = float(1 << 60)
+
+
+def unit_hash(key: Column | str, seed: int = 0) -> Column:
+    """U[0, 1) as a pure function of (key, seed): first 60 bits of
+    ``md5(key || '#' || seed)`` over 2^60.  DuckDB twin:
+    ``('0x' || substr(md5(key || '#' || seed), 1, 15))::BIGINT / 2^60``."""
+    keyed = F.concat(F.col(key) if isinstance(key, str) else key,
+                     F.lit(f"#{seed}"))
+    h60 = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    return h60.cast("double") / F.lit(_UNIT)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on ``key_col`` —
+    a map-side filter (no shuffle, no RNG state); stable across reruns
+    and engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(unit_hash(key_col, seed) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint+exhaustive split assignment: adds
+    ``split_col`` with the name of the [0,1)-interval the row's unit
+    hash falls into.  ``weights`` need not sum to 1 — they are
+    normalized; iteration order defines the interval order, so pass an
+    ordered dict (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = unit_hash(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        case = F.when(u < F.lit(acc), F.lit(name))
+        expr = case if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

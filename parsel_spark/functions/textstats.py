@@ -117,3 +117,28 @@ def fingerprint(text_col: str = "text", window: int = 8) -> Column:
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
     return F.array_min(grams)
+
+
+#: PII redaction patterns — ordered (emails before phones so the phone
+#: heuristic cannot eat an address's digits); every pattern uses only
+#: constructs with IDENTICAL semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle): char classes, non-capturing groups, bounded repeats,
+#: ASCII \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: str | Column = "text") -> Column:
+    """Chained ``regexp_replace`` redaction of emails / IPv4s / phone
+    numbers — entirely JVM-side (whole-stage codegen), the standard
+    scrub pass of a training-data pipeline.  Heuristic by design (the
+    phone pattern is any 9+ digit/space/hyphen run); patterns are
+    chosen for cross-engine regex parity so the DuckDB oracle replays
+    the exact transformation."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _name, pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return col

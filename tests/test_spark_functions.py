@@ -191,3 +191,65 @@ def test_fused_extract_drop_css_single_python_hop(spark, pages) -> None:
             if u is not None
         ]
         assert got[row["url"]] == expected
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_composable(self, spark) -> None:
+        """Same rows on every run / partitioning; a 10%-of-50% sample is
+        exactly the 5%-rate sample (nested intervals of the SAME unit
+        hash) — the reproducibility contract df.sample cannot give."""
+        from parsel_spark.functions.sampling import hash_sample
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed=1).collect()}
+        s2 = {r["doc_id"] for r in
+              hash_sample(df.repartition(7), "doc_id", 0.2, seed=1).collect()}
+        assert s1 == s2 and 0.1 < len(s1) / 2000 < 0.3
+        s_half = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1, seed=1).collect()}
+        assert s_half <= s1  # nested intervals compose
+
+    def test_hash_sample_rate_bounds(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.sampling import hash_sample
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError):
+            hash_sample(df, "doc_id", 1.5)
+        assert hash_sample(df, "doc_id", 0.0).count() == 0
+        assert hash_sample(df, "doc_id", 1.0).count() == 10
+
+    def test_hash_split_disjoint_exhaustive(self, spark) -> None:
+        from parsel_spark.functions.sampling import hash_split
+
+        df = spark.range(3000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+        assert sum(counts.values()) == 3000  # exhaustive
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        # deterministic across partitionings
+        out2 = hash_split(df.repartition(5), "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+        assert ({(r["doc_id"], r["split"]) for r in out.collect()}
+                == {(r["doc_id"], r["split"]) for r in out2.collect()})
+
+
+class TestRedactPII:
+    def test_redacts_planted_pii(self, spark) -> None:
+        from parsel_spark.functions.textstats import redact_pii
+
+        rows = [
+            (1, "mail me at john.doe+x@sub.example.org today"),
+            (2, "server 192.168.0.1 rebooted"),
+            (3, "call +1 555 123 4567 now"),
+            (4, "clean text with nothing to hide"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["c"] for r in
+               df.select("doc_id", redact_pii("text").alias("c")).collect()}
+        assert got[1] == "mail me at <EMAIL> today"
+        assert got[2] == "server <IP> rebooted"
+        assert got[3] == "call <PHONE> now"
+        assert got[4] == rows[3][1]
