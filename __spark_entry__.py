@@ -312,6 +312,33 @@ def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_doc_sample_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXING: per-source deterministic sampling rates (the
+    'keep 100% of wiki, 30% of web' op).  The rate table compiles into
+    a literal CASE over the same md5 unit hash — map-side filter, no
+    join; per-stratum samples stay nested when a rate is raised."""
+    from parsel_spark.functions.sampling import hash_sample_strata, unit_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    # deterministic rate per source bucket: sources are synthetic
+    # ("src<k>"), so rate = 1.0 for src0, 0.5 for src1, 0.1 for the rest
+    rates = {"src0": 1.0, "src1": 0.5}
+    return hash_sample_strata(
+        docs, "doc_id", "source", rates, default_rate=0.1, seed=11
+    ).select("doc_id", "source", F.round(unit_hash("doc_id", 11), 9).alias("u"))
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token training rows,
+    shard-local (16 hash shards pack independently — the distributed
+    packing shape): every doc gets (shard, seq_id, offset); the oracle
+    replays the running-sum window verbatim."""
+    from parsel_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, token_budget=256, n_shards=16, seed=5)
+
+
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: emails / IPv4s / phone runs → typed placeholders,
     entirely JVM-side regexp_replace.  PII is PLANTED deterministically
@@ -726,7 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_sample_hash": q_doc_sample_hash,
+        "doc_sample_strata": q_doc_sample_strata,
         "doc_train_split": q_doc_train_split,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_redact_pii": q_doc_redact_pii,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
@@ -1154,6 +1183,37 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {unit.format(seed=3)} < 0.9::DOUBLE THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    # -- stratified mixing + packing: same unit hash; the rate table
+    # and the running-sum window replay verbatim
+    sql["doc_sample_strata"] = f"""
+        SELECT doc_id, source, round({unit.format(seed=11)}, 9) AS u
+        FROM documents
+        WHERE {unit.format(seed=11)} <
+              CASE WHEN source = 'src0' THEN 1.0::DOUBLE
+                   WHEN source = 'src1' THEN 0.5::DOUBLE
+                   ELSE 0.1::DOUBLE END
+    """
+    sql["doc_pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   floor({unit.format(seed=5)} * 16)::INT AS shard,
+                   len(string_split_regex(lower(trim(text)), ' +'))::BIGINT
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               (start // 256)::BIGINT AS seq_id,
+               (start % 256)::BIGINT AS offset
+        FROM c
     """
 
     # -- PII redaction: same planted input, same ordered regex chain

@@ -82,3 +82,40 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def hash_sample_strata(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-MIXING op of a
+    training pipeline (e.g. keep 100% of wiki, 30% of web, 5% of logs):
+    each row passes iff its unit hash is below ITS STRATUM's rate.
+    Still a map-side filter (the rate table compiles into a literal
+    CASE expression — no join, no shuffle, works inside any pushdown),
+    still stable across reruns, and per-stratum samples stay nested
+    across rate changes (same unit hash ⇒ raising a rate only ADDS
+    rows)."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate_expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        rate_expr = (
+            F.when(cond, F.lit(float(rate)))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(float(rate)))
+        )
+    rate_expr = (
+        F.lit(float(default_rate))
+        if rate_expr is None
+        else rate_expr.otherwise(F.lit(float(default_rate)))
+    )
+    return df.filter(unit_hash(key_col, seed) < rate_expr)

@@ -1,0 +1,77 @@
+"""Sequence packing — assigning documents to fixed-token-budget
+training rows, the step between a cleaned corpus and an LLM data
+loader.
+
+Semantics: *concat-and-chunk* per shard — documents are laid out in a
+deterministic order (ascending id within their shard) as one virtual
+token stream, which is chopped into ``token_budget``-sized windows; a
+document belongs to the window where it STARTS (``seq_id``) at byte
+offset ``offset``.  This is the packing scheme most large-scale
+training pipelines use (concatenate, then split at budget boundaries),
+and unlike greedy first-fit bin packing it has a CLOSED FORM — a
+running-sum window — so it is expressible as pure JVM window work and
+replayable verbatim by the DuckDB oracle.
+
+Scale shape: packing is SHARD-LOCAL (shard = floor(unit_hash × n)), so
+shards pack independently and in parallel — one hash exchange + one
+in-partition sort, no global ordering.  That is exactly how distributed
+packers shard the problem; the shard id rides the output so a loader
+can address (shard, seq_id) deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sampling import unit_hash
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, shard, n_tokens, seq_id, offset): deterministic
+    concat-and-chunk packing of each shard's documents into
+    ``token_budget``-token training rows.
+
+    ``tokens_col`` defaults to the whitespace token count
+    (``textstats.token_count``); pass any integer column expression
+    (e.g. a BPE count) to pack by a different tokenizer."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if tokens_col is None:
+        from ..functions.textstats import token_count
+
+        tokens_col = token_count().cast("long")
+    shard = F.floor(unit_hash(id_col, seed) * F.lit(n_shards)).cast("int")
+    with_shard = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        tokens_col.alias("n_tokens"),
+    )
+    window = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(window)
+    # integer arithmetic only (`div`/`pmod`) — exact at any corpus size
+    # (double division would lose integer exactness past 2^53
+    # tokens/shard); DuckDB twin: `//` and `%`
+    return with_shard.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("__start"),
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"__start div {int(token_budget)}").cast("long").alias("seq_id"),
+        F.pmod("__start", F.lit(int(token_budget))).cast("long").alias("offset"),
+    )

@@ -253,3 +253,85 @@ class TestRedactPII:
         assert got[2] == "server <IP> rebooted"
         assert got[3] == "call <PHONE> now"
         assert got[4] == rows[3][1]
+
+
+class TestStrataSampling:
+    def test_per_stratum_rates_and_nesting(self, spark) -> None:
+        from parsel_spark.functions.sampling import hash_sample, hash_sample_strata
+
+        rows = [(i, "keep" if i % 2 else "thin") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = hash_sample_strata(
+            df, "doc_id", "source", {"keep": 1.0, "thin": 0.1}, seed=4
+        )
+        got = out.groupBy("source").count().collect()
+        counts = {r["source"]: r["count"] for r in got}
+        assert counts["keep"] == 1000  # rate 1.0 keeps everything
+        assert 20 < counts.get("thin", 0) < 300
+        # nesting: the thin stratum's rows are exactly the flat 0.1
+        # sample of that stratum (same unit hash)
+        thin_flat = {
+            r["doc_id"]
+            for r in hash_sample(
+                df.filter("source = 'thin'"), "doc_id", 0.1, seed=4
+            ).collect()
+        }
+        thin_strata = {
+            r["doc_id"] for r in out.filter("source = 'thin'").collect()
+        }
+        assert thin_flat == thin_strata
+
+    def test_default_rate_zero_drops_unknown(self, spark) -> None:
+        from parsel_spark.functions.sampling import hash_sample_strata
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, source string"
+        )
+        out = hash_sample_strata(df, "doc_id", "source", {"a": 1.0})
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestPackSequences:
+    def test_chunk_semantics_exact(self, spark) -> None:
+        """Manual replay on one shard: offsets are the running token
+        total mod budget; seq_id increments when a doc STARTS past a
+        budget boundary."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.packing import pack_sequences
+
+        rows = [(i, "w " * 40) for i in range(50)]  # 40 tokens each
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, token_budget=100, n_shards=4, seed=2)
+        rows_out = out.orderBy("shard", "doc_id").collect()
+        # replay per shard in python
+        from collections import defaultdict
+
+        cum = defaultdict(int)
+        for r in rows_out:
+            start = cum[r["shard"]]
+            assert r["n_tokens"] == 40
+            assert r["seq_id"] == start // 100, r
+            assert r["offset"] == start % 100, r
+            cum[r["shard"]] += 40
+
+    def test_deterministic_across_partitionings(self, spark) -> None:
+        from parsel_spark.operators.packing import pack_sequences
+
+        rows = [(i, "tok " * (1 + i % 17)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {tuple(r) for r in pack_sequences(df, 64, n_shards=8).collect()}
+        b = {
+            tuple(r)
+            for r in pack_sequences(df.repartition(13), 64, n_shards=8).collect()
+        }
+        assert a == b
+
+    def test_budget_validation(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            pack_sequences(df, 0)
