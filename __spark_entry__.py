@@ -640,6 +640,54 @@ def q_stream_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_crawl_forget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CrawlRun + cuckoo ``forget()`` under the hard oracle
+    gate: initialize from the first N_SEED_DOCS doc urls (politeness
+    non-binding by construction: ≤2 seeds/host < k), run ONE wave over
+    the planted-link corpus, then forget every seed url with
+    doc_id % 3 == 0 (the recrawl-TTL shape — requires the deletable
+    cuckoo backend).  The committed seen table then has a CLOSED FORM:
+    (seed urls ∪ wave-1 planted targets) minus the forgotten urls —
+    the same ground truth crawl_frontier_wave1's oracle states, so
+    snapshot commit / append-delta / forget-rewrite machinery is
+    value-checked, not just pytest-checked."""
+    import tempfile
+
+    from parsel_spark.plans.crawl import CrawlRun
+    from parsel_spark.sources.snapshots import SnapshotCatalog
+
+    docs = _read(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") < N_SEED_DOCS).select(
+        _doc_url(F.col("doc_id")).alias("url"),
+        (F.lit(1.0) + F.col("doc_id").cast("double") / 100).alias("priority"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+    pages = _doc_pages(docs)
+    hosts = [f"docs-{i}.test" for i in range(N_DOC_HOSTS)]
+    robots = spark.createDataFrame(
+        [(h, [], [], 1.0, 8) for h in hosts],
+        "host string, deny_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay double, "
+        "max_fetch_per_wave int",
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_forget_q_")
+    run = CrawlRun(
+        spark,
+        SnapshotCatalog(tmp),
+        pages.select("url", "html"),
+        robots,
+        num_shards=16,
+        filter_kind="cuckoo",
+    )
+    run.initialize(seeds)
+    run.run(1)
+    victims = docs.filter(
+        (F.col("doc_id") < N_SEED_DOCS) & (F.pmod("doc_id", F.lit(3)) == 0)
+    ).select(_doc_url(F.col("doc_id")).alias("url"))
+    run.forget(victims)
+    return run.catalog.read_table(spark, "seen").select("url")
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-bucket politeness as a VALUE-LEVEL oracle row:
     deterministic per-host frontier candidates (closed-form priority /
@@ -773,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_drop_rewrite": q_selector_drop_rewrite,
         "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
+        "crawl_forget_seen": q_crawl_forget_seen,
         "img_phash_near_dup": q_img_phash_near_dup,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
@@ -1013,6 +1062,35 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_extract_links"] = (
         f"SELECT DISTINCT url FROM ({_oracle_doc_targets()})"
     )
+
+    # crawl + forget: the committed seen table in closed form — seeds ∪
+    # wave-1 planted targets minus the forgotten seed urls (politeness
+    # non-binding: ≤2 seeds/host < k=2; robots allow-all)
+    sql["crawl_forget_seen"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+             js(j) AS (VALUES (0),(1),(2)),
+             seeds AS (SELECT doc_id FROM documents WHERE doc_id < {N_SEED_DOCS}),
+             seed_urls AS (
+                SELECT doc_id,
+                       'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                         || '.test/d/' || doc_id AS url
+                FROM seeds
+             ),
+             links AS (
+                SELECT DISTINCT
+                  'http://docs-' || (((s.doc_id*7 + js.j*11 + 1) % n.n) % {N_DOC_HOSTS})
+                    || '.test/d/' || ((s.doc_id*7 + js.j*11 + 1) % n.n) AS url
+                FROM seeds s, js, n
+             ),
+             all_seen AS (
+                SELECT url FROM seed_urls UNION SELECT url FROM links
+             ),
+             victims AS (
+                SELECT url FROM seed_urls WHERE doc_id % 3 = 0
+             )
+        SELECT url FROM all_seen
+        WHERE url NOT IN (SELECT url FROM victims)
+    """
 
     # streaming politeness gate: closed-form replay of the GroupState
     # token bucket for ONE trigger — rank per host by (priority DESC,
