@@ -307,3 +307,30 @@ def test_seen_check_mode_equivalence(spark, corpus, oracle_result, tmp_path) -> 
             for row in snapshot.lineage
         }
         assert engine_hashes == oracle.bloom_shard_hashes(), mode
+
+
+def test_resume_across_seen_check_modes(spark, corpus, oracle_result, tmp_path) -> None:
+    """Snapshots are mode-agnostic: a crawl started under the fused
+    cogroup gate and RESUMED under the two-phase join gate (and vice
+    versa) must still match the oracle exactly — the seen/bloom tables
+    carry no mode-specific state."""
+    pages, robots, seeds = corpus
+    oracle, _ = oracle_result
+
+    for first_mode, second_mode in (("cogroup", "join"), ("join", "cogroup")):
+        name = f"xmode-{first_mode}-{second_mode}"
+        catalog_path = str(tmp_path / name)
+        first = CrawlRun(
+            spark, SnapshotCatalog(catalog_path), pages, robots,
+            num_shards=SHARDS, seen_check=first_mode,
+        )
+        first.initialize(seeds)
+        first.run(2)
+        del first
+        resumed = CrawlRun(
+            spark, SnapshotCatalog(catalog_path), pages, robots,
+            num_shards=SHARDS, seen_check=second_mode,
+        )
+        resumed.run(WAVES - 2)
+        assert resumed.crawl_order() == oracle.crawl_order(), name
+        assert resumed.seen_set() == oracle.seen_set(), name
