@@ -635,7 +635,12 @@ def dup_clusters(
     ``Observation`` — one action per round, no driver-side data.
 
     Determinism: min-label is a pure function of the graph; rounds and
-    partitioning cannot change the fixpoint."""
+    partitioning cannot change the fixpoint.
+
+    Public background: label-propagation / alternating-star connected
+    components for MapReduce-style engines (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14); the min-label round
+    here is the hash-join specialization of the same idea."""
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession

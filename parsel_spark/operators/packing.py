@@ -10,7 +10,10 @@ offset ``offset``.  This is the packing scheme most large-scale
 training pipelines use (concatenate, then split at budget boundaries),
 and unlike greedy first-fit bin packing it has a CLOSED FORM — a
 running-sum window — so it is expressible as pure JVM window work and
-replayable verbatim by the DuckDB oracle.
+replayable verbatim by the DuckDB oracle.  (Concat-and-chunk is the
+packing used by the public GPT-style pretraining recipes; distributed
+shard-local packing mirrors how public corpus toolchains shard the
+problem.)
 
 Scale shape: packing is SHARD-LOCAL (shard = floor(unit_hash × n)), so
 shards pack independently and in parallel — one hash exchange + one
