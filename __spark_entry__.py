@@ -739,6 +739,68 @@ def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed STREAMING crawl pipeline across a micro-run handoff:
+    stage 1 streams the planted-link corpus through the fused
+    extract/canonicalize UDF + watermarked dedup into a parquet sink;
+    stage 2 streams that sink (coalesced to one file = one trigger ⇒
+    one refill) through the applyInPandasWithState politeness gate.
+    The oracle states the full composition in closed form: the DISTINCT
+    planted targets per host, ranked by url, admitted while
+    rank ≤ floor(min(CAP, 1 + 1/delay)) = 2."""
+    import tempfile
+
+    from parsel_spark.streaming.stream_crawl import (
+        extract_link_stream,
+        politeness_stream,
+        read_page_stream,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _doc_pages(docs).select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        "html",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("fetched_at"),
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_pipe_")
+    in_dir = os.path.join(tmp, "in")
+    links_dir = os.path.join(tmp, "links")
+    gate_in = os.path.join(tmp, "gate_in")
+    out_dir = os.path.join(tmp, "out")
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    stage1 = (
+        extract_link_stream(read_page_stream(spark, in_dir))
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", links_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stage1.awaitTermination()
+    # micro-run handoff: batch-compact the links sink to ONE file so the
+    # gate sees exactly one trigger (the batch loop's wave semantics)
+    spark.read.parquet(links_dir).select(
+        F.parse_url("url", F.lit("HOST")).alias("host"), "url"
+    ).coalesce(1).write.mode("overwrite").parquet(gate_in)
+    stage2 = (
+        politeness_stream(
+            spark.readStream.schema("host string, url string").parquet(gate_in)
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stage2.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """murmur3 sharding + xxhash64 keying of canonical URLs (the
     seen-set key path); oracle checks shard balance via counts."""
@@ -825,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_phash_near_dup": q_img_phash_near_dup,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
+        "stream_crawl_pipeline": q_stream_crawl_pipeline,
     }
 
 
@@ -1062,6 +1125,32 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_extract_links"] = (
         f"SELECT DISTINCT url FROM ({_oracle_doc_targets()})"
     )
+
+    # composed streaming pipeline: distinct planted targets per host,
+    # ranked by url (the gate's order when no priority/seq columns
+    # exist), admitted while rank <= floor(min(3, 1 + 1/1)) = 2
+    sql["stream_crawl_pipeline"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+             js(j) AS (VALUES (0),(1),(2)),
+             targets AS (
+                SELECT DISTINCT ((d.doc_id*7 + js.j*11 + 1) % n.n) AS t
+                FROM documents d, js, n
+             ),
+             links AS (
+                SELECT 'docs-' || (t % {N_DOC_HOSTS}) || '.test' AS host,
+                       'http://docs-' || (t % {N_DOC_HOSTS})
+                         || '.test/d/' || t AS url
+                FROM targets
+             ),
+             ranked AS (
+                SELECT host, url,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY url ASC
+                       ) AS rn
+                FROM links
+             )
+        SELECT host, url, rn <= 2 AS allowed FROM ranked
+    """
 
     # crawl + forget: the committed seen table in closed form — seeds ∪
     # wave-1 planted targets minus the forgotten seed urls (politeness
