@@ -100,3 +100,83 @@ def test_hashes_stable(data: bytes) -> None:
     assert murmur3_32(data) == murmur3_32(data)
     assert -(1 << 63) <= xxhash64(data) < (1 << 63)
     assert -(1 << 31) <= murmur3_32(data) < (1 << 31)
+
+
+class TestSamplingProperties:
+    def test_unit_hash_range_and_determinism(self) -> None:
+        """Pure-python replay of the unit hash: in [0, 1), deterministic,
+        and equal to the Spark/DuckDB expression's arithmetic."""
+        import hashlib
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=0, max_value=2**62), st.integers(0, 99))
+        def check(key: int, seed: int) -> None:
+            h = int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:15], 16)
+            u = float(h) / float(1 << 60)
+            assert 0.0 <= u < 1.0
+            h2 = int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:15], 16)
+            assert h == h2
+
+        check()
+
+    def test_redact_idempotent_property(self, spark) -> None:
+        """Redaction placeholders contain nothing redactable, so
+        redact(redact(x)) == redact(x) for arbitrary text."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from parsel_spark.functions.textstats import redact_pii
+        from pyspark.sql import functions as F
+
+        texts = st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FF
+                ),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(texts)
+        def check(batch: list[str]) -> None:
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+            )
+            once = df.select(
+                "doc_id", redact_pii("text").alias("r1")
+            )
+            twice = once.select(
+                "doc_id", F.col("r1"), redact_pii(F.col("r1")).alias("r2")
+            )
+            for row in twice.collect():
+                assert row["r1"] == row["r2"]
+
+        check()
+
+    def test_packing_invariants(self, spark) -> None:
+        """offset < budget always; within a shard, (seq_id, offset) is
+        strictly increasing in doc order; token totals are conserved."""
+        from parsel_spark.operators.packing import pack_sequences
+
+        rows = [(i, "t " * (1 + (i * 7) % 23)) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, token_budget=50, n_shards=8).collect()
+        assert all(0 <= r["offset"] < 50 for r in out)
+        by_shard: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard_rows in by_shard.values():
+            keys = [(r["seq_id"], r["offset"]) for r in shard_rows]
+            assert keys == sorted(keys)
+            # conservation: global position = seq_id*budget + offset is
+            # exactly the running token total
+            run = 0
+            for r in shard_rows:
+                assert r["seq_id"] * 50 + r["offset"] == run
+                run += r["n_tokens"]
