@@ -69,13 +69,25 @@ def politeness_stream(
     override the defaults), candidates are ranked by the SAME
     ``(priority DESC, seq, url_hash, url)`` total order when those
     columns are present (arrival order otherwise), and the admit count
-    is ``min(floor(tokens), max_fetch, |candidates|, MAX_FETCH_CAP)``."""
+    is ``min(floor(tokens), max_fetch, |candidates|, MAX_FETCH_CAP)``.
+
+    Refill catch-up for hosts absent from intermediate triggers: with
+    ``NoTimeout``, the gate is only invoked for hosts PRESENT in a
+    trigger, so a host quiet for n triggers would otherwise miss n
+    refills and diverge from the wave loop (which refills every host
+    every wave).  When the input carries a ``wave`` column (the trigger
+    / wave sequence number — the batch loop's wave index), the gate
+    stores the host's last seen wave and applies ``wave_gap`` refills
+    at once; sequential per-wave capping and one capped addition agree
+    (``min(CAP, t + g·r)`` — each step only adds), so the catch-up is
+    exactly the batch fixpoint.  Without a ``wave`` column the gate
+    refills once per invocation (documented single-refill semantics)."""
 
     out_schema = "host string, url string, allowed boolean"
-    # the host's crawl_delay rides the state so an empty trigger still
-    # refills at the HOST's rate (batch parity: host_state_update
-    # refills every host each wave, candidates or not)
-    state_schema = "tokens double, crawl_delay double"
+    # the host's crawl_delay and last-seen wave ride the state so empty
+    # triggers and absence gaps still refill at the HOST's rate (batch
+    # parity: host_state_update refills every host each wave)
+    state_schema = "tokens double, crawl_delay double, last_wave long"
 
     def gate(
         key: tuple,
@@ -84,13 +96,19 @@ def politeness_stream(
     ) -> Iterable[pd.DataFrame]:
         (host,) = key
         if state.exists:
-            tokens, stored_delay = state.get[0], state.get[1]
+            tokens, stored_delay, last_wave = (
+                state.get[0],
+                state.get[1],
+                state.get[2],
+            )
         else:
-            tokens, stored_delay = INITIAL_TOKENS, None
+            tokens, stored_delay, last_wave = INITIAL_TOKENS, None, None
         pdfs = [pdf for pdf in batches if len(pdf)]
         if not pdfs:
             delay = stored_delay if stored_delay is not None else crawl_delay_s
-            state.update((min(TOKEN_CAP, tokens + 1.0 / delay), delay))
+            state.update(
+                (min(TOKEN_CAP, tokens + 1.0 / delay), delay, last_wave)
+            )
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         delay = (
@@ -103,7 +121,13 @@ def politeness_stream(
             if "max_fetch_per_wave" in pdf.columns
             else (max_fetch_per_batch or MAX_FETCH_CAP)
         )
-        tokens = min(TOKEN_CAP, tokens + 1.0 / delay)
+        wave = int(pdf["wave"].iloc[0]) if "wave" in pdf.columns else None
+        if wave is not None and last_wave is not None:
+            refills = max(1, wave - int(last_wave))
+        else:
+            refills = 1
+        tokens = min(TOKEN_CAP, tokens + refills * (1.0 / delay))
+        last_wave = wave
         order_cols = [c for c in ("priority", "seq", "url_hash", "url") if c in pdf.columns]
         if order_cols:
             pdf = pdf.sort_values(
@@ -114,7 +138,7 @@ def politeness_stream(
         k = min(int(tokens), max_fetch, len(pdf), MAX_FETCH_CAP)
         tokens -= float(k)
         allowed = [i < k for i in range(len(pdf))]
-        state.update((tokens, delay))
+        state.update((tokens, delay, last_wave))
         yield pd.DataFrame(
             {"host": host, "url": pdf["url"], "allowed": allowed}
         )

@@ -166,3 +166,103 @@ class TestStreamingBatchParity:
         }
         assert streamed == batch
         assert batch  # non-trivial corpus
+
+
+def test_politeness_stream_refill_catchup_over_absence(spark, tmp_path) -> None:
+    """A host ABSENT from intermediate triggers must not lose refills:
+    the batch loop refills every host every wave (host_state_update),
+    so when the input carries the wave index the gate catches up
+    (wave-gap refills at once — min-cap commutes with summed additions).
+    Scenario engineered so the gap CHANGES the admit count: host B
+    (delay 1.0) banks two waves of tokens while absent and must admit
+    k=2 on reappearance (a single-refill gate would admit 1)."""
+    import pandas as pd
+
+    from parsel_spark.operators.frontier import (
+        FRONTIER_SCHEMA,
+        HOST_STATE_SCHEMA,
+        INITIAL_TOKENS,
+        host_state_update,
+        politeness_split,
+    )
+    from parsel_spark.streaming.stream_crawl import politeness_stream
+    from pyspark.sql import functions as F
+
+    def mk_rows(wave: int, spec: dict[str, list[str]]):
+        rows = []
+        for host, urls in spec.items():
+            for i, u in enumerate(urls):
+                seq = wave * 100 + i
+                rows.append((f"http://{host}/{u}", seq, host, 1.0, seq, 0))
+        return rows
+
+    wave_specs = {
+        1: {"a.test": ["a0", "a1", "a2"], "b.test": [f"b{i}" for i in range(6)]},
+        2: {"a.test": ["a3", "a4"]},
+        3: {"a.test": ["a5"], "b.test": [f"b{i}" for i in range(6, 10)]},
+    }
+
+    # -- batch reference: the wave loop's exact operators
+    host_state = spark.createDataFrame(
+        [("a.test", INITIAL_TOKENS, 1.0, 8), ("b.test", INITIAL_TOKENS, 1.0, 8)],
+        HOST_STATE_SCHEMA,
+    )
+    batch_waves = []
+    for wave in (1, 2, 3):
+        frontier = spark.createDataFrame(mk_rows(wave, wave_specs[wave]), FRONTIER_SCHEMA)
+        flagged = politeness_split(frontier, host_state, skew_prune=False)
+        dequeued = flagged.filter(F.col("dequeued")).select(
+            "url", "url_hash", "host", "priority", "seq", "discovered_wave"
+        )
+        batch_waves.append({r["url"] for r in dequeued.collect()})
+        host_state = host_state_update(host_state, dequeued)
+    # sanity: the scenario really banks tokens (B admits 2 on return)
+    assert sum(1 for u in batch_waves[2] if "b.test" in u) == 2
+
+    # -- streaming: one file per trigger, wave column carried
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    stream_waves = []
+    seen: set[str] = set()
+    for wave in (1, 2, 3):
+        rows = [
+            {
+                "host": h,
+                "url": u,
+                "url_hash": uh,
+                "priority": p,
+                "seq": s,
+                "crawl_delay": 1.0,
+                "max_fetch_per_wave": 8,
+                "wave": wave,
+            }
+            for (u, uh, h, p, s, _w) in mk_rows(wave, wave_specs[wave])
+        ]
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+            str(in_dir / f"w{wave}")
+        )
+        stream = spark.readStream.schema(
+            "host string, url string, url_hash long, priority double, "
+            "seq long, crawl_delay double, max_fetch_per_wave long, wave long"
+        ).parquet(str(in_dir / "w*"))
+        query = (
+            politeness_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        allowed = {
+            r["url"]
+            for r in spark.read.parquet(out_dir).collect()
+            if r["allowed"]
+        }
+        stream_waves.append(allowed - seen)
+        seen |= allowed
+
+    assert stream_waves == batch_waves
