@@ -3,6 +3,7 @@ Spark-compatible hashing."""
 
 from .canonical import canonicalize_udf, canonicalize_url, resolve_udf, resolve_url
 from .hashing import murmur3_32, shard_of, xxhash64
+from .sampling import hash_sample, hash_sample_strata, hash_split, unit_hash
 from .robots import parse_robots_txt, robots_rules, robots_table_from_txt
 from .udfs import (
     attrib_map,
@@ -23,6 +24,10 @@ __all__ = [
     "resolve_url",
     "resolve_udf",
     "murmur3_32",
+    "unit_hash",
+    "hash_sample",
+    "hash_sample_strata",
+    "hash_split",
     "xxhash64",
     "shard_of",
     "parse_robots_txt",
