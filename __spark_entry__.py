@@ -392,6 +392,40 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs, docs)
 
 
+def q_doc_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step: pairs → clusters → one KEPT doc
+    per cluster, chosen by quality (highest quality_score, doc_id
+    tie-break) — 'keep the best duplicate', not just the smallest id.
+    Deterministic argmax via min(struct(-quality, doc_id)); the oracle
+    replays clusters (recursive CTE) + a row_number pick."""
+    from parsel_spark.functions import textstats as ts
+    from parsel_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.35)
+    clusters = dup_clusters(pairs, docs)
+    # 6dp-rounded BEFORE the argmax so the pick is bit-identical to the
+    # oracle's (which works from the rounded doc_quality values)
+    scored = docs.select(
+        "doc_id", F.round(ts.quality_score(), 6).alias("q")
+    ).join(clusters, "doc_id")
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("d")))
+            .alias("best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.d").alias("kept_doc_id"),
+            F.round(-F.col("best.nq"), 6).alias("kept_quality"),
+            "cluster_size",
+        )
+    )
+    return best
+
+
 def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-path Jaccard near-dup: MinHash-band candidates over
     token sets (no quadratic-within-block self-join), exact verify."""
@@ -862,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_cluster_representatives": q_doc_cluster_representatives,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_strata": q_doc_sample_strata,
         "doc_train_split": q_doc_train_split,
@@ -1329,6 +1364,39 @@ def oracle_sql() -> dict[str, str]:
                                        list_distinct(sh_b)))::DOUBLE
                     / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE,
                     6) >= 0.35
+    """
+
+    # -- cluster representatives: clusters (recursive CTE over the
+    # minhash pair graph) × rounded quality, best-per-cluster via
+    # row_number (quality DESC, doc_id ASC)
+    sql["doc_cluster_representatives"] = f"""
+        WITH RECURSIVE pairs AS (
+            {sql["doc_minhash_pairs"]}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.node
+        ), clusters AS (
+            SELECT node AS doc_id, min(anc) AS cluster_id
+            FROM reach GROUP BY node
+        ), quality AS (
+            {sql["doc_quality"]}
+        ), ranked AS (
+            SELECT c.cluster_id, c.doc_id, q.quality,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+            FROM clusters c JOIN quality q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS kept_doc_id,
+               round(quality, 6) AS kept_quality, cluster_size
+        FROM ranked WHERE rn = 1
     """
 
     # -- deterministic sampling/splitting: the unit hash is the SAME

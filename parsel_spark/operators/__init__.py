@@ -1,2 +1,2 @@
 """Distributed operators: bloom/cuckoo seen-sets, frontier politeness,
-dedup and similarity."""
+dedup/clustering, similarity, multimodal and sequence packing."""
