@@ -359,6 +359,19 @@ def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(planted).alias("clean_text"))
 
 
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish pre-tokenizer (public GPT-2
+    style pre-split, lookahead-free for Java-regex/RE2 parity) — the
+    LLM-token-budget proxy next to the whitespace counter; pure JVM
+    regexp_count, identical pattern replayed in the oracle."""
+    from parsel_spark.functions.textstats import bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count().cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import minhash_lsh_pairs
 
@@ -891,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_token_stats": q_doc_token_stats,
+        "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1041,6 +1055,16 @@ def oracle_sql() -> dict[str, str]:
                  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
                  / len(toks)::DOUBLE, 6) AS mean_word_len
         FROM t
+    """
+
+    from parsel_spark.functions.textstats import BPE_SPLIT_REGEX
+
+    bpe_pat = BPE_SPLIT_REGEX.replace("'", "''")
+    sql["doc_bpe_token_stats"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{bpe_pat}'))::BIGINT
+                   AS n_bpe_tokens
+        FROM documents
     """
 
     sql["doc_quality"] = """

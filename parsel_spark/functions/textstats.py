@@ -142,3 +142,26 @@ def redact_pii(text_col: str | Column = "text") -> Column:
     for _name, pattern, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pattern, repl)
     return col
+
+
+#: BPE-ish pre-tokenizer regex (the public GPT-2-style pre-split, made
+#: lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree):
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, residual whitespace runs.
+BPE_SPLIT_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text_col: str | Column = "text") -> Column:
+    """Token count under the BPE-ish pre-tokenizer — a closer proxy for
+    LLM token budgets than whitespace words (punctuation and digit runs
+    count separately, contractions split).  Pure JVM ``regexp_count``;
+    the identical pattern runs in the DuckDB oracle
+    (``len(regexp_extract_all(...))``)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(col, F.lit(BPE_SPLIT_REGEX))

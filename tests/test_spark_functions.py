@@ -335,3 +335,32 @@ class TestPackSequences:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             pack_sequences(df, 0)
+
+
+class TestBpeTokenCount:
+    def test_hand_counted_examples(self, spark) -> None:
+        """BPE-ish pre-split: contractions split, space-prefixed word /
+        digit / punctuation runs count separately — hand-verified."""
+        from parsel_spark.functions.textstats import bpe_token_count
+
+        rows = [
+            # "it" "'s" " a" " café" " —" " naïve" "!" → 7
+            (1, "it's a café — naïve!", 7),
+            # "Q" "&" "A" " 123" " cumpleaños" → 5
+            (2, "Q&A 123 cumpleaños", 5),
+            # '"' "quoted" '"' "  " (ws run) "x" → 5
+            (3, '"quoted"  x', 5),
+            (4, "", 0),
+            # "word" → 1
+            (5, "word", 1),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", bpe_token_count().alias("n")
+            ).collect()
+        }
+        assert got == {i: n for i, _, n in rows}
