@@ -550,7 +550,9 @@ def q_emb_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode("embedding").alias("dim", "value")
         )
         .groupBy("label", F.col("dim").cast("long").alias("dim"))
-        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+        .agg(
+            (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean_value")
+        )  # -0.0 → +0.0: cross-engine value parity
     )
 
 
@@ -1144,7 +1146,8 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_knn_bruteforce"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS sim
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4)
+                 + 0.0 AS sim
         FROM embeddings, q
         WHERE vec_id != 0
         ORDER BY sim DESC, vec_id ASC
@@ -1154,7 +1157,7 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_near_dup_pairs"] = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(
-                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
@@ -1171,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["emb_label_centroid_dims"] = """
         SELECT label, u.i - 1 AS dim,
-               round(avg(u.x), 4) AS mean_value
+               round(avg(u.x), 4) + 0.0 AS mean_value
         FROM embeddings,
              LATERAL (SELECT generate_subscripts(embedding, 1) AS i,
                              unnest(embedding) AS x) AS u
@@ -1550,7 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT b.vec_id,
                round({_dot("b.embedding", "q.qe")}
-                     / ({_norm("b.embedding")} * {_norm("q.qe")}), 4) AS sim
+                     / ({_norm("b.embedding")} * {_norm("q.qe")}), 4)
+                 + 0.0 AS sim
         FROM b, q
         WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 1
           AND b.vec_id != 0
@@ -1620,7 +1624,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.vec_id,
                round({_dot("e.embedding", "q.qe")}
-                     / ({_norm("e.embedding")} * {_norm("q.qe")}), 4) AS sim
+                     / ({_norm("e.embedding")} * {_norm("q.qe")}), 4)
+                 + 0.0 AS sim
         FROM e JOIN afinal USING (vec_id) JOIN probe USING (cid), q
         WHERE e.vec_id != 0
         ORDER BY sim DESC, vec_id ASC
@@ -1642,7 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                round({_dot("x.embedding", "y.embedding")}
                      / ({_norm("x.embedding")} * {_norm("y.embedding")}),
-                     4) AS sim
+                     4) + 0.0 AS sim
         FROM b x JOIN b y
           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE round({_dot("x.embedding", "y.embedding")}

@@ -56,7 +56,10 @@ def knn_bruteforce(
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            F.round(cosine("embedding", "query_embedding"), round_to).alias("sim"),
+            (
+                F.round(cosine("embedding", "query_embedding"), round_to)
+                + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
@@ -121,7 +124,10 @@ def knn_lsh(
         )
         .select(
             "vec_id",
-            F.round(cosine("embedding", "query_embedding"), round_to).alias("sim"),
+            (
+                F.round(cosine("embedding", "query_embedding"), round_to)
+                + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
@@ -181,7 +187,7 @@ def embedding_near_dup_pairs(
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        sim.alias("sim"),
+        (sim + F.lit(0.0)).alias("sim"),  # -0.0 → +0.0
     ).filter(F.col("sim") >= threshold)
 
 
@@ -354,9 +360,10 @@ def knn_ivf(
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            F.round(cosine("embedding", "query_embedding"), round_to).alias(
-                "sim"
-            ),
+            (
+                F.round(cosine("embedding", "query_embedding"), round_to)
+                + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
