@@ -339,6 +339,17 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, token_budget=256, n_shards=16, seed=5)
 
 
+def q_doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NEXT-FIT packing (docs never straddle training rows;
+    over-budget docs sit alone) — the sequential industry semantic,
+    run as a per-shard applyInPandas fold; the oracle walks the same
+    fold with a recursive CTE over per-shard row_numbers."""
+    from parsel_spark.operators.packing import pack_sequences_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences_greedy(docs, token_budget=256, n_shards=16, seed=5)
+
+
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: emails / IPv4s / phone runs → typed placeholders,
     entirely JVM-side regexp_replace.  PII is PLANTED deterministically
@@ -917,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_strata": q_doc_sample_strata,
         "doc_train_split": q_doc_train_split,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_pack_greedy": q_doc_pack_greedy,
         "doc_redact_pii": q_doc_redact_pii,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
@@ -1476,6 +1488,39 @@ def oracle_sql() -> dict[str, str]:
                (start // 256)::BIGINT AS seq_id,
                (start % 256)::BIGINT AS offset
         FROM c
+    """
+
+    # greedy next-fit packing: the sequential fold replayed as a
+    # recursive CTE walking each shard's id-ordered docs
+    sql["doc_pack_greedy"] = f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id,
+                   floor({unit.format(seed=5)} * 16)::INT AS shard,
+                   len(string_split_regex(lower(trim(text)), ' +'))::BIGINT
+                       AS n_tokens
+            FROM documents
+        ), t AS (
+            SELECT doc_id, shard, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY doc_id ASC
+                   ) AS rn
+            FROM base
+        ), walk(shard, rn, doc_id, n_tokens, seq_id, "offset", used) AS (
+            SELECT shard, rn, doc_id, n_tokens,
+                   0::BIGINT, 0::BIGINT, n_tokens
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN w.used > 0 AND w.used + t.n_tokens > 256
+                        THEN w.seq_id + 1 ELSE w.seq_id END,
+                   CASE WHEN w.used > 0 AND w.used + t.n_tokens > 256
+                        THEN 0::BIGINT ELSE w.used END,
+                   CASE WHEN w.used > 0 AND w.used + t.n_tokens > 256
+                        THEN t.n_tokens ELSE w.used + t.n_tokens END
+            FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1
+        )
+        SELECT doc_id, shard, n_tokens, seq_id, "offset" AS offset
+        FROM walk
     """
 
     # -- PII redaction: same planted input, same ordered regex chain

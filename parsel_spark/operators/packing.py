@@ -78,3 +78,57 @@ def pack_sequences(
         F.expr(f"__start div {int(token_budget)}").cast("long").alias("seq_id"),
         F.pmod("__start", F.lit(int(token_budget))).cast("long").alias("offset"),
     )
+
+
+def pack_sequences_greedy(
+    docs: DataFrame,
+    token_budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy NEXT-FIT packing — the other industry semantic: a document
+    never straddles two training rows; when it does not fit in the open
+    row's remaining budget, a new row opens (an over-budget document
+    occupies a row alone).  Output: (id, shard, n_tokens, seq_id,
+    offset).
+
+    The running fit decision is inherently sequential, so unlike the
+    concat-and-chunk form it has no window closed form — it runs as a
+    per-shard ``applyInPandas`` fold over the shard's id-ordered docs
+    (shards pack independently and in parallel; one hash exchange).
+    Still deterministic and engine-replayable: the DuckDB oracle walks
+    the same fold with a recursive CTE over per-shard row_numbers."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if tokens_col is None:
+        from ..functions.textstats import token_count
+
+        tokens_col = token_count().cast("long")
+    shard = F.floor(unit_hash(id_col, seed) * F.lit(n_shards)).cast("int")
+    with_shard = docs.select(
+        F.col(id_col), shard.alias("shard"), tokens_col.alias("n_tokens")
+    )
+    out_schema = (
+        f"{id_col} long, shard int, n_tokens long, seq_id long, offset long"
+    )
+    budget = int(token_budget)
+
+    def fold(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seq, used = 0, 0
+        seqs, offs = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                seq += 1
+                used = 0
+            seqs.append(seq)
+            offs.append(used)
+            used += n
+        pdf["seq_id"] = seqs
+        pdf["offset"] = offs
+        return pdf[[id_col, "shard", "n_tokens", "seq_id", "offset"]]
+
+    return with_shard.groupBy("shard").applyInPandas(fold, schema=out_schema)

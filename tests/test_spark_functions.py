@@ -364,3 +364,47 @@ class TestBpeTokenCount:
             ).collect()
         }
         assert got == {i: n for i, _, n in rows}
+
+
+class TestPackGreedy:
+    def test_never_straddles_and_next_fit(self, spark) -> None:
+        """Docs never straddle: offset + n_tokens <= budget whenever the
+        doc fits at all; a doc that does not fit the open row opens a
+        new one; an over-budget doc sits alone at offset 0."""
+        from parsel_spark.operators.packing import pack_sequences_greedy
+
+        rows = [
+            (1, "w " * 60),   # 60
+            (2, "w " * 60),   # 60 -> fits (120)
+            (3, "w " * 50),   # would make 170 > 128 -> new row
+            (4, "w " * 200),  # over budget -> new row alone
+            (5, "w " * 10),   # after the giant -> new row
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["shard"], r["seq_id"], r["offset"], r["n_tokens"])
+            for r in pack_sequences_greedy(
+                df, token_budget=128, n_shards=1, seed=0
+            ).collect()
+        }
+        assert out[1][1:3] == (0, 0)
+        assert out[2][1:3] == (0, 60)
+        assert out[3][1:3] == (1, 0)
+        assert out[4][1:3] == (2, 0)
+        assert out[5][1:3] == (3, 0)
+        for _sh, _seq, off, n in out.values():
+            assert n > 128 or off + n <= 128  # never straddles
+
+    def test_deterministic_across_partitionings(self, spark) -> None:
+        from parsel_spark.operators.packing import pack_sequences_greedy
+
+        rows = [(i, "t " * (1 + (i * 11) % 19)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {tuple(r) for r in pack_sequences_greedy(df, 64, n_shards=8).collect()}
+        b = {
+            tuple(r)
+            for r in pack_sequences_greedy(
+                df.repartition(11), 64, n_shards=8
+            ).collect()
+        }
+        assert a == b
