@@ -127,7 +127,14 @@ def crawl_bench(spark, n_pages: int, waves: int) -> dict:
     for _attempt in range(2):
         with tempfile.TemporaryDirectory() as tmp:
             run = CrawlRun(
-                spark, SnapshotCatalog(tmp), pages, robots, num_shards=32,
+                spark, SnapshotCatalog(tmp), pages, robots,
+                # 32 shards: at sf0.1's tiny waves the gate's per-wave
+                # bloom-bitmap shipping scales with num_shards (128 KiB
+                # per shard) and dominates; the shards>>partitions
+                # anti-skew sizing (tools/scaling.py) pays only when
+                # waves carry millions of rows (measured: 256 shards =
+                # 2x wall at sf0.1, -12% at 3.2M pages)
+                num_shards=32,
                 checkpoint_interval=waves,
                 frontier_partitions=n_partitions,
                 pages_prepared=True,

@@ -201,7 +201,19 @@ def run_level(cpus: int) -> dict:
         with tempfile.TemporaryDirectory() as tmp:
             run = CrawlRun(
                 spark, SnapshotCatalog(tmp), pages, robots,
-                num_shards=64, frontier_partitions=cpus * PARTS_MULT,
+                # 64 shards (the published-artifact config).  NOTE: 64
+                # distinct shard ids hashed into 64 partitions is
+                # balls-into-bins (some cogroup tasks carry 3-4 shards;
+                # the gate stage shows max/mean task time 2.6-3x in
+                # stage_profile_32_r4repeat.json).  A 64-vs-512 A/B at
+                # 800k pages was NOISE-AMBIGUOUS (+/-10% both ways,
+                # identical wave totals), and more shards ship more
+                # bloom-bitmap bytes per wave (128 KiB/shard) — measured
+                # 2x WORSE at sf0.1's tiny waves.  Kept at 64 until a
+                # quiet-box A/B separates the effects; override via
+                # SCALING_SHARDS.
+                num_shards=int(os.environ.get("SCALING_SHARDS", "64")),
+                frontier_partitions=cpus * PARTS_MULT,
                 checkpoint_interval=WAVES,
                 pages_prepared=True,
                 robots_rules=rules,

@@ -34,6 +34,7 @@ def parse_eventlog(path: str) -> dict:
     stages: dict[int, dict] = {}
     task_sums: dict[int, float] = defaultdict(float)
     task_counts: dict[int, int] = defaultdict(int)
+    task_max: dict[int, float] = defaultdict(float)
     task_max_finish: dict[int, float] = defaultdict(float)
     jobs: dict[int, dict] = {}
     app_start = app_end = None
@@ -75,9 +76,11 @@ def parse_eventlog(path: str) -> dict:
                 if sid is not None and launch and finish:
                     task_sums[sid] += finish - launch
                     task_counts[sid] += 1
+                    task_max[sid] = max(task_max[sid], finish - launch)
                     task_max_finish[sid] = max(task_max_finish[sid], finish)
     return {
         "stages": stages,
+        "task_max": task_max,
         "task_sums": task_sums,
         "task_counts": task_counts,
         "jobs": jobs,
@@ -89,6 +92,7 @@ def parse_eventlog(path: str) -> dict:
 def profile(path: str, cores: int) -> dict:
     raw = parse_eventlog(path)
     stages, task_sums = raw["stages"], raw["task_sums"]
+    task_max = raw["task_max"]
     out_jobs = []
     for job_id in sorted(raw["jobs"]):
         job = raw["jobs"][job_id]
@@ -110,6 +114,13 @@ def profile(path: str, cores: int) -> dict:
                     "task_sum_ms": round(work, 1),
                     "ideal_ms": round(ideal, 1),
                     "overhead_ms": round(wall - ideal, 1),
+                    # straggler diagnostic: a stage's wall is bounded
+                    # below by its slowest task — max/mean >> 1 means
+                    # tail skew, ~1 means ramp/fixed cost
+                    "max_task_ms": round(task_max.get(sid, 0.0), 1),
+                    "mean_task_ms": round(
+                        work / max(1, st["n_tasks"]), 1
+                    ),
                 }
             )
         if not stage_rows:
