@@ -28,6 +28,8 @@ from . import evaluator as _ev
 
 RE_NAMESPACE = "http://exslt.org/regular-expressions"
 SET_NAMESPACE = "http://exslt.org/sets"
+STR_NAMESPACE = "http://exslt.org/strings"
+MATH_NAMESPACE = "http://exslt.org/math"
 
 HTML5_WHITESPACE = " \t\n\x0c\r"
 _WS_RE = _re.compile(f"[{HTML5_WHITESPACE}]+")
@@ -469,6 +471,250 @@ def _set_trailing(context: ExtensionContext, left: Any, right: Any) -> list:
     return _split_around(left, right, "trailing")[1]
 
 
+# ---------------------------------------------------------------------------
+# EXSLT strings (http://exslt.org/strings) — implemented per the public
+# exslt.org specs.  NOT pre-registered as a prefix (the reference
+# pre-registers only re:/set: — parsel/selector.py:418-427), but the
+# implementations resolve as soon as a user registers the canonical
+# namespace (``register_namespace("str", STR_NAMESPACE)``), closing the
+# documented EXSLT boundary without diverging from reference prefix
+# behavior.
+# ---------------------------------------------------------------------------
+
+_STR_DEFAULT_DELIMS = " \t\n\r"
+
+
+def _token_nodeset(values: list[str]) -> list:
+    document = Document()  # synthetic tree keeps document-order stable
+    out: list[Any] = []
+    for value in values:
+        element = Element("token")
+        element.append(TextNode(value))
+        document.append(element)
+        out.append(element)
+    return out
+
+
+def _str_tokenize(context: ExtensionContext, value: Any, delims: Any = None) -> list:
+    """str:tokenize(string, delimiters?) — every CHARACTER of the
+    delimiter string splits; default delimiters are XML whitespace;
+    empty delimiter string → one token per character."""
+    text = _ev.to_string(value)
+    delim_str = _STR_DEFAULT_DELIMS if delims is None else _ev.to_string(delims)
+    if not text:
+        return _token_nodeset([])
+    if not delim_str:
+        return _token_nodeset(list(text))
+    tokens = [
+        t for t in _re.split("[" + _re.escape(delim_str) + "]+", text) if t
+    ]
+    return _token_nodeset(tokens)
+
+
+def _str_split(context: ExtensionContext, value: Any, pattern: Any = None) -> list:
+    """str:split(string, pattern?) — the WHOLE pattern string is the
+    separator (default single space); empty pattern → per character;
+    empty fields between adjacent separators are kept (spec examples:
+    split('a, simple, list', ', ') → a|simple|list)."""
+    text = _ev.to_string(value)
+    sep = " " if pattern is None else _ev.to_string(pattern)
+    if not text:
+        return _token_nodeset([])
+    if not sep:
+        return _token_nodeset(list(text))
+    return _token_nodeset(text.split(sep))
+
+
+def _str_concat(context: ExtensionContext, values: Any) -> str:
+    """str:concat(node-set) — concatenation of the string values in
+    document order."""
+    if not isinstance(values, list):
+        raise XPathEvalError("str:concat requires a node-set")
+    return "".join(_ev.string_value(node) for node in values)
+
+
+def _str_replace_simple(
+    context: ExtensionContext, value: Any, search: Any, repl: Any
+) -> str:
+    """str:replace with STRING search/replace arguments (the common
+    form; the full node-set-parallel form is not implemented — libxslt
+    itself ships str:replace unimplemented)."""
+    return _ev.to_string(value).replace(
+        _ev.to_string(search), _ev.to_string(repl)
+    )
+
+
+def _str_padding(context: ExtensionContext, length: Any, chars: Any = None) -> str:
+    """str:padding(length, chars?) — a string of exactly ``length``
+    characters built by repeating ``chars`` (default space)."""
+    n = int(_ev.to_number(length)) if _ev.to_number(length) == _ev.to_number(length) else 0
+    if n <= 0:
+        return ""
+    fill = " " if chars is None else _ev.to_string(chars)
+    if not fill:
+        return ""
+    return (fill * (n // len(fill) + 1))[:n]
+
+
+def _str_align(
+    context: ExtensionContext, target: Any, padding: Any, alignment: Any = "left"
+) -> str:
+    """str:align(target, padding, alignment?) — lay ``target`` over
+    ``padding`` aligned left/right/center; a target longer than the
+    padding is truncated to the padding's length."""
+    tgt = _ev.to_string(target)
+    pad = _ev.to_string(padding)
+    align = _ev.to_string(alignment) if alignment is not None else "left"
+    width = len(pad)
+    if len(tgt) > width:
+        return tgt[:width]
+    if align == "right":
+        return pad[: width - len(tgt)] + tgt
+    if align == "center":
+        left = (width - len(tgt)) // 2
+        return pad[:left] + tgt + pad[left + len(tgt):]
+    return tgt + pad[len(tgt):]
+
+
+def _str_encode_uri(
+    context: ExtensionContext, uri: Any, encode_reserved: Any, encoding: Any = "UTF-8"
+) -> str:
+    """str:encode-uri(uri, encode-reserved, encoding?) — percent-encode;
+    with encode-reserved=true() reserved URI characters are escaped too
+    (unreserved RFC 2396 marks never are)."""
+    from urllib.parse import quote
+
+    text = _ev.to_string(uri)
+    unreserved_marks = "-_.!~*'()"
+    reserved = ";/?:@&=+$,[]#%"
+    safe = unreserved_marks if _ev.to_boolean(encode_reserved) else (
+        unreserved_marks + reserved
+    )
+    try:
+        return quote(text, safe=safe, encoding=_ev.to_string(encoding) or "UTF-8")
+    except LookupError:
+        return ""  # spec: empty string for unsupported encodings
+
+
+def _str_decode_uri(
+    context: ExtensionContext, uri: Any, encoding: Any = "UTF-8"
+) -> str:
+    from urllib.parse import unquote
+
+    try:
+        return unquote(
+            _ev.to_string(uri), encoding=_ev.to_string(encoding) or "UTF-8"
+        )
+    except LookupError:
+        return ""
+
+
+# ---------------------------------------------------------------------------
+# EXSLT math (http://exslt.org/math) — same opt-in registration story.
+# ---------------------------------------------------------------------------
+
+
+def _nodeset_numbers(fname: str, values: Any) -> list[float]:
+    if not isinstance(values, list):
+        raise XPathEvalError(f"math:{fname} requires a node-set")
+    # numbers come from each node's STRING-VALUE (a bare node is not an
+    # XPath value; to_number would NaN it)
+    return [_ev.to_number(_ev.string_value(node)) for node in values]
+
+
+def _math_min(context: ExtensionContext, values: Any) -> float:
+    nums = _nodeset_numbers("min", values)
+    if not nums or any(n != n for n in nums):
+        return float("nan")
+    return min(nums)
+
+
+def _math_max(context: ExtensionContext, values: Any) -> float:
+    nums = _nodeset_numbers("max", values)
+    if not nums or any(n != n for n in nums):
+        return float("nan")
+    return max(nums)
+
+
+def _math_lowest(context: ExtensionContext, values: Any) -> list:
+    nums = _nodeset_numbers("lowest", values)
+    if not nums or any(n != n for n in nums):
+        return []
+    low = min(nums)
+    return [node for node, n in zip(values, nums) if n == low]
+
+
+def _math_highest(context: ExtensionContext, values: Any) -> list:
+    nums = _nodeset_numbers("highest", values)
+    if not nums or any(n != n for n in nums):
+        return []
+    high = max(nums)
+    return [node for node, n in zip(values, nums) if n == high]
+
+
+def _math_abs(context: ExtensionContext, value: Any) -> float:
+    return abs(_ev.to_number(value))
+
+
+def _math_sqrt(context: ExtensionContext, value: Any) -> float:
+    number = _ev.to_number(value)
+    if number < 0:
+        return float("nan")
+    return math.sqrt(number)
+
+
+def _math_power(context: ExtensionContext, base: Any, exponent: Any) -> float:
+    try:
+        return math.pow(_ev.to_number(base), _ev.to_number(exponent))
+    except (OverflowError, ValueError):
+        return float("nan")
+
+
+def _math_log(context: ExtensionContext, value: Any) -> float:
+    number = _ev.to_number(value)
+    if number <= 0:
+        return float("nan") if number < 0 or number != number else float("-inf")
+    return math.log(number)
+
+
+def _math_exp(context: ExtensionContext, value: Any) -> float:
+    try:
+        return math.exp(_ev.to_number(value))
+    except OverflowError:
+        return float("inf")
+
+
+_MATH_CONSTANTS = {
+    "PI": math.pi,
+    "E": math.e,
+    "SQRRT2": math.sqrt(2.0),  # spec spells it SQRRT2
+    "LN2": math.log(2.0),
+    "LN10": math.log(10.0),
+    "LOG2E": 1.0 / math.log(2.0),
+    "SQRT1_2": math.sqrt(0.5),
+}
+
+
+def _math_constant(context: ExtensionContext, name: Any, precision: Any) -> float:
+    value = _MATH_CONSTANTS.get(_ev.to_string(name))
+    if value is None:
+        return float("nan")
+    digits = _ev.to_number(precision)
+    if digits != digits:
+        return float("nan")
+    return float(f"%.{max(0, int(digits))}f" % value)
+
+
+def _math_trig(fn: Callable[[float], float]) -> Callable[..., float]:
+    def impl(context: ExtensionContext, value: Any) -> float:
+        try:
+            return fn(_ev.to_number(value))
+        except ValueError:
+            return float("nan")
+
+    return impl
+
+
 DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (None, "has-class"): has_class,
     (RE_NAMESPACE, "test"): _re_test,
@@ -481,6 +727,30 @@ DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (SET_NAMESPACE, "has-same-node"): _set_has_same_node,
     (SET_NAMESPACE, "leading"): _set_leading,
     (SET_NAMESPACE, "trailing"): _set_trailing,
+    # EXSLT strings/math: resolvable once the user registers the
+    # canonical namespace (prefixes deliberately NOT pre-registered —
+    # reference parity; see the section comment above)
+    (STR_NAMESPACE, "tokenize"): _str_tokenize,
+    (STR_NAMESPACE, "split"): _str_split,
+    (STR_NAMESPACE, "concat"): _str_concat,
+    (STR_NAMESPACE, "replace"): _str_replace_simple,
+    (STR_NAMESPACE, "padding"): _str_padding,
+    (STR_NAMESPACE, "align"): _str_align,
+    (STR_NAMESPACE, "encode-uri"): _str_encode_uri,
+    (STR_NAMESPACE, "decode-uri"): _str_decode_uri,
+    (MATH_NAMESPACE, "min"): _math_min,
+    (MATH_NAMESPACE, "max"): _math_max,
+    (MATH_NAMESPACE, "lowest"): _math_lowest,
+    (MATH_NAMESPACE, "highest"): _math_highest,
+    (MATH_NAMESPACE, "abs"): _math_abs,
+    (MATH_NAMESPACE, "sqrt"): _math_sqrt,
+    (MATH_NAMESPACE, "power"): _math_power,
+    (MATH_NAMESPACE, "log"): _math_log,
+    (MATH_NAMESPACE, "exp"): _math_exp,
+    (MATH_NAMESPACE, "constant"): _math_constant,
+    (MATH_NAMESPACE, "sin"): _math_trig(math.sin),
+    (MATH_NAMESPACE, "cos"): _math_trig(math.cos),
+    (MATH_NAMESPACE, "tan"): _math_trig(math.tan),
 }
 
 _USER_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {}

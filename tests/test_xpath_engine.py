@@ -313,3 +313,88 @@ class TestIdFunction:
         assert self.sel().xpath('id("top")/following-sibling::p/@id').getall() == [
             "a", "b",
         ]
+
+
+class TestExsltStringsAndMath:
+    """EXSLT str:/math: (public exslt.org specs).  Deliberately NOT
+    pre-registered as prefixes (the reference pre-registers only
+    re:/set: — parsel/selector.py:418-427): the implementations resolve
+    once the namespace is registered, so reference prefix behavior is
+    unchanged (an unregistered str: prefix still errors)."""
+
+    NS = {
+        "str": "http://exslt.org/strings",
+        "math": "http://exslt.org/math",
+    }
+    DOC = (
+        "<root><n>3</n><n>7</n><n>-2</n>"
+        "<w>foo</w><w>bar</w></root>"
+    )
+
+    def sel(self):
+        from parsel_spark.selector import Selector
+
+        return Selector(text=self.DOC)
+
+    def x(self, query):
+        return self.sel().xpath(query, namespaces=self.NS)
+
+    def test_unregistered_prefix_still_errors(self) -> None:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self.sel().xpath("str:tokenize('a b')")
+
+    def test_str_tokenize_default_and_custom_delims(self) -> None:
+        assert self.x("str:tokenize('a b\tc')/text()").getall() == ["a", "b", "c"]
+        assert self.x("str:tokenize('2001-06-03T11:40', '-T:')/text()").getall() == [
+            "2001", "06", "03", "11", "40"
+        ]
+        # empty delimiters -> per character
+        assert self.x("str:tokenize('abc', '')/text()").getall() == ["a", "b", "c"]
+
+    def test_str_split_whole_pattern_keeps_empty_fields(self) -> None:
+        assert self.x("str:split('a, simple, list', ', ')/text()").getall() == [
+            "a", "simple", "list"
+        ]
+        got = self.x("count(str:split('a,,b', ','))")
+        assert got.get() == "3.0"  # empty middle field kept
+
+    def test_str_concat_and_replace(self) -> None:
+        assert self.x("str:concat(//w/text())").get() == "foobar"
+        assert self.x("str:replace('a-b-c', '-', '+')").get() == "a+b+c"
+
+    def test_str_padding_and_align(self) -> None:
+        assert self.x("str:padding(5, 'ab')").get() == "ababa"
+        assert self.x("str:padding(3)").get() == "   "
+        assert self.x("str:align('x', '-----', 'center')").get() == "--x--"
+        assert self.x("str:align('x', '---', 'right')").get() == "--x"
+        assert self.x("str:align('toolong', '---')").get() == "too"
+
+    def test_str_uri_roundtrip(self) -> None:
+        assert (
+            self.x("str:encode-uri('a b/c', false())").get() == "a%20b/c"
+        )
+        assert (
+            self.x("str:encode-uri('a b/c', true())").get() == "a%20b%2Fc"
+        )
+        assert self.x("str:decode-uri('a%20b')").get() == "a b"
+
+    def test_math_min_max_highest_lowest(self) -> None:
+        assert self.x("math:min(//n)").get() == "-2.0"
+        assert self.x("math:max(//n)").get() == "7.0"
+        assert self.x("math:highest(//n)/text()").getall() == ["7"]
+        assert self.x("math:lowest(//n)/text()").getall() == ["-2"]
+        # non-numeric member -> NaN / empty set (floats surface through
+        # Selector.get() via str(), reference-parity: str(nan) == 'nan')
+        assert self.x("math:min(//w)").get() == "nan"
+        assert self.x("math:highest(//w)").getall() == []
+
+    def test_math_scalars(self) -> None:
+        assert self.x("math:abs(-3)").get() == "3.0"
+        assert self.x("math:sqrt(9)").get() == "3.0"
+        assert self.x("math:sqrt(-1)").get() == "nan"
+        assert self.x("math:power(2, 10)").get() == "1024.0"
+        assert self.x("math:constant('PI', 4)").get() == "3.1416"
+        assert self.x("math:exp(0)").get() == "1.0"
+        assert self.x("math:cos(0)").get() == "1.0"
