@@ -43,11 +43,13 @@ def compile_css(query: str, type_: str = "html") -> str:
     return translator_for(type_).css_to_xpath(query)
 
 
-def _run_pipeline(sel: Selector, ops: tuple) -> Any:
+def _run_pipeline(
+    sel: Selector, ops: tuple, namespaces: dict | None = None
+) -> Any:
     result: Any = sel
     for kind, arg in ops:
         if kind == "xpath":
-            result = result.xpath(arg)
+            result = result.xpath(arg, namespaces=namespaces)
         elif kind == "css":
             result = result.css(arg)
         elif kind == "jmespath":
@@ -68,9 +70,16 @@ def _make_selector(payload: Any, type_: str | None) -> Selector | None:
         return None
 
 
-def select_getall(column: Column | str, *ops: tuple, type: str | None = None) -> Column:
+def select_getall(
+    column: Column | str,
+    *ops: tuple,
+    type: str | None = None,
+    namespaces: dict | None = None,
+) -> Column:
     """``ARRAY<STRING>`` of ``getall()`` results after running the op
-    pipeline against each document; one parse per row."""
+    pipeline against each document; one parse per row.  ``namespaces``
+    maps extra prefixes for the xpath ops (e.g. the EXSLT ``str:`` /
+    ``math:`` namespaces, which are opt-in — reference parity)."""
     # validate driver-side so bad queries fail before job submit
     for kind, arg in ops:
         if kind == "css":
@@ -89,7 +98,7 @@ def select_getall(column: Column | str, *ops: tuple, type: str | None = None) ->
                 out.append([])
                 continue
             try:
-                result = _run_pipeline(sel, ops)
+                result = _run_pipeline(sel, ops, namespaces=namespaces)
                 if isinstance(result, list):  # .re() terminal
                     out.append([str(v) for v in result])
                 else:
@@ -101,9 +110,14 @@ def select_getall(column: Column | str, *ops: tuple, type: str | None = None) ->
     return _udf(column)
 
 
-def xpath_getall(column: Column | str, query: str, type: str | None = None) -> Column:
+def xpath_getall(
+    column: Column | str,
+    query: str,
+    type: str | None = None,
+    namespaces: dict | None = None,
+) -> Column:
     """Vectorized ``Selector(html).xpath(query).getall()``."""
-    return select_getall(column, ("xpath", query), type=type)
+    return select_getall(column, ("xpath", query), type=type, namespaces=namespaces)
 
 
 def css_getall(column: Column | str, query: str, type: str | None = None) -> Column:

@@ -408,3 +408,24 @@ class TestPackGreedy:
             ).collect()
         }
         assert a == b
+
+
+class TestXpathUdfNamespaces:
+    def test_exslt_str_through_vectorized_udf(self, spark) -> None:
+        """The opt-in EXSLT namespaces flow through the distributed
+        layer: xpath_getall(..., namespaces=...) evaluates str:tokenize
+        inside the pandas UDF."""
+        from parsel_spark.functions.udfs import xpath_getall
+
+        df = spark.createDataFrame(
+            [(1, "<r><v>a-b-c</v></r>",)], "id long, xml string"
+        )
+        got = df.select(
+            xpath_getall(
+                "xml",
+                "str:tokenize(string(//v), '-')/text()",
+                type="xml",
+                namespaces={"str": "http://exslt.org/strings"},
+            ).alias("toks")
+        ).collect()[0]["toks"]
+        assert got == ["a", "b", "c"]
