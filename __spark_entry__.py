@@ -799,6 +799,34 @@ def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-FORMAT roundtrip under the hard gate: the planted-link
+    corpus serializes into spec-shaped WARC/1.0 response records
+    (JVM-side ``warc_record_col``), lands as .warc text files, comes
+    back through the file-parallel ``read_warc`` scanner
+    (Content-Length-delimited — payloads containing WARC-looking text
+    cannot break records), and the fused extract UDF must recover
+    exactly the closed-form planted targets (doc_id re-derived from
+    each record's WARC-Target-URI)."""
+    import tempfile
+
+    from parsel_spark.functions.udfs import extract_canonical_links
+    from parsel_spark.sources.warc import read_warc, warc_record_col
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _doc_pages(docs)
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_warc_q_")
+    warc_dir = os.path.join(tmp, "warc")
+    pages.select(warc_record_col().alias("value")).write.mode(
+        "overwrite"
+    ).text(warc_dir)
+    recovered = read_warc(spark, warc_dir)
+    return recovered.select(
+        F.element_at(F.split("url", "/d/"), -1).cast("long").alias("doc_id"),
+        F.explode(extract_canonical_links("html", "url")).alias("url"),
+    )
+
+
 def q_stream_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed STREAMING crawl pipeline across a micro-run handoff:
     stage 1 streams the planted-link corpus through the fused
@@ -947,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
         "crawl_forget_seen": q_crawl_forget_seen,
+        "warc_roundtrip": q_warc_roundtrip,
         "img_phash_near_dup": q_img_phash_near_dup,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
@@ -1199,6 +1228,10 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_extract_links"] = (
         f"SELECT DISTINCT url FROM ({_oracle_doc_targets()})"
     )
+
+    # WARC roundtrip: identical ground truth to crawl_extract_links —
+    # the format layer must be lossless
+    sql["warc_roundtrip"] = _oracle_doc_targets()
 
     # composed streaming pipeline: distinct planted targets per host,
     # ranked by url (the gate's order when no priority/seq columns
