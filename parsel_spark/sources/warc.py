@@ -50,9 +50,45 @@ def warc_record_col(
     )
 
 
+def write_warc(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    mode: str = "overwrite",
+) -> None:
+    """Sink: serialize (url, html) rows as WARC record text files (one
+    record stream per partition — on a real cluster, size partitions
+    ~1 GiB to match the WARC-file convention)."""
+    df.select(warc_record_col(url_col, html_col).alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress ALL gzip members (Common-Crawl-style .warc.gz files
+    are one gzip member PER RECORD, concatenated; ``gzip.decompress``
+    stops after the first)."""
+    import zlib
+
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        decomp = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += decomp.decompress(blob[pos:])
+        out += decomp.flush()
+        remainder = decomp.unused_data
+        if not remainder:
+            break
+        pos = len(blob) - len(remainder)
+    return bytes(out)
+
+
 def _scan_records(blob: bytes) -> Iterator[tuple[str, str]]:
     """(url, html) from one WARC blob — header-driven, Content-Length
     delimited (never splits on payload content)."""
+    if blob[:2] == b"\x1f\x8b":  # .warc.gz (multi-member supported)
+        blob = _gunzip_members(blob)
     pos, size = 0, len(blob)
     while pos < size:
         # skip inter-record whitespace/newlines

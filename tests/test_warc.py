@@ -63,3 +63,29 @@ def test_dataframe_roundtrip(spark, tmp_path) -> None:
         (r["url"], r["html"]) for r in read_warc(spark, out).collect()
     }
     assert back == set(rows)
+
+
+def test_gzip_multi_member_scan(tmp_path) -> None:
+    """Common-Crawl-style .warc.gz: one gzip member PER RECORD — the
+    scanner must read past the first member."""
+    import gzip
+
+    r1 = _record("http://a.test/1", b"<p>one</p>")
+    r2 = _record("http://a.test/2", b"<p>two</p>")
+    blob = gzip.compress(r1) + gzip.compress(r2)
+    got = list(_scan_records(blob))
+    assert got == [
+        ("http://a.test/1", "<p>one</p>"),
+        ("http://a.test/2", "<p>two</p>"),
+    ]
+
+
+def test_write_warc_sink_roundtrip(spark, tmp_path) -> None:
+    from parsel_spark.sources.warc import read_warc, write_warc
+
+    rows = [(f"http://s.test/{i}", f"<i>{i}</i>") for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = str(tmp_path / "sink")
+    write_warc(df, out)
+    back = {(r["url"], r["html"]) for r in read_warc(spark, out).collect()}
+    assert back == set(rows)
