@@ -429,3 +429,24 @@ class TestXpathUdfNamespaces:
             ).alias("toks")
         ).collect()[0]["toks"]
         assert got == ["a", "b", "c"]
+
+
+def test_pack_by_bpe_tokens(spark) -> None:
+    """pack_sequences accepts any integer tokens_col — packing by the
+    BPE-ish counter changes budgets exactly as the counts differ."""
+    from parsel_spark.functions.textstats import bpe_token_count
+    from parsel_spark.operators.packing import pack_sequences
+
+    rows = [(i, "it's a café!") for i in range(20)]  # ws=3, bpe=5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ws = pack_sequences(df, token_budget=12, n_shards=1).collect()
+    bpe = pack_sequences(
+        df, token_budget=12, n_shards=1,
+        tokens_col=bpe_token_count().cast("long"),
+    ).collect()
+    assert all(r["n_tokens"] == 3 for r in ws)
+    assert all(r["n_tokens"] == 5 for r in bpe)
+    # concat-and-chunk assigns by START offset: last doc starts at
+    # 19*3=57 (ws) / 19*5=95 (bpe); budget 12
+    assert max(r["seq_id"] for r in ws) == 57 // 12   # 4
+    assert max(r["seq_id"] for r in bpe) == 95 // 12  # 7
