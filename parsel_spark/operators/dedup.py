@@ -55,8 +55,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 # (semantic-plan-hash, col) → (n, d): the guard's aggregate is an eager
 # Spark job, so repeated calls on the same input (bench warm-ups, the
-# driver's query + oracle passes) must not pay it twice
-_BLOCK_GUARD_MEMO: dict[tuple, tuple[int, int]] = {}
+# driver's query + oracle passes) must not pay it twice.  Bounded LRU
+# (OrderedDict, capped): an unbounded memo would both grow for the
+# process lifetime and serve stale counts forever when the same logical
+# plan re-reads a path whose data was overwritten — with the cap, stale
+# entries age out; the staleness window is at most one driver run's
+# working set of distinct (plan, column) pairs.
+from collections import OrderedDict as _OrderedDict
+
+_BLOCK_GUARD_MEMO: _OrderedDict[tuple, tuple[int, int]] = _OrderedDict()
+_BLOCK_GUARD_MEMO_CAP = 64
 
 
 def check_block_cardinality(
@@ -92,6 +100,7 @@ def check_block_cardinality(
     key = (plan_key, block_col)
     if key in _BLOCK_GUARD_MEMO:
         n, d = _BLOCK_GUARD_MEMO[key]
+        _BLOCK_GUARD_MEMO.move_to_end(key)
     else:
         row = blocked.agg(
             F.count(F.lit(1)).alias("n"),
@@ -99,6 +108,8 @@ def check_block_cardinality(
         ).first()
         n, d = int(row["n"]), int(row["d"])
         _BLOCK_GUARD_MEMO[key] = (n, d)
+        while len(_BLOCK_GUARD_MEMO) > _BLOCK_GUARD_MEMO_CAP:
+            _BLOCK_GUARD_MEMO.popitem(last=False)
     if not n or d / n >= min_block_ratio:
         return
     msg = (
@@ -661,6 +672,7 @@ def dup_clusters(
         .repartition(partitions, "node")
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(
@@ -692,8 +704,18 @@ def dup_clusters(
         )
         labels = stepped.localCheckpoint(eager=True)
         if int(obs.get["n"]) == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # A fixpoint needs O(graph diameter) rounds; exhausting the
+        # budget means at least one component still carries >1 label —
+        # returning those ids silently would be WRONG cluster ids.
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            "rounds (pair-graph diameter exceeds the round budget); "
+            "raise max_iters — each round is O(edges) with no driver data"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -110,8 +110,12 @@ def pack_sequences_greedy(
     with_shard = docs.select(
         F.col(id_col), shard.alias("shard"), tokens_col.alias("n_tokens")
     )
+    # the id field keeps the input's own type (string doc ids work here
+    # exactly as they do in unit_hash / pack_sequences)
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, shard int, n_tokens long, seq_id long, offset long"
+        f"{id_col} {id_type}, shard int, n_tokens long, "
+        "seq_id long, offset long"
     )
     budget = int(token_budget)
 

@@ -27,21 +27,61 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-WARC_OUT_SCHEMA = "warc_file string, url string, html string"
+WARC_OUT_SCHEMA = (
+    "warc_file string, record_offset long, url string, html string"
+)
+
+#: deterministic default for WARC-Date — replayable output beats a
+#: wall-clock stamp for oracle/roundtrip checks; pass ``date_col`` (e.g.
+#: a fetch_time column formatted with ``date_format(.., ISO8601)``) for
+#: real capture times.
+WARC_DEFAULT_DATE = "2000-01-01T00:00:00Z"
+
+
+def warc_record_id_col(url_col: Column | str = "url") -> Column:
+    """``<urn:uuid:...>`` WARC-Record-ID, deterministic from the target
+    URI (md5(url) formatted 8-4-4-4-12) — JVM-side, engine-replayable.
+    ISO 28500 mandates a globally unique id per record; a url-keyed
+    UUID satisfies external tooling (warcio et al.) while keeping the
+    sink a pure function of its input."""
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.md5(url)
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
 
 
 def warc_record_col(
-    url_col: Column | str = "url", html_col: Column | str = "html"
+    url_col: Column | str = "url",
+    html_col: Column | str = "html",
+    date_col: Column | str | None = None,
 ) -> Column:
     """WARC/1.0 response-record text for each row (JVM-side concat):
-    headers + Content-Length(payload bytes) + payload + the spec's
-    record-terminating blank lines."""
+    headers (incl. the ISO 28500-mandatory WARC-Record-ID and
+    WARC-Date) + Content-Length(payload bytes) + payload + the spec's
+    record-terminating blank lines.
+
+    ``date_col``: optional ISO-8601 string column for WARC-Date;
+    defaults to the fixed ``WARC_DEFAULT_DATE`` so the sink stays a
+    deterministic function of (url, html)."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
     html = F.col(html_col) if isinstance(html_col, str) else html_col
+    if date_col is None:
+        date = F.lit(WARC_DEFAULT_DATE)
+    else:
+        date = F.col(date_col) if isinstance(date_col, str) else date_col
     payload_len = F.length(F.encode(html, "UTF-8"))
     return F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: "), warc_record_id_col(url), F.lit("\r\n"),
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
         F.lit("WARC-Target-URI: "), url, F.lit("\r\n"),
         F.lit("Content-Length: "), payload_len.cast("string"), F.lit("\r\n"),
         F.lit("\r\n"),
@@ -84,9 +124,19 @@ def _gunzip_members(blob: bytes) -> bytes:
     return bytes(out)
 
 
-def _scan_records(blob: bytes) -> Iterator[tuple[str, str]]:
-    """(url, html) from one WARC blob — header-driven, Content-Length
-    delimited (never splits on payload content)."""
+def _scan_records(blob: bytes) -> Iterator[tuple[int, str, str]]:
+    """(record_offset, url, html) from one WARC blob — header-driven,
+    Content-Length delimited (never splits on payload content).
+
+    ``record_offset`` is the byte offset of the record's ``WARC/``
+    version line in the (decompressed) stream — the re-fetch address an
+    index row needs.  Non-response record types (``request``,
+    ``metadata``, ``warcinfo``, ...) interleaved in the input are
+    skipped record-locally: their Content-Length is still consumed, so
+    they never desync the scan.  The header terminator is whichever of
+    CRLFCRLF / LFLF comes FIRST — an LF-delimited header block whose
+    payload happens to contain a CRLF blank line must not have its
+    header end located inside the payload."""
     if blob[:2] == b"\x1f\x8b":  # .warc.gz (multi-member supported)
         blob = _gunzip_members(blob)
     pos, size = 0, len(blob)
@@ -96,12 +146,14 @@ def _scan_records(blob: bytes) -> Iterator[tuple[str, str]]:
             pos += 1
         if pos >= size:
             return
-        header_end = blob.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        if header_end < 0:
-            header_end = blob.find(b"\n\n", pos)
-            sep_len = 2
-        if header_end < 0:
+        record_offset = pos
+        crlf_end = blob.find(b"\r\n\r\n", pos)
+        lf_end = blob.find(b"\n\n", pos)
+        if crlf_end >= 0 and (lf_end < 0 or crlf_end <= lf_end):
+            header_end, sep_len = crlf_end, 4
+        elif lf_end >= 0:
+            header_end, sep_len = lf_end, 2
+        else:
             return
         headers: dict[str, str] = {}
         first_line = True
@@ -135,22 +187,24 @@ def _scan_records(blob: bytes) -> Iterator[tuple[str, str]]:
                 body = body[http_end + 2 :] if http_end >= 0 else b""
             else:
                 body = body[http_end + 4 :]
-        yield url, body.decode("utf-8", "replace")
+        yield record_offset, url, body.decode("utf-8", "replace")
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """(warc_file, url, html) rows from a directory/glob of WARC files;
-    one task per file (``binaryFile`` + ``mapInPandas`` scanner)."""
+    """(warc_file, record_offset, url, html) rows from a directory/glob
+    of WARC files; one task per file (``binaryFile`` + ``mapInPandas``
+    scanner).  ``(warc_file, record_offset)`` is the record's re-fetch
+    address (offset into the decompressed stream for .warc.gz)."""
     files = spark.read.format("binaryFile").load(path)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fname, blob in zip(pdf["path"], pdf["content"]):
-                for url, html in _scan_records(bytes(blob)):
-                    rows.append((fname, url, html))
+                for offset, url, html in _scan_records(bytes(blob)):
+                    rows.append((fname, offset, url, html))
             yield pd.DataFrame(
-                rows, columns=["warc_file", "url", "html"]
+                rows, columns=["warc_file", "record_offset", "url", "html"]
             )
 
     return files.select("path", "content").mapInPandas(

@@ -400,6 +400,25 @@ class TestDupClusters:
         }
         assert got == {3: 3, 7: 7}
 
+    def test_unconverged_raises_not_silent(self, spark) -> None:
+        """Exhausting max_iters before the fixpoint must RAISE — the
+        partial labels would be wrong cluster ids (one true component
+        reported as several) with no signal otherwise."""
+        import pytest
+
+        from parsel_spark.operators.dedup import dup_clusters
+
+        n = 8  # path diameter 7 > max_iters=2
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(pairs, nodes, max_iters=2).collect()
+        # and a sufficient budget still converges to the true component
+        got = dup_clusters(pairs, nodes, max_iters=n).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+
     def test_embedding_pair_columns(self, spark) -> None:
         """vec_a/vec_b pair outputs (embedding_near_dup_pairs) feed the
         same operator via the column fallback."""

@@ -409,6 +409,20 @@ class TestPackGreedy:
         }
         assert a == b
 
+    def test_string_doc_ids(self, spark) -> None:
+        """The applyInPandas output schema derives the id type from the
+        input — string doc ids (supported by unit_hash and the
+        concat-and-chunk variant) must work here too."""
+        from parsel_spark.operators.packing import pack_sequences_greedy
+
+        rows = [(f"doc-{i}", "w " * (5 + i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = pack_sequences_greedy(df, 32, n_shards=2).collect()
+        assert len(got) == 20
+        assert {type(r["doc_id"]) for r in got} == {str}
+        for r in got:
+            assert r["n_tokens"] > 32 or r["offset"] + r["n_tokens"] <= 32
+
 
 class TestXpathUdfNamespaces:
     def test_exslt_str_through_vectorized_udf(self, spark) -> None:

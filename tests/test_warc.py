@@ -1,6 +1,7 @@
 """WARC source: record scanning (Content-Length-delimited), HTTP
-envelope unwrapping, malformed-record recovery, and the DataFrame
-writer/reader roundtrip."""
+envelope unwrapping, malformed-record recovery, mandatory-header
+fidelity (WARC-Record-ID / WARC-Date), mixed-delimiter headers, record
+offsets, and the DataFrame writer/reader roundtrip."""
 
 from __future__ import annotations
 
@@ -17,6 +18,10 @@ def _record(url: str, payload: bytes, wtype: str = "response") -> bytes:
     )
 
 
+def _drop_offsets(got):
+    return [(url, html) for _, url, html in got]
+
+
 def test_scan_content_length_delimited() -> None:
     """A payload containing WARC-looking text must NOT split the
     record — Content-Length drives the scanner."""
@@ -25,9 +30,24 @@ def test_scan_content_length_delimited() -> None:
         "http://a.test/2", "café — página".encode()
     )
     got = list(_scan_records(blob))
-    assert got == [
+    assert _drop_offsets(got) == [
         ("http://a.test/1", evil.decode()),
         ("http://a.test/2", "café — página"),
+    ]
+
+
+def test_record_offsets_address_records() -> None:
+    """record_offset is the byte offset of each record's WARC/ version
+    line — re-slicing the blob there re-parses exactly that record's
+    tail (the re-fetch-address contract)."""
+    r1 = _record("http://a.test/1", b"<p>one</p>")
+    r2 = _record("http://a.test/2", b"<p>two</p>")
+    blob = r1 + r2
+    got = list(_scan_records(blob))
+    assert [o for o, _, _ in got] == [0, len(r1)]
+    # addressing: scanning from the second record's offset yields it
+    assert _drop_offsets(_scan_records(blob[len(r1):])) == [
+        ("http://a.test/2", "<p>two</p>")
     ]
 
 
@@ -36,20 +56,97 @@ def test_http_envelope_unwrapped() -> None:
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>"
     )
     blob = _record("http://a.test/h", payload)
-    assert list(_scan_records(blob)) == [("http://a.test/h", "<html>x</html>")]
+    assert _drop_offsets(_scan_records(blob)) == [
+        ("http://a.test/h", "<html>x</html>")
+    ]
 
 
 def test_non_response_and_malformed_skipped() -> None:
     meta = _record("http://a.test/meta", b"ignored", wtype="warcinfo")
     bad = b"NOT-A-WARC\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\n"
     good = _record("http://a.test/ok", b"<p>ok</p>")
-    got = list(_scan_records(meta + bad + good))
+    got = _drop_offsets(_scan_records(meta + bad + good))
     assert got == [("http://a.test/ok", "<p>ok</p>")]
+
+
+def test_interleaved_request_metadata_records_skipped_locally() -> None:
+    """Common-Crawl WARCs interleave request/response/metadata records
+    per capture; non-response types must be consumed (Content-Length)
+    without desyncing the records after them — even when their payloads
+    contain WARC-looking or blank-line-bearing bytes."""
+    req = _record(
+        "http://a.test/1",
+        b"GET /1 HTTP/1.1\r\nHost: a.test\r\n\r\n",
+        wtype="request",
+    )
+    resp1 = _record("http://a.test/1", b"<p>one</p>")
+    meta = _record(
+        "http://a.test/1", b"fetchTimeMs: 12\r\n\r\nvia: seed", wtype="metadata"
+    )
+    resp2 = _record("http://a.test/2", b"<p>two</p>")
+    got = _drop_offsets(_scan_records(req + resp1 + meta + resp2))
+    assert got == [
+        ("http://a.test/1", "<p>one</p>"),
+        ("http://a.test/2", "<p>two</p>"),
+    ]
+
+
+def test_lf_headers_with_crlf_in_payload() -> None:
+    """An LF-delimited header block whose PAYLOAD contains a CRLF blank
+    line: the header terminator must be the earlier LFLF, not the CRLF
+    pair inside the payload (mixed-delimiter files parse
+    record-locally)."""
+    payload = b"<p>a</p>\r\n\r\n<p>b</p>"
+    lf_rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: http://lf.test/1\n"
+        + f"Content-Length: {len(payload)}\n".encode()
+        + b"\n" + payload + b"\n\n"
+    )
+    tail = _record("http://lf.test/2", b"<p>tail</p>")
+    got = _drop_offsets(_scan_records(lf_rec + tail))
+    assert got == [
+        ("http://lf.test/1", payload.decode()),
+        ("http://lf.test/2", "<p>tail</p>"),
+    ]
+
+
+def test_emitted_records_carry_mandatory_headers(spark) -> None:
+    """ISO 28500 mandates WARC-Record-ID and WARC-Date on every record;
+    the sink must emit both — Record-ID as a deterministic urn:uuid of
+    the target URI, Date as ISO-8601."""
+    import re
+
+    from parsel_spark.sources.warc import warc_record_col
+
+    df = spark.createDataFrame(
+        [("http://h.test/p", "<b>x</b>")], "url string, html string"
+    )
+    text = df.select(warc_record_col().alias("v")).first()["v"]
+    header = text.split("\r\n\r\n", 1)[0]
+    rid = re.search(r"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", header)
+    assert rid, header
+    assert re.search(
+        r"WARC-Date: \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", header
+    ), header
+    # deterministic: same url → same id; different url → different id
+    df2 = spark.createDataFrame(
+        [("http://h.test/p", "<i>other</i>"), ("http://h.test/q", "<b>x</b>")],
+        "url string, html string",
+    )
+    ids = [
+        re.search(r"WARC-Record-ID: (<urn:uuid:[0-9a-f-]{36}>)", r["v"]).group(1)
+        for r in df2.select(warc_record_col().alias("v")).collect()
+    ]
+    assert ids[0] == f"<urn:uuid:{rid.group(1)}>"
+    assert ids[1] != ids[0]
 
 
 def test_dataframe_roundtrip(spark, tmp_path) -> None:
     """(url, html) → warc_record_col → .text files → read_warc recovers
-    every row exactly (unicode payloads included)."""
+    every row exactly (unicode payloads included), with the richer
+    mandatory headers present."""
     from parsel_spark.sources.warc import read_warc, warc_record_col
 
     rows = [
@@ -67,17 +164,19 @@ def test_dataframe_roundtrip(spark, tmp_path) -> None:
 
 def test_gzip_multi_member_scan(tmp_path) -> None:
     """Common-Crawl-style .warc.gz: one gzip member PER RECORD — the
-    scanner must read past the first member."""
+    scanner must read past the first member; offsets address the
+    DECOMPRESSED stream."""
     import gzip
 
     r1 = _record("http://a.test/1", b"<p>one</p>")
     r2 = _record("http://a.test/2", b"<p>two</p>")
     blob = gzip.compress(r1) + gzip.compress(r2)
     got = list(_scan_records(blob))
-    assert got == [
+    assert _drop_offsets(got) == [
         ("http://a.test/1", "<p>one</p>"),
         ("http://a.test/2", "<p>two</p>"),
     ]
+    assert [o for o, _, _ in got] == [0, len(r1)]
 
 
 def test_write_warc_sink_roundtrip(spark, tmp_path) -> None:
