@@ -236,11 +236,13 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked-mode Jaccard (explicit opt-in; the operator DEFAULT is
-    the scale-safe LSH mode — see q_doc_jaccard_lsh_pairs).  The
-    low-cardinality 'source' key warns by design here — and
-    ``force=True`` acknowledges the extreme-ratio guard: the oracle is
-    the blocked-mode semantics, not a scale claim."""
+    """COMPAT ORACLE, NOT THE SCALE PATH (hence the *_blocked_compat
+    query name): blocked-mode Jaccard — a deliberately quadratic
+    within-block self-join kept only to oracle-check the blocked-mode
+    semantics.  The operator DEFAULT is the scale-safe LSH mode (see
+    q_doc_jaccard_lsh_pairs).  The low-cardinality 'source' key warns
+    by design here — ``force=True`` acknowledges the extreme-ratio
+    guard."""
     from parsel_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
@@ -460,6 +462,49 @@ def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-LEVEL cross-document dedup, span pass: the merged token
+    spans of every 5-gram shared by >= 2 distinct documents — the
+    Lee-et-al-style repeated-substring pass (shared boilerplate
+    paragraphs that doc-level minhash cannot catch).  Bucketed
+    shingle-hash -> count -> rejoin; never all-pairs.  Reference
+    counterpart: none (parsel is single-document) — training-data
+    surface per SURVEY §9."""
+    from parsel_spark.operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+def q_doc_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-LEVEL cross-document dedup, removal pass: every doc
+    with its repeated 5-gram spans stripped (aggressive all-occurrence
+    removal — the boilerplate-strip semantic), token filtering in place
+    via higher-order functions (no token explode of the corpus)."""
+    from parsel_spark.operators.dedup import remove_repeated_ngrams
+
+    return remove_repeated_ngrams(
+        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-SET DECONTAMINATION: flag docs whose distinct-5-gram overlap
+    with the eval set reaches 30%.  The eval set is derived
+    deterministically from the same corpus (doc_id % 97 == 0), so the
+    planted contamination is closed-form: those docs overlap 100% with
+    themselves and their exact/near dups inherit high overlap, while
+    unrelated docs stay below threshold.  Broadcast eval-gram set; one
+    map-side-combined groupBy — the scale shape of a 100 TB corpus vs
+    a small benchmark suite."""
+    from parsel_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return decontaminate(docs, ev, n=5, threshold=0.3)
+
+
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-path embedding near-dup: hyperplane-LSH buckets as the
     join key, exact cosine verify of candidates."""
@@ -532,10 +577,12 @@ def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import embedding_near_dup_pairs
 
-    # blocked-mode opt-in (the operator DEFAULT is LSH — see
-    # q_emb_near_dup_lsh); low threshold so the synthetic embeddings
-    # yield non-trivial output; force=True acknowledges the
-    # extreme-ratio guard (this query oracle-checks blocked semantics)
+    # COMPAT ORACLE, NOT THE SCALE PATH (hence the *_blocked_compat
+    # query name): blocked-mode opt-in, deliberately quadratic within
+    # the 'label' block, kept only to oracle-check blocked semantics
+    # (the operator DEFAULT is LSH — see q_emb_near_dup_lsh); low
+    # threshold so the synthetic embeddings yield non-trivial output;
+    # force=True acknowledges the extreme-ratio guard
     return embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"),
         threshold=0.30,
@@ -943,7 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_type_stats": q_event_type_stats,
         "q_event_sessionize": q_event_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_jaccard_pairs_blocked_compat": q_doc_jaccard_pairs,
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "doc_quality": q_doc_quality,
@@ -960,11 +1007,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact_pii": q_doc_redact_pii,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
+        "doc_repeated_ngram_spans": q_doc_repeated_ngram_spans,
+        "doc_ngram_dedup": q_doc_ngram_dedup,
+        "doc_decontaminate": q_doc_decontaminate,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
-        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_near_dup_pairs_blocked_compat": q_emb_near_dup_pairs,
         "emb_norms": q_emb_norms,
         "emb_label_centroid_dims": q_emb_label_centroid_dims,
         "crawl_extract_links": q_crawl_extract_links,
@@ -1068,7 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY md5(text)
     """
 
-    sql["doc_jaccard_pairs"] = """
+    sql["doc_jaccard_pairs_blocked_compat"] = """
         WITH t AS (
             SELECT doc_id, source,
                    list_distinct(string_split_regex(lower(trim(text)), ' +')) AS toks
@@ -1184,6 +1234,127 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
+    # Substring-level cross-document dedup: full value replay of the
+    # shingle-hash -> dup-count -> rejoin -> gaps-and-islands pipeline
+    # (same 60-bit md5 base hash, same positional tokenization).
+    _NGRAM_SPAN_CTE = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 5 THEN
+                       [i FOR i IN generate_series(0, len(toks) - 5)]
+                       ELSE []::BIGINT[] END) AS start,
+                   unnest(CASE WHEN len(toks) >= 5 THEN
+                       [('0x' || substr(md5(array_to_string(
+                            toks[i+1:i+5], ' ')), 1, 15))::BIGINT
+                        FOR i IN generate_series(0, len(toks) - 5)]
+                       ELSE []::BIGINT[] END) AS gram_hash
+            FROM t
+        ),
+        d AS (
+            SELECT gram_hash FROM g
+            GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+        ),
+        h AS (SELECT g.doc_id, g.start FROM g JOIN d USING (gram_hash)),
+        i1 AS (
+            SELECT doc_id, start,
+                   CASE WHEN lag(start) OVER w IS NULL
+                          OR start > lag(start) OVER w + 5
+                        THEN 1 ELSE 0 END AS ni
+            FROM h
+            WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        i2 AS (
+            SELECT doc_id, start,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM i1
+        ),
+        sp AS (
+            SELECT doc_id, min(start) AS span_start,
+                   max(start) + 4 AS span_end,
+                   max(start) - min(start) + 5 AS span_tokens
+            FROM i2 GROUP BY doc_id, island
+        )
+    """
+
+    sql["doc_repeated_ngram_spans"] = (
+        _NGRAM_SPAN_CTE
+        + """
+        SELECT doc_id, span_start, span_end, span_tokens FROM sp
+    """
+    )
+
+    sql["doc_ngram_dedup"] = (
+        _NGRAM_SPAN_CTE
+        + """
+        , cov AS (
+            SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+            FROM sp
+        ),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest([i FOR i IN generate_series(0, len(toks) - 1)]) AS pos
+            FROM t
+        ),
+        kept AS (
+            SELECT tok.doc_id, tok.tok, tok.pos
+            FROM tok ANTI JOIN cov USING (doc_id, pos)
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        c AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               coalesce(c.removed, 0)::BIGINT AS removed_tokens
+        FROM t
+        LEFT JOIN agg USING (doc_id)
+        LEFT JOIN c USING (doc_id)
+    """
+    )
+
+    sql["doc_decontaminate"] = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 5 THEN
+                       [('0x' || substr(md5(array_to_string(
+                            toks[i+1:i+5], ' ')), 1, 15))::BIGINT
+                        FOR i IN generate_series(0, len(toks) - 5)]
+                       ELSE []::BIGINT[] END) AS gh
+            FROM t
+        ),
+        e AS (
+            SELECT DISTINCT unnest(gh) AS h FROM g WHERE doc_id % 97 = 0
+        ),
+        ex AS (
+            SELECT doc_id, unnest(gh) AS h FROM g WHERE len(gh) > 0
+        ),
+        ov AS (
+            SELECT ex.doc_id, count(e.h) AS overlap
+            FROM ex LEFT JOIN e USING (h)
+            GROUP BY ex.doc_id
+        )
+        SELECT g.doc_id,
+               len(gh)::BIGINT AS total_ngrams,
+               coalesce(ov.overlap, 0)::BIGINT AS overlap_ngrams,
+               round(CASE WHEN len(gh) = 0 THEN 0.0
+                     ELSE coalesce(ov.overlap, 0)::DOUBLE / len(gh) END,
+                     6) + 0.0 AS overlap_frac,
+               CASE WHEN len(gh) = 0 THEN FALSE
+                    ELSE coalesce(ov.overlap, 0)::DOUBLE / len(gh) >= 0.3
+               END AS contaminated
+        FROM g LEFT JOIN ov USING (doc_id)
+    """
+
     sql["emb_knn_bruteforce"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -1195,7 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
 
-    sql["emb_near_dup_pairs"] = """
+    sql["emb_near_dup_pairs_blocked_compat"] = """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(
                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS sim

@@ -206,30 +206,39 @@ def main() -> None:
             "emb_knn_bruteforce",
             "emb_knn_lsh",
             "emb_knn_ivf",
+            "doc_ngram_dedup",
+            "doc_decontaminate",
             "q_pricing_summary",
             "q_revenue_by_nation",
             "q_top_orders_per_customer",
         ]
+        # best-of-2 within the window: the box is shared/noisy, so a
+        # co-tenant spike during one run must not print as a fake
+        # per-query regression; both raw runs ship in the artifact
+        query_runs: dict[str, list[float]] = {}
         for name in bench_set:
             fn = queries[name]
-            start = time.perf_counter()
-            run_noop(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - start, 3)
+            runs = []
+            for _ in range(2):
+                start = time.perf_counter()
+                run_noop(fn(spark, SF_DIR))
+                runs.append(round(time.perf_counter() - start, 3))
+            query_runs[name] = runs
+            timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "frontier throughput + operator suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "cpus": CPUS,
-                "extras": extras,
-            }
-        )
-    )
+    out = {
+        "metric": "frontier throughput + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "extras": extras,
+    }
+    if MODE != "crawl-only":
+        out["query_runs"] = query_runs  # both raw runs; queries = min
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,106 @@
+"""Eval-set decontamination — flag training documents whose n-gram
+overlap with a (small) evaluation set exceeds a threshold.
+
+The step every public LLM training pipeline runs before finalizing a
+corpus (public background: the n-gram-overlap decontamination described
+in the GPT-3 appendix / Brown et al. 2020, and the open-source
+reproductions of it): any training doc sharing too many token n-grams
+with a benchmark doc leaks test data.
+
+Scale shape (100 TB corpus, small eval set): the eval side collapses to
+a DISTINCT set of 8-byte gram hashes — broadcast; the corpus side
+computes its per-doc distinct gram array entirely JVM-side (split /
+transform / array_distinct — map-only), explodes it, broadcast-joins,
+and re-aggregates per doc with map-side partial aggregation.  One
+shuffle total (the per-doc groupBy), no all-pairs, no Python in the
+hot path.
+
+Cross-engine: gram hashing is the same 60-bit md5 used by the dedup
+family (``md5_hash60``), so a DuckDB oracle replays the whole
+computation value-for-value.
+
+Reference counterpart: none in parsel (a single-document selector
+library) — this is part of the training-data surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60, seq_tokens_col
+
+
+def _distinct_gram_hashes(text_col: str, n: int):
+    """Per-row array of DISTINCT 60-bit hashes of the row's token
+    n-grams (JVM transform/slice — map-only; shorter-than-n rows give
+    an empty array)."""
+    toks = seq_tokens_col(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: md5_hash60(
+                    F.concat_ws(" ", F.slice(toks, i + 1, n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """(id, total_ngrams, overlap_ngrams, overlap_frac, contaminated)
+    for every doc in ``docs``: the fraction of the doc's DISTINCT token
+    ``n``-grams that also occur anywhere in ``eval_docs``; docs at or
+    above ``threshold`` are flagged.
+
+    Docs with fewer than ``n`` tokens have no grams: total_ngrams=0,
+    overlap_frac=0.0, never flagged — length-gate such docs upstream if
+    they matter.  ``threshold`` compares the UNROUNDED fraction (the
+    reported overlap_frac is rounded to 6dp for display/parity)."""
+    eval_grams = (
+        eval_docs.select(
+            F.explode(
+                _distinct_gram_hashes(eval_text_col or text_col, n)
+            ).alias("h")
+        )
+        .distinct()
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        _distinct_gram_hashes(text_col, n).alias("g"),
+    )
+    exploded = per_doc.select(
+        id_col, F.size("g").alias("n_grams"), F.explode_outer("g").alias("h")
+    )
+    # broadcast-join BEFORE the per-doc groupBy: the only shuffle is the
+    # map-side-combined aggregation on id (explode_outer keeps
+    # zero-gram docs as one null-h row, which can never match)
+    marked = exploded.join(
+        F.broadcast(eval_grams.withColumn("m", F.lit(1))), "h", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.max("n_grams").cast("long").alias("total_ngrams"),
+        F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("overlap_ngrams"),
+    )
+    frac = F.col("overlap_ngrams") / F.col("total_ngrams")
+    return agg.select(
+        id_col,
+        "total_ngrams",
+        "overlap_ngrams",
+        F.round(
+            F.when(F.col("total_ngrams") == 0, F.lit(0.0)).otherwise(frac), 6
+        ).alias("overlap_frac"),
+        F.when(F.col("total_ngrams") == 0, F.lit(False))
+        .otherwise(frac >= threshold)
+        .alias("contaminated"),
+    )

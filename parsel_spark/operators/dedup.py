@@ -25,7 +25,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKENIZE_REGEX = " +"
@@ -718,4 +718,130 @@ def dup_clusters(
         )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (repeated n-gram) cross-document dedup
+# ---------------------------------------------------------------------------
+
+def seq_tokens_col(text_col: str = "text"):
+    """POSITIONAL whitespace tokens — order- and case-preserving (unlike
+    ``tokens_col``'s distinct-lowercase set semantics), so spans map
+    back to reconstructable text.  Whitespace runs normalize to single
+    spaces; that is the (documented) lossy part of reconstruction."""
+    return F.split(F.trim(F.col(text_col)), TOKENIZE_REGEX)
+
+
+def _gram_starts(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, start, gram_hash): one row per token n-gram occurrence;
+    ``start`` is the 0-based token index of the gram's first token and
+    ``gram_hash`` the cross-engine 60-bit md5 of the space-joined gram.
+    Map-only (split + transform + posexplode): no shuffle, no UDF."""
+    toks = docs.select(F.col(id_col), seq_tokens_col(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: md5_hash60(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("start", "gram_hash"),
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level cross-document dedup, step 1: the merged token
+    spans of every n-gram that repeats across >= ``min_docs`` distinct
+    documents (shared boilerplate paragraphs, licence blocks, nav text
+    — what doc-level minhash cannot catch).  Output: (id, span_start,
+    span_end, span_tokens) with 0-based inclusive token indices.
+
+    Public background: Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022) — the repeated-substring pass;
+    this is the n-gram-granular bucketed form (shingle-hash -> count ->
+    rejoin), never all-pairs, never a suffix array on one node.
+
+    Scale shape: the gram pass is map-only; duplicated-gram detection
+    is ONE map-side-combined groupBy on 8-byte hashes; the rejoin is a
+    hash join on the same key; span merge is one window over
+    hash(id) partitions.  Reference counterpart: parsel has none —
+    this extends the engine's training-data surface."""
+    grams = _gram_starts(docs, n, id_col, text_col)
+    dup = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram_hash")
+    )
+    hits = grams.join(dup, "gram_hash").select(id_col, "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    # gaps-and-islands: fixed-length intervals [start, start+n-1] merge
+    # while the next start is within (prev start + n) — overlap OR
+    # adjacency; window lag/sum replays identically in any SQL engine
+    lag_start = F.lag("start").over(w)
+    islands = hits.select(
+        F.col(id_col),
+        F.col("start"),
+        F.sum(
+            F.when(
+                lag_start.isNull() | (F.col("start") > lag_start + n), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + (n - 1)).alias("span_end"),
+        (F.max("start") - F.min("start") + n).alias("span_tokens"),
+    ).drop("island")
+
+
+def remove_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level cross-document dedup, step 2: every doc with the
+    repeated spans REMOVED (aggressive mode: all occurrences go — the
+    boilerplate-strip semantic of production crawl->LLM pipelines;
+    keep-one-copy needs a global tiebreak and is intentionally not this
+    operator).  Output: (id, clean_text, removed_tokens).
+
+    Scale shape: the span table from ``repeated_ngram_spans`` is
+    grouped to ONE small row per affected doc and hash-joined back;
+    token filtering happens IN PLACE with higher-order functions
+    (filter-with-index over the token array vs the covered-position
+    array) — the full corpus is never token-exploded or re-collected,
+    so the only extra shuffle is the span join."""
+    spans = repeated_ngram_spans(docs, n, min_docs, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.flatten(
+            F.collect_list(F.sequence("span_start", "span_end"))
+        ).alias("covered")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = seq_tokens_col(text_col)
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.array_contains(covered, s["i"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "clean_text"
+        ),
+        F.size(covered).alias("removed_tokens"),
     )

@@ -621,3 +621,126 @@ class TestStreaming:
         assert "http://s.test/p/1" in urls
         assert "http://s.test/p/21" in urls  # canonicalized uppercase+fragment form
         assert len(urls) == 21  # /p/1 .. /p/21 deduped
+
+
+class TestRepeatedNgramSpans:
+    """Substring-level cross-document dedup (Lee-et-al-style repeated
+    n-gram spans) — planted boilerplate must be found and removed;
+    original content must survive untouched."""
+
+    BOILER = "all rights reserved contact us for licensing terms"  # 8 toks
+
+    def _docs(self, spark):
+        rows = [
+            (1, f"unique alpha text one {self.BOILER} tail one"),
+            (2, f"different beta words {self.BOILER} closing two"),
+            (3, "totally original content with no repeats at all here"),
+            (4, self.BOILER),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_boilerplate_spans(self, spark) -> None:
+        from parsel_spark.operators.dedup import repeated_ngram_spans
+
+        got = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in repeated_ngram_spans(
+                self._docs(spark), n=5, min_docs=2
+            ).collect()
+        }
+        # the 8-token boilerplate = 4 overlapping 5-grams, merged to ONE
+        # span per doc at the planted offsets
+        assert got == {1: (4, 11, 8), 2: (3, 10, 8), 4: (0, 7, 8)}
+
+    def test_single_doc_repeat_not_flagged_cross_doc(self, spark) -> None:
+        """A doc repeating its own phrase is NOT cross-document
+        contamination at min_docs=2."""
+        from parsel_spark.operators.dedup import repeated_ngram_spans
+
+        docs = spark.createDataFrame(
+            [(1, "la la la la la la la la"), (2, "other words entirely here now")],
+            "doc_id long, text string",
+        )
+        assert repeated_ngram_spans(docs, n=5, min_docs=2).count() == 0
+
+    def test_adjacent_islands_merge(self, spark) -> None:
+        """Two shared phrases separated by ONE unique token: the spans
+        stay separate; with zero separation they merge."""
+        from parsel_spark.operators.dedup import repeated_ngram_spans
+
+        p1 = "one two three four five"
+        p2 = "six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{p1} UNIQ{0} {p2}"),
+                (2, f"{p1} filler filler filler filler filler filler {p2}"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in repeated_ngram_spans(docs, n=5, min_docs=2).collect()
+        )
+        assert got == [(1, 0, 4), (1, 6, 10), (2, 0, 4), (2, 11, 15)]
+
+    def test_removal_strips_all_occurrences(self, spark) -> None:
+        from parsel_spark.operators.dedup import remove_repeated_ngrams
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+            for r in remove_repeated_ngrams(
+                self._docs(spark), n=5, min_docs=2
+            ).collect()
+        }
+        assert got[1] == ("unique alpha text one tail one", 8)
+        assert got[2] == ("different beta words closing two", 8)
+        assert got[3] == (
+            "totally original content with no repeats at all here",
+            0,
+        )
+        assert got[4] == ("", 8)  # pure boilerplate vanishes entirely
+
+    def test_deterministic_across_partitionings(self, spark) -> None:
+        from parsel_spark.operators.dedup import repeated_ngram_spans
+
+        docs = self._docs(spark)
+        a = {tuple(r) for r in repeated_ngram_spans(docs, 5, 2).collect()}
+        b = {
+            tuple(r)
+            for r in repeated_ngram_spans(docs.repartition(7), 5, 2).collect()
+        }
+        assert a == b
+
+
+class TestDecontaminate:
+    EVAL = "what is the capital of france paris is the capital"
+
+    def _fit(self, spark):
+        from parsel_spark.operators.decontam import decontaminate
+
+        rows = [
+            (1, f"training doc copying the benchmark {self.EVAL} verbatim"),
+            (2, "a clean training document about cooking pasta at home"),
+            (3, self.EVAL),
+            (4, "tiny doc"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(100, self.EVAL)], "eval_id long, text string"
+        )
+        return {
+            r["doc_id"]: r
+            for r in decontaminate(docs, ev, n=5, threshold=0.3).collect()
+        }
+
+    def test_planted_contamination_flagged(self, spark) -> None:
+        got = self._fit(spark)
+        assert got[3]["contaminated"] and got[3]["overlap_frac"] == 1.0
+        assert got[1]["contaminated"] and got[1]["overlap_ngrams"] == 6
+        assert not got[2]["contaminated"] and got[2]["overlap_ngrams"] == 0
+
+    def test_short_doc_never_flagged(self, spark) -> None:
+        got = self._fit(spark)
+        assert got[4]["total_ngrams"] == 0
+        assert got[4]["overlap_frac"] == 0.0
+        assert not got[4]["contaminated"]
