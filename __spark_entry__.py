@@ -505,6 +505,34 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
+def q_doc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAIN-TEXT EXTRACTION (boilerplate removal): each doc is wrapped
+    in a page with planted boilerplate — script/style head, a nav link
+    cluster, a footer — around two real content units (the caption h1
+    and a closed-form body paragraph).  The rule-based extractor
+    (DROP_TAGS + link-density <= 0.5 per paragraph unit, via the
+    engine's own recovering parser) must strip ALL the boilerplate and
+    keep exactly the content, which the oracle states in closed form."""
+    from parsel_spark.functions.maintext import main_text
+
+    docs = _read(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var x=1;</script><style>.b{}</style>"
+            '</head><body><nav><a href="/">home</a> <a href="/about">'
+            'about</a></nav><h1 class="t">'
+        ),
+        _clean_caption(),
+        F.lit("</h1><p>document "),
+        F.col("doc_id"),
+        F.lit(
+            " body text</p><footer>copyright docs corp</footer>"
+            "</body></html>"
+        ),
+    )
+    return docs.select("doc_id", main_text(page).alias("main_text"))
+
+
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-path embedding near-dup: hyperplane-LSH buckets as the
     join key, exact cosine verify of candidates."""
@@ -1010,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repeated_ngram_spans": q_doc_repeated_ngram_spans,
         "doc_ngram_dedup": q_doc_ngram_dedup,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_main_text": q_doc_main_text,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1353,6 +1382,19 @@ def oracle_sql() -> dict[str, str]:
                     ELSE coalesce(ov.overlap, 0)::DOUBLE / len(gh) >= 0.3
                END AS contaminated
         FROM g LEFT JOIN ov USING (doc_id)
+    """
+
+    # main-text extraction: the planted boilerplate (script/style head,
+    # nav link cluster, footer) must vanish; what remains is exactly the
+    # caption unit + the closed-form paragraph, whitespace-normalized
+    sql["doc_main_text"] = """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   substr(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                         'g'), 1, 40)
+                   || ' document ' || doc_id || ' body text',
+                   ' +', ' ', 'g')) AS main_text
+        FROM documents
     """
 
     sql["emb_knn_bruteforce"] = """
