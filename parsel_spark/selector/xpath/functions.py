@@ -30,6 +30,7 @@ RE_NAMESPACE = "http://exslt.org/regular-expressions"
 SET_NAMESPACE = "http://exslt.org/sets"
 STR_NAMESPACE = "http://exslt.org/strings"
 MATH_NAMESPACE = "http://exslt.org/math"
+DATE_NAMESPACE = "http://exslt.org/dates-and-times"
 
 HTML5_WHITESPACE = " \t\n\x0c\r"
 _WS_RE = _re.compile(f"[{HTML5_WHITESPACE}]+")
@@ -715,6 +716,193 @@ def _math_trig(fn: Callable[[float], float]) -> Callable[..., float]:
     return impl
 
 
+# ---------------------------------------------------------------------------
+# EXSLT dates-and-times (http://exslt.org/dates-and-times) — implemented
+# per the public exslt.org specs, same opt-in pattern as str:/math:
+# above (prefix deliberately NOT pre-registered — reference parity;
+# register_namespace("date", DATE_NAMESPACE) resolves them).
+#
+# Input forms per spec: each accessor accepts the right subset of
+# xs:dateTime / xs:date / xs:gYearMonth / xs:gYear / xs:gMonthDay /
+# xs:gMonth / xs:gDay (optionally timezoned); a malformed argument
+# yields NaN (numbers), '' (strings) or false (leap-year), matching
+# libxslt's behavior.  The no-argument form uses the current local
+# date-time (spec behavior; tests always pass explicit arguments).
+# ---------------------------------------------------------------------------
+
+_TZ_PAT = r"(?:Z|[+-]\d{2}:\d{2})?"
+_DATE_TIME_RE = _re.compile(
+    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)"
+    r"(" + _TZ_PAT + r")$"
+)
+_DATE_RE = _re.compile(r"^(-?\d{4,})-(\d{2})-(\d{2})(" + _TZ_PAT + r")$")
+_GYM_RE = _re.compile(r"^(-?\d{4,})-(\d{2})(" + _TZ_PAT + r")$")
+_GYEAR_RE = _re.compile(r"^(-?\d{4,})(" + _TZ_PAT + r")$")
+_GMD_RE = _re.compile(r"^--(\d{2})-(\d{2})(" + _TZ_PAT + r")$")
+_GMONTH_RE = _re.compile(r"^--(\d{2})(?:--)?(" + _TZ_PAT + r")$")
+_GDAY_RE = _re.compile(r"^---(\d{2})(" + _TZ_PAT + r")$")
+
+
+def _date_now_string() -> str:
+    import datetime as _dt
+
+    return _dt.datetime.now().astimezone().isoformat(timespec="seconds")
+
+
+def _date_arg(value: Any) -> str:
+    if value is None:
+        return _date_now_string()
+    return _ev.to_string(value)
+
+
+def _parse_ymd(text: str) -> tuple[int, int, int] | None:
+    """(year, month, day) from a dateTime or date string, else None."""
+    match = _DATE_TIME_RE.match(text) or _DATE_RE.match(text)
+    if not match:
+        return None
+    return int(match.group(1)), int(match.group(2)), int(match.group(3))
+
+
+def _valid_date(y: int, m: int, d: int):
+    import datetime as _dt
+
+    try:
+        return _dt.date(y, m, d)
+    except ValueError:
+        return None
+
+
+def _date_date_time(context: ExtensionContext) -> str:
+    """date:date-time() — the current date-time as an ISO 8601 string
+    with timezone (no-argument per spec)."""
+    return _date_now_string()
+
+
+def _date_date(context: ExtensionContext, value: Any = None) -> str:
+    """date:date(string?) — the date portion (CCYY-MM-DD), keeping any
+    timezone; '' for malformed input."""
+    text = _date_arg(value)
+    match = _DATE_TIME_RE.match(text)
+    if match:
+        return "%s-%s-%s%s" % (
+            match.group(1), match.group(2), match.group(3), match.group(7)
+        )
+    if _DATE_RE.match(text):
+        return text
+    return ""
+
+
+def _date_time(context: ExtensionContext, value: Any = None) -> str:
+    """date:time(string?) — the time portion (hh:mm:ss with any
+    fraction/timezone); '' when the argument carries no time."""
+    text = _date_arg(value)
+    match = _DATE_TIME_RE.match(text)
+    if not match:
+        return ""
+    return "%s:%s:%s%s" % (
+        match.group(4), match.group(5), match.group(6), match.group(7)
+    )
+
+
+def _date_year(context: ExtensionContext, value: Any = None) -> float:
+    """date:year(string?) — accepts dateTime/date/gYearMonth/gYear."""
+    text = _date_arg(value)
+    for pattern in (_DATE_TIME_RE, _DATE_RE, _GYM_RE, _GYEAR_RE):
+        match = pattern.match(text)
+        if match:
+            return float(int(match.group(1)))
+    return float("nan")
+
+
+def _date_month_in_year(context: ExtensionContext, value: Any = None) -> float:
+    """date:month-in-year(string?) — 1..12; accepts
+    dateTime/date/gYearMonth/gMonthDay/gMonth."""
+    text = _date_arg(value)
+    for pattern, group in (
+        (_DATE_TIME_RE, 2), (_DATE_RE, 2), (_GYM_RE, 2),
+        (_GMD_RE, 1), (_GMONTH_RE, 1),
+    ):
+        match = pattern.match(text)
+        if match:
+            month = int(match.group(group))
+            if 1 <= month <= 12:
+                return float(month)
+            return float("nan")
+    return float("nan")
+
+
+def _date_day_in_month(context: ExtensionContext, value: Any = None) -> float:
+    """date:day-in-month(string?) — 1..31; accepts
+    dateTime/date/gMonthDay/gDay."""
+    text = _date_arg(value)
+    for pattern, group in (
+        (_DATE_TIME_RE, 3), (_DATE_RE, 3), (_GMD_RE, 2), (_GDAY_RE, 1),
+    ):
+        match = pattern.match(text)
+        if match:
+            day = int(match.group(group))
+            if 1 <= day <= 31:
+                return float(day)
+            return float("nan")
+    return float("nan")
+
+
+def _date_day_of_week_in_month(
+    context: ExtensionContext, value: Any = None
+) -> float:
+    """date:day-of-week-in-month(string?) — which occurrence of its
+    weekday the day is (the 21st is the 3rd of its weekday)."""
+    ymd = _parse_ymd(_date_arg(value))
+    if ymd is None or _valid_date(*ymd) is None:
+        return float("nan")
+    return float((ymd[2] - 1) // 7 + 1)
+
+
+def _date_day_in_week(context: ExtensionContext, value: Any = None) -> float:
+    """date:day-in-week(string?) — 1=Sunday .. 7=Saturday."""
+    ymd = _parse_ymd(_date_arg(value))
+    if ymd is None:
+        return float("nan")
+    date_obj = _valid_date(*ymd)
+    if date_obj is None:
+        return float("nan")
+    return float((date_obj.weekday() + 1) % 7 + 1)
+
+
+def _date_day_in_year(context: ExtensionContext, value: Any = None) -> float:
+    """date:day-in-year(string?) — 1..366."""
+    ymd = _parse_ymd(_date_arg(value))
+    if ymd is None:
+        return float("nan")
+    date_obj = _valid_date(*ymd)
+    if date_obj is None:
+        return float("nan")
+    return float(date_obj.timetuple().tm_yday)
+
+
+def _date_week_in_year(context: ExtensionContext, value: Any = None) -> float:
+    """date:week-in-year(string?) — ISO 8601 week number."""
+    ymd = _parse_ymd(_date_arg(value))
+    if ymd is None:
+        return float("nan")
+    date_obj = _valid_date(*ymd)
+    if date_obj is None:
+        return float("nan")
+    return float(date_obj.isocalendar()[1])
+
+
+def _date_leap_year(context: ExtensionContext, value: Any = None) -> bool:
+    """date:leap-year(string?) — accepts dateTime/date/gYearMonth/gYear;
+    false for malformed input (libxslt behavior)."""
+    text = _date_arg(value)
+    for pattern in (_DATE_TIME_RE, _DATE_RE, _GYM_RE, _GYEAR_RE):
+        match = pattern.match(text)
+        if match:
+            year = int(match.group(1))
+            return year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+    return False
+
+
 DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (None, "has-class"): has_class,
     (RE_NAMESPACE, "test"): _re_test,
@@ -751,6 +939,18 @@ DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (MATH_NAMESPACE, "sin"): _math_trig(math.sin),
     (MATH_NAMESPACE, "cos"): _math_trig(math.cos),
     (MATH_NAMESPACE, "tan"): _math_trig(math.tan),
+    # EXSLT dates-and-times: same opt-in pattern (see section comment)
+    (DATE_NAMESPACE, "date-time"): _date_date_time,
+    (DATE_NAMESPACE, "date"): _date_date,
+    (DATE_NAMESPACE, "time"): _date_time,
+    (DATE_NAMESPACE, "year"): _date_year,
+    (DATE_NAMESPACE, "month-in-year"): _date_month_in_year,
+    (DATE_NAMESPACE, "day-in-month"): _date_day_in_month,
+    (DATE_NAMESPACE, "day-of-week-in-month"): _date_day_of_week_in_month,
+    (DATE_NAMESPACE, "day-in-week"): _date_day_in_week,
+    (DATE_NAMESPACE, "day-in-year"): _date_day_in_year,
+    (DATE_NAMESPACE, "week-in-year"): _date_week_in_year,
+    (DATE_NAMESPACE, "leap-year"): _date_leap_year,
 }
 
 _USER_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {}

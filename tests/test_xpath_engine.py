@@ -398,3 +398,92 @@ class TestExsltStringsAndMath:
         assert self.x("math:constant('PI', 4)").get() == "3.1416"
         assert self.x("math:exp(0)").get() == "1.0"
         assert self.x("math:cos(0)").get() == "1.0"
+
+
+class TestExsltDates:
+    """EXSLT date: (public exslt.org dates-and-times spec), same opt-in
+    pattern as str:/math: — NOT pre-registered (reference pre-registers
+    only re:/set: — parsel/selector.py:418-427), resolving once the
+    canonical namespace is registered."""
+
+    NS = {"date": "http://exslt.org/dates-and-times"}
+
+    def sel(self):
+        from parsel_spark.selector import Selector
+
+        return Selector(text="<root/>")
+
+    def x(self, query):
+        return self.sel().xpath(query, namespaces=self.NS)
+
+    def test_unregistered_prefix_still_errors(self) -> None:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self.sel().xpath("date:year('2001-06-03')")
+
+    def test_date_portion_keeps_timezone(self) -> None:
+        assert self.x("date:date('2000-01-12T12:13:14Z')").get() == "2000-01-12Z"
+        assert (
+            self.x("date:date('2001-06-03T11:30:00-05:00')").get()
+            == "2001-06-03-05:00"
+        )
+        assert self.x("date:date('2001-06-03')").get() == "2001-06-03"
+        assert self.x("date:date('not-a-date')").get() == ""
+
+    def test_time_portion(self) -> None:
+        assert self.x("date:time('2000-01-12T12:13:14Z')").get() == "12:13:14Z"
+        # a date-only argument has no time portion → ''
+        assert self.x("date:time('2001-06-03')").get() == ""
+
+    def test_year_accepts_gyear_forms(self) -> None:
+        assert self.x("date:year('2001-06-03T11:30:00')").get() == "2001.0"
+        assert self.x("date:year('2001-06')").get() == "2001.0"
+        assert self.x("date:year('2001')").get() == "2001.0"
+        assert self.x("date:year('junk')").get() == "nan"
+
+    def test_month_and_day_accessors(self) -> None:
+        assert self.x("date:month-in-year('2001-06-03')").get() == "6.0"
+        assert self.x("date:month-in-year('--06-03')").get() == "6.0"
+        assert self.x("date:month-in-year('--06--')").get() == "6.0"
+        assert self.x("date:day-in-month('2001-06-03')").get() == "3.0"
+        assert self.x("date:day-in-month('---31')").get() == "31.0"
+        assert self.x("date:day-in-month('--06-21')").get() == "21.0"
+
+    def test_day_of_week_in_month(self) -> None:
+        # 2001-06-21 was the THIRD Thursday of June 2001 (spec example)
+        assert self.x("date:day-of-week-in-month('2001-06-21')").get() == "3.0"
+        assert self.x("date:day-of-week-in-month('2001-06-01')").get() == "1.0"
+        assert self.x("date:day-of-week-in-month('bad')").get() == "nan"
+
+    def test_day_in_week_sunday_is_one(self) -> None:
+        # 2000-01-12 was a Wednesday → 4 in the spec's 1=Sunday scheme
+        assert self.x("date:day-in-week('2000-01-12')").get() == "4.0"
+        # 2026-08-16 was a Sunday → 1
+        assert self.x("date:day-in-week('2026-08-16')").get() == "1.0"
+
+    def test_day_and_week_in_year(self) -> None:
+        assert self.x("date:day-in-year('2001-01-01')").get() == "1.0"
+        assert self.x("date:day-in-year('2000-12-31')").get() == "366.0"
+        assert self.x("date:week-in-year('2004-01-01')").get() == "1.0"
+
+    def test_leap_year_century_rule(self) -> None:
+        # XPath booleans render like the reference's lxml results: the
+        # engine's get() gives '1'/'0' (same as `true()`)
+        assert self.x("date:leap-year('2000')").get() == "1"
+        assert self.x("date:leap-year('1900')").get() == "0"
+        assert self.x("date:leap-year('2004-02-29T00:00:00Z')").get() == "1"
+        assert self.x("date:leap-year('nonsense')").get() == "0"
+
+    def test_invalid_calendar_date_is_nan(self) -> None:
+        # well-formed lexically, but Feb 30 does not exist
+        assert self.x("date:day-in-week('2001-02-30')").get() == "nan"
+        assert self.x("date:day-in-year('2001-02-30')").get() == "nan"
+
+    def test_noarg_date_time_is_current_iso(self) -> None:
+        import re as _re2
+
+        got = self.x("date:date-time()").get()
+        assert _re2.match(
+            r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:\d{2}$", got
+        ), got
