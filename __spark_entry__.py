@@ -505,6 +505,27 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
+def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED training-data pipeline row: substring-level dedup
+    (repeated-5-gram spans removed in place) feeding BPE-ish token
+    counting on the CLEANED text — the budget a packing stage would
+    actually see after boilerplate stripping.  The oracle composes the
+    full doc_ngram_dedup replay with the identical token regex."""
+    from parsel_spark.functions.textstats import bpe_token_count
+    from parsel_spark.operators.dedup import remove_repeated_ngrams
+
+    cleaned = remove_repeated_ngrams(
+        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+    return cleaned.select(
+        "doc_id",
+        "removed_tokens",
+        bpe_token_count("clean_text").cast("long").alias(
+            "n_clean_bpe_tokens"
+        ),
+    )
+
+
 def q_doc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAIN-TEXT EXTRACTION (boilerplate removal): each doc is wrapped
     in a page with planted boilerplate — script/style head, a nav link
@@ -1039,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_dedup": q_doc_ngram_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_main_text": q_doc_main_text,
+        "doc_clean_token_stats": q_doc_clean_token_stats,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1396,6 +1418,18 @@ def oracle_sql() -> dict[str, str]:
                    ' +', ' ', 'g')) AS main_text
         FROM documents
     """
+
+    # composed pipeline: substring-dedup clean text -> BPE-ish counting
+    sql["doc_clean_token_stats"] = (
+        "WITH base AS ("
+        + sql["doc_ngram_dedup"]
+        + f""")
+        SELECT doc_id, removed_tokens,
+               len(regexp_extract_all(clean_text, '{bpe_pat}'))::BIGINT
+                   AS n_clean_bpe_tokens
+        FROM base
+    """
+    )
 
     sql["emb_knn_bruteforce"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

@@ -35,8 +35,12 @@ CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "3"))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides the master (e.g. the multi-JVM
+    # scaling A/B runs the same job under local-cluster[4,8,m] —
+    # separate executor heaps — vs local[32]'s single heap)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(f"parsel_spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +50,9 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     # SPARK_GRAFT_EVENTLOG=<dir>: per-stage event-log capture for the
     # stage-profile artifact (tools/stage_profile.py)
     eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")

@@ -744,3 +744,23 @@ class TestDecontaminate:
         assert got[4]["total_ngrams"] == 0
         assert got[4]["overlap_frac"] == 0.0
         assert not got[4]["contaminated"]
+
+    def test_eval_text_col_override(self, spark) -> None:
+        """Benchmark tables usually name their text column differently
+        (question/prompt); eval_text_col maps it without renaming."""
+        from parsel_spark.operators.decontam import decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, self.EVAL), (2, "other words about something else here")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, self.EVAL)], "eval_id long, question string"
+        )
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(
+                docs, ev, n=5, threshold=0.3, eval_text_col="question"
+            ).collect()
+        }
+        assert got == {1: True, 2: False}

@@ -269,8 +269,18 @@ def run_level(cpus: int) -> dict:
     }
 
 
-def spark_submit_level(cpus: int) -> dict:
-    """Run one level via spark-submit --py-files in a fresh process."""
+def spark_submit_level(
+    cpus: int,
+    master: str | None = None,
+    tag: str | None = None,
+    driver_mem: str | None = None,
+    exec_mem: str | None = None,
+) -> dict:
+    """Run one level via spark-submit --py-files in a fresh process.
+
+    ``master`` overrides the default ``local[cpus]`` (the multi-JVM A/B
+    passes ``local-cluster[n,c,mem]`` — separate executor heaps at the
+    same total thread count); ``tag`` names the artifact files."""
     zip_path = os.path.join(REPO, "BENCH", "parsel_spark_pkg.zip")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
     with zipfile.ZipFile(zip_path, "w") as zf:
@@ -281,13 +291,20 @@ def spark_submit_level(cpus: int) -> dict:
                     zf.write(full, os.path.relpath(full, REPO))
         zf.write(os.path.join(REPO, "bench.py"), "bench.py")
 
-    out_file = os.path.join(REPO, "BENCH", f"scaling_{cpus}.json")
+    label = tag or str(cpus)
+    out_file = os.path.join(REPO, "BENCH", f"scaling_{label}.json")
     env = dict(os.environ)
     env["SCALING_OUT"] = out_file
-    # per-stage event logs → BENCH/eventlogs/<cpus>/ for the
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
+    if driver_mem:
+        env["SPARK_GRAFT_MEM"] = driver_mem
+    if exec_mem:
+        env["SPARK_GRAFT_EXEC_MEM"] = exec_mem
+    # per-stage event logs → BENCH/eventlogs/<label>/ for the
     # stage-profile artifact (tools/stage_profile.py)
     env["SPARK_GRAFT_EVENTLOG"] = os.path.join(
-        REPO, "BENCH", "eventlogs", str(cpus)
+        REPO, "BENCH", "eventlogs", label
     )
     # pin the WHOLE process tree (JVM task threads + python UDF workers)
     # to `cpus` hardware threads: without this, local[8]'s Arrow/pandas
@@ -305,16 +322,17 @@ def spark_submit_level(cpus: int) -> dict:
     )
     cmd = pin + [
         "spark-submit",
-        "--master", f"local[{cpus}]",
+        "--master", master or f"local[{cpus}]",
         "--py-files", zip_path,
         "--conf", "spark.ui.enabled=false",
         # must be set at JVM launch (in local mode the "executors" live in
         # the driver JVM, which holds the cached corpus)
-        "--driver-memory", os.environ.get("SPARK_GRAFT_MEM", "64g"),
+        "--driver-memory",
+        driver_mem or os.environ.get("SPARK_GRAFT_MEM", "64g"),
         os.path.abspath(__file__),
         "--run-level", str(cpus),
     ]
-    log_path = os.path.join(tempfile.gettempdir(), f"scaling_{cpus}.log")
+    log_path = os.path.join(tempfile.gettempdir(), f"scaling_{label}.log")
     with open(log_path, "w") as log:
         subprocess.run(cmd, check=True, env=env, cwd=REPO,
                        stdout=log, stderr=subprocess.STDOUT)
@@ -322,7 +340,140 @@ def spark_submit_level(cpus: int) -> dict:
         return json.load(fh)
 
 
+def _latest_eventlog(label: str) -> str | None:
+    d = os.path.join(REPO, "BENCH", "eventlogs", label)
+    try:
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if not f.startswith(".") and not f.endswith(".inprogress")
+        ]
+        return max(files, key=os.path.getmtime) if files else None
+    except OSError:
+        return None
+
+
+def multi_jvm_main() -> None:
+    """32-thread multi-JVM A/B (VERDICT r4 #4): the SAME 3.2M loop under
+    ONE shared 32-thread heap (local[32]) vs FOUR separate 8-thread
+    executor heaps (local-cluster[4,8,16g]), both pinned to cores 0-31
+    in fresh spark-submit processes.  This separates the GC/heap
+    co-location component of the 8→32 task-work inflation from the
+    memory-bus component: if separate heaps do not reduce per-wave task
+    work, heap sharing is exonerated and the inflation floor is the
+    shared memory bus.  Writes BENCH/scaling_multijvm.json."""
+    results: dict = {}
+    results["single_jvm_32"] = spark_submit_level(32, tag="mj_single32")
+    print(json.dumps({"single_jvm_32": results["single_jvm_32"]}))
+    results["multi_jvm_4x8"] = spark_submit_level(
+        32,
+        master="local-cluster[4,8,16384]",
+        tag="mj_cluster4x8",
+        driver_mem="12g",
+        exec_mem="14g",
+    )
+    print(json.dumps({"multi_jvm_4x8": results["multi_jvm_4x8"]}))
+
+    single, multi = results["single_jvm_32"], results["multi_jvm_4x8"]
+    loop_speedup = round(multi["urls_per_sec"] / single["urls_per_sec"], 3)
+    extract_speedup = round(
+        multi["extract_pages_per_sec"] / single["extract_pages_per_sec"], 3
+    )
+    # per-stage task-work totals from the event logs: the direct
+    # inflation comparison (wall times carry scheduler/idle effects;
+    # task_sum is the work the threads actually did)
+    task_work: dict = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from stage_profile import profile
+
+        for key, label in (
+            ("single_jvm_32", "mj_single32"),
+            ("multi_jvm_4x8", "mj_cluster4x8"),
+        ):
+            log = _latest_eventlog(label)
+            if log:
+                prof = profile(log, 32)
+                task_work[key] = {
+                    "eventlog": prof["eventlog"],
+                    "n_stages_run": prof["n_stages_run"],
+                    "total_task_sum_ms": round(
+                        prof["total_parallel_ideal_ms"] * 32, 1
+                    ),
+                    "total_job_wall_ms": prof["total_job_wall_ms"],
+                    "fixed_cost_fraction": prof["fixed_cost_fraction"],
+                }
+    except Exception as exc:  # pragma: no cover - diagnostic only
+        task_work["error"] = str(exc)
+    work_ratio = None
+    if (
+        "single_jvm_32" in task_work
+        and "multi_jvm_4x8" in task_work
+        and task_work["single_jvm_32"]["total_task_sum_ms"]
+    ):
+        work_ratio = round(
+            task_work["multi_jvm_4x8"]["total_task_sum_ms"]
+            / task_work["single_jvm_32"]["total_task_sum_ms"],
+            3,
+        )
+    # same-window hardware context
+    spin_flag = None
+    s_spin, m_spin = single.get("spin_ops_per_core"), multi.get(
+        "spin_ops_per_core"
+    )
+    if s_spin and m_spin and abs(s_spin - m_spin) / max(s_spin, m_spin) > 0.15:
+        spin_flag = (
+            "per-core spin imbalance >15% between the two windows — "
+            "co-tenant interference; rerun before concluding"
+        )
+    if loop_speedup >= 1.15 and (work_ratio is None or work_ratio <= 0.87):
+        verdict = (
+            "separate heaps sped the loop up materially — a GC/heap "
+            "co-location component exists alongside the memory-bus one"
+        )
+    elif loop_speedup <= 0.87:
+        verdict = (
+            "separate heaps made the loop SLOWER (cross-JVM shuffle/IPC "
+            "costs exceed any heap-contention relief) — the 8→32 "
+            "task-work inflation is not a single-heap artifact; the "
+            "memory-bus explanation stands"
+        )
+    else:
+        verdict = (
+            "separate heaps changed throughput by <15% — no separable "
+            "GC/heap co-location component at this scale; the 8→32 "
+            "task-work inflation is bus/hardware-bound, not heap-bound"
+        )
+    summary = {
+        "design": (
+            "same 3.2M-page loop, 32 threads both levels, pinned to "
+            "cores 0-31: local[32] single heap (64g) vs "
+            "local-cluster[4,8,16384] = 4 executor JVMs x 8 cores "
+            "(14g heap each), fresh spark-submit per level"
+        ),
+        "levels": results,
+        "loop_speedup_multi_vs_single": loop_speedup,
+        "extract_speedup_multi_vs_single": extract_speedup,
+        "task_work": task_work,
+        "task_work_ratio_multi_vs_single": work_ratio,
+        "window_flag": spin_flag,
+        "verdict": verdict,
+        "config": {
+            "n_pages": N_PAGES, "n_hosts": N_HOSTS,
+            "n_seeds": N_SEEDS, "waves": WAVES, "zipf_s": ZIPF_S,
+        },
+    }
+    print(json.dumps(summary))
+    with open(
+        os.path.join(REPO, "BENCH", "scaling_multijvm.json"), "w"
+    ) as fh:
+        json.dump(summary, fh, indent=1)
+
+
 def main() -> None:
+    if "--multi-jvm" in sys.argv:
+        multi_jvm_main()
+        return
     if "--run-level" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--run-level") + 1])
         result = run_level(cpus)
