@@ -505,6 +505,28 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
+def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOC repetition signal (Gopher-style quality rule): the
+    most frequent 2-gram's occurrence count and token fraction per doc.
+    NOTE: occurrence-weighted — self-overlapping grams ('la la la')
+    can push the fraction above 1, exactly like the public
+    count*len/len(doc) implementations; filters compare > threshold."""
+    from parsel_spark.operators.dedup import top_ngram_stats
+
+    return top_ngram_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOC duplicate-5-gram coverage (Gopher-style): fraction of
+    tokens covered by 5-grams occurring >= 2 times in the SAME doc —
+    internal repetition cross-document dedup never sees.  Same
+    gaps-and-islands span merge as the substring dedup, grouped per
+    (doc, gram)."""
+    from parsel_spark.operators.dedup import dup_ngram_coverage
+
+    return dup_ngram_coverage(_read(spark, sf_dir, "documents"), n=5)
+
+
 def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED training-data pipeline row: substring-level dedup
     (repeated-5-gram spans removed in place) feeding BPE-ish token
@@ -1061,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_main_text": q_doc_main_text,
         "doc_clean_token_stats": q_doc_clean_token_stats,
+        "doc_top_ngram_stats": q_doc_top_ngram_stats,
+        "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1417,6 +1441,88 @@ def oracle_sql() -> dict[str, str]:
                    || ' document ' || doc_id || ' body text',
                    ' +', ' ', 'g')) AS main_text
         FROM documents
+    """
+
+    # within-doc repetition signals (Gopher-style quality rules)
+    sql["doc_top_ngram_stats"] = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2 THEN
+                       [('0x' || substr(md5(array_to_string(
+                            toks[i+1:i+2], ' ')), 1, 15))::BIGINT
+                        FOR i IN generate_series(0, len(toks) - 2)]
+                       ELSE []::BIGINT[] END) AS gh
+            FROM t
+        ),
+        pg AS (
+            SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY doc_id, gh
+        ),
+        top AS (SELECT doc_id, max(cnt) AS top_cnt FROM pg GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(toks)::BIGINT AS total_tokens,
+               coalesce(top.top_cnt, 0)::BIGINT AS top_ngram_count,
+               round(coalesce(top.top_cnt, 0) * 2.0 / len(toks), 6)
+                   AS top_ngram_frac
+        FROM t LEFT JOIN top USING (doc_id)
+    """
+
+    sql["doc_dup_ngram_coverage"] = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 5 THEN
+                       [i FOR i IN generate_series(0, len(toks) - 5)]
+                       ELSE []::BIGINT[] END) AS start,
+                   unnest(CASE WHEN len(toks) >= 5 THEN
+                       [('0x' || substr(md5(array_to_string(
+                            toks[i+1:i+5], ' ')), 1, 15))::BIGINT
+                        FOR i IN generate_series(0, len(toks) - 5)]
+                       ELSE []::BIGINT[] END) AS gh
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id, gh FROM g
+            GROUP BY doc_id, gh HAVING count(*) >= 2
+        ),
+        h AS (
+            SELECT g.doc_id, g.start
+            FROM g JOIN c ON g.doc_id = c.doc_id AND g.gh = c.gh
+        ),
+        i1 AS (
+            SELECT doc_id, start,
+                   CASE WHEN lag(start) OVER w IS NULL
+                          OR start > lag(start) OVER w + 5
+                        THEN 1 ELSE 0 END AS ni
+            FROM h
+            WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        i2 AS (
+            SELECT doc_id, start,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM i1
+        ),
+        sp AS (
+            SELECT doc_id, max(start) - min(start) + 5 AS span_tokens
+            FROM i2 GROUP BY doc_id, island
+        ),
+        cov AS (
+            SELECT doc_id, sum(span_tokens) AS covered FROM sp
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               len(toks)::BIGINT AS total_tokens,
+               coalesce(cov.covered, 0)::BIGINT AS covered_tokens,
+               round(coalesce(cov.covered, 0) * 1.0 / len(toks), 6)
+                   AS dup_coverage_frac
+        FROM t LEFT JOIN cov USING (doc_id)
     """
 
     # composed pipeline: substring-dedup clean text -> BPE-ish counting

@@ -845,3 +845,118 @@ def remove_repeated_ngrams(
         ),
         F.size(covered).alias("removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def top_ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MOST-FREQUENT n-gram repetition signal — the
+    "fraction of the doc taken up by the top n-gram" family of quality
+    filters (public background: the repetition rules in Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021 — docs dominated by one
+    repeated phrase are boilerplate/spam).  Output: (id, total_tokens,
+    top_ngram_count, top_ngram_frac) where top_ngram_frac =
+    count*n/total_tokens (token-fraction form, documented — the paper's
+    char-fraction variant differs only by gram length weighting).
+
+    Deterministic tiebreak: among equal-count grams the smallest
+    gram_hash wins (irrelevant to count/frac, but keeps any future
+    gram-exposing variant engine-stable).
+
+    Scale shape: map-only gram pass, ONE two-phase groupBy on
+    (id, gram_hash), then a map-side-combined max per id.  Docs shorter
+    than n tokens report 0 counts (no grams)."""
+    grams = _gram_starts(docs, n, id_col, text_col)
+    totals = docs.select(
+        F.col(id_col), F.size(seq_tokens_col(text_col)).alias("total_tokens")
+    )
+    per_gram = grams.groupBy(id_col, "gram_hash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = per_gram.groupBy(id_col).agg(F.max("cnt").alias("top_ngram_count"))
+    return (
+        totals.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("top_ngram_count", F.lit(0))
+            .cast("long")
+            .alias("top_ngram_count"),
+            F.round(
+                F.coalesce("top_ngram_count", F.lit(0))
+                * n
+                / F.col("total_tokens"),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc WITHIN-DOC duplicate n-gram coverage — the "fraction of
+    the doc covered by n-grams that occur more than once in the SAME
+    doc" quality family (Gopher's duplicate-n-gram rules): internal
+    repetition that cross-document dedup never sees.  Output: (id,
+    total_tokens, covered_tokens, dup_coverage_frac) with covered =
+    union of the [start, start+n-1] spans of every within-doc repeated
+    gram (same gaps-and-islands merge as ``repeated_ngram_spans``, but
+    grouped per (id, gram_hash) instead of across docs)."""
+    grams = _gram_starts(docs, n, id_col, text_col)
+    totals = docs.select(
+        F.col(id_col), F.size(seq_tokens_col(text_col)).alias("total_tokens")
+    )
+    dup_hits = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(
+                Window.partitionBy(id_col, "gram_hash")
+            )
+        )
+        .filter(F.col("cnt") >= 2)
+        .select(id_col, "start")
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    lag_start = F.lag("start").over(w)
+    islands = dup_hits.select(
+        F.col(id_col),
+        F.col("start"),
+        F.sum(
+            F.when(
+                lag_start.isNull() | (F.col("start") > lag_start + n), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        (F.max("start") - F.min("start") + n).alias("span_tokens")
+    )
+    covered = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("covered_tokens")
+    )
+    return (
+        totals.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("total_tokens"),
+                6,
+            ).alias("dup_coverage_frac"),
+        )
+    )

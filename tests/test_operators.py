@@ -764,3 +764,65 @@ class TestDecontaminate:
             ).collect()
         }
         assert got == {1: True, 2: False}
+
+
+class TestRepetitionStats:
+    """Gopher-style within-doc repetition signals (planted repetition —
+    the natural test corpus has none, its oracle rows check the zero
+    path; these prove the nonzero path)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "buy now buy now buy now limited offer"),
+            (2, "a varied sentence with mostly different words"),
+            (3, "la la la la la la"),
+            (4, "ab"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_top_ngram_counts(self, spark) -> None:
+        from parsel_spark.operators.dedup import top_ngram_stats
+
+        got = {
+            r["doc_id"]: (r["total_tokens"], r["top_ngram_count"],
+                          r["top_ngram_frac"])
+            for r in top_ngram_stats(self._docs(spark), n=2).collect()
+        }
+        assert got[1] == (8, 3, 0.75)       # 'buy now' x3
+        assert got[2] == (7, 1, 0.285714)   # no repeats
+        # occurrence-weighted: self-overlapping 'la la' counts 5 times
+        # over 6 tokens -> frac > 1 by design (public impl parity)
+        assert got[3] == (6, 5, 1.666667)
+        assert got[4] == (1, 0, 0.0)        # shorter than n
+
+    def test_dup_ngram_coverage_spans(self, spark) -> None:
+        from parsel_spark.operators.dedup import dup_ngram_coverage
+
+        got = {
+            r["doc_id"]: (r["covered_tokens"], r["dup_coverage_frac"])
+            for r in dup_ngram_coverage(self._docs(spark), n=3).collect()
+        }
+        # repeated 3-grams in doc 1 cover tokens 0..5 (merged span)
+        assert got[1] == (6, 0.75)
+        assert got[2] == (0, 0.0)
+        assert got[3] == (6, 1.0)   # whole doc is one repeated span
+        assert got[4] == (0, 0.0)
+
+    def test_coverage_never_exceeds_doc(self, spark) -> None:
+        """Unlike the occurrence-weighted top-gram frac, span coverage
+        is a true fraction: union of positions <= total tokens."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.dedup import dup_ngram_coverage
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", F.concat("text", F.lit(" "), "text").alias("text"))
+        out = dup_ngram_coverage(docs, n=5)
+        bad = out.filter(
+            (F.col("covered_tokens") > F.col("total_tokens"))
+            | (F.col("dup_coverage_frac") > 1.0)
+        ).count()
+        assert bad == 0
+        # doubled docs are self-repeating: coverage must actually fire
+        assert out.filter(F.col("covered_tokens") > 0).count() > 0
