@@ -505,6 +505,51 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
+def q_crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITEMAP ingestion (sitemaps.org protocol): per-host sitemap XML
+    is synthesized JVM-side from the documents table (every doc url
+    under its host, namespaced <urlset>), parsed by the XXE-safe XML
+    engine through ONE pandas-UDF pass (`extract_sitemap`), and the
+    recovered page urls must equal the closed-form (host, doc url)
+    ground truth the oracle states directly."""
+    from parsel_spark.functions.udfs import extract_sitemap
+
+    docs = _read(spark, sf_dir, "documents")
+    per_host = (
+        docs.select(
+            F.pmod("doc_id", F.lit(N_DOC_HOSTS)).alias("host"),
+            _doc_url(F.col("doc_id")).alias("url"),
+        )
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list("url")).alias("urls"))
+    )
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        ),
+        F.aggregate(
+            F.transform(
+                "urls",
+                lambda u: F.concat(
+                    F.lit("<url><loc>"), u, F.lit("</loc></url>")
+                ),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</urlset>"),
+    )
+    sitemap = per_host.select("host", xml.alias("xml"))
+    parsed = sitemap.select(
+        "host", extract_sitemap("xml").alias("s")
+    )
+    return parsed.select(
+        F.col("host").cast("long").alias("host"),
+        F.explode("s.page_urls").alias("url"),
+    )
+
+
 def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-DOC repetition signal (Gopher-style quality rule): the
     most frequent 2-gram's occurrence count and token fraction per doc.
@@ -1085,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_token_stats": q_doc_clean_token_stats,
         "doc_top_ngram_stats": q_doc_top_ngram_stats,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
+        "crawl_sitemap_extract": q_crawl_sitemap_extract,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1440,6 +1486,15 @@ def oracle_sql() -> dict[str, str]:
                                          'g'), 1, 40)
                    || ' document ' || doc_id || ' body text',
                    ' +', ' ', 'g')) AS main_text
+        FROM documents
+    """
+
+    # sitemap ingestion: the synthesized per-host urlset must parse back
+    # to exactly the closed-form (host, doc url) pairs
+    sql["crawl_sitemap_extract"] = f"""
+        SELECT (doc_id % {N_DOC_HOSTS})::BIGINT AS host,
+               'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                 || '.test/d/' || doc_id AS url
         FROM documents
     """
 

@@ -349,3 +349,35 @@ def extract_images(column: Column | str) -> Column:
             "alt": (("css", "img::attr(alt)"),),
         },
     )
+
+
+def extract_sitemap(column: Column | str) -> Column:
+    """Sitemap ingestion (public sitemaps.org protocol — the OTHER way
+    crawlers discover URLs besides anchors): ``STRUCT(page_urls,
+    sitemap_urls)`` from ONE XML parse per row — ``urlset/url/loc``
+    page entries and ``sitemapindex/sitemap/loc`` nested-index entries.
+    ``local-name()`` matching tolerates the 0.9 namespace being
+    present, absent or re-prefixed (all three occur in the wild).
+    Feed ``sitemap_urls`` back into the fetch frontier to walk nested
+    indexes; ``page_urls`` go through canonicalization and the
+    seen-set gate like any extracted link."""
+    return extract_struct(
+        column,
+        {
+            "page_urls": (
+                (
+                    "xpath",
+                    "//*[local-name()='urlset']/*[local-name()='url']"
+                    "/*[local-name()='loc']/text()",
+                ),
+            ),
+            "sitemap_urls": (
+                (
+                    "xpath",
+                    "//*[local-name()='sitemapindex']"
+                    "/*[local-name()='sitemap']/*[local-name()='loc']/text()",
+                ),
+            ),
+        },
+        type="xml",
+    )

@@ -464,3 +464,39 @@ def test_pack_by_bpe_tokens(spark) -> None:
     # 19*3=57 (ws) / 19*5=95 (bpe); budget 12
     assert max(r["seq_id"] for r in ws) == 57 // 12   # 4
     assert max(r["seq_id"] for r in bpe) == 95 // 12  # 7
+
+
+class TestSitemapExtract:
+    def test_urlset_and_index_split(self, spark) -> None:
+        """Page locs and nested-index locs split into the right struct
+        fields; namespace present, absent or re-prefixed all parse."""
+        from parsel_spark.functions.udfs import extract_sitemap
+
+        ns = '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' \
+             "<url><loc>http://a.test/1</loc></url>" \
+             "<url><loc>http://a.test/2</loc></url></urlset>"
+        bare = "<urlset><url><loc>http://b.test/1</loc></url></urlset>"
+        prefixed = (
+            '<s:urlset xmlns:s="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<s:url><s:loc>http://c.test/1</s:loc></s:url></s:urlset>"
+        )
+        index = (
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<sitemap><loc>http://a.test/sitemap-2.xml</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [(1, ns), (2, bare), (3, prefixed), (4, index), (5, None)],
+            "id long, xml string",
+        )
+        got = {
+            r["id"]: (r["s"]["page_urls"], r["s"]["sitemap_urls"])
+            for r in df.select(
+                "id", extract_sitemap("xml").alias("s")
+            ).collect()
+        }
+        assert got[1] == (["http://a.test/1", "http://a.test/2"], [])
+        assert got[2] == (["http://b.test/1"], [])
+        assert got[3] == (["http://c.test/1"], [])
+        assert got[4] == ([], ["http://a.test/sitemap-2.xml"])
+        assert got[5] == ([], [])
