@@ -155,3 +155,41 @@ def robots_table_from_txt(
         F.col("r.crawl_delay").alias("crawl_delay"),
         F.lit(max_fetch_per_wave).alias("max_fetch_per_wave"),
     )
+
+
+def parse_sitemap_urls(text: str | None) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt (public sitemaps.org
+    protocol; RFC 9309 treats them as "other records").  Unlike
+    allow/deny they are GLOBAL — valid anywhere in the file, outside
+    any user-agent group, repeatable; order preserved, exact-duplicate
+    lines collapsed."""
+    if not text:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
+
+
+def robots_sitemaps(text_col: Column | str) -> Column:
+    """``ARRAY<STRING>`` of Sitemap directive urls per robots.txt row —
+    feed into ``extract_sitemap`` fetches to bootstrap frontier
+    discovery beyond anchor links."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([parse_sitemap_urls(t) for t in texts], dtype=object)
+
+    return _udf(text_col)

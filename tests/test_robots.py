@@ -207,3 +207,40 @@ def test_pathless_url_defaults_to_root_in_both_modes(spark) -> None:
         host = urlsplit(url).hostname
         udf_ok = robots_allowed_py(host, path, rules_map)
         assert udf_ok == (url in jvm_allowed), url
+
+
+class TestSitemapDirectives:
+    def test_global_repeatable_deduped(self) -> None:
+        from parsel_spark.functions.robots import parse_sitemap_urls
+
+        txt = (
+            "Sitemap: http://a.test/sitemap.xml\n"
+            "User-agent: *\nDisallow: /private\n"
+            "sitemap: http://a.test/sitemap-news.xml  # comment\n"
+            "Sitemap: http://a.test/sitemap.xml\n"  # exact dup collapses
+        )
+        assert parse_sitemap_urls(txt) == [
+            "http://a.test/sitemap.xml",
+            "http://a.test/sitemap-news.xml",
+        ]
+        assert parse_sitemap_urls(None) == []
+        assert parse_sitemap_urls("User-agent: *\nDisallow:") == []
+
+    def test_column_form(self, spark) -> None:
+        from parsel_spark.functions.robots import robots_sitemaps
+
+        df = spark.createDataFrame(
+            [
+                ("h1", "Sitemap: http://h1.test/s.xml\nUser-agent: *"),
+                ("h2", "User-agent: *\nDisallow: /x"),
+                ("h3", None),
+            ],
+            "host string, robots string",
+        )
+        got = {
+            r["host"]: list(r["s"])
+            for r in df.select(
+                "host", robots_sitemaps("robots").alias("s")
+            ).collect()
+        }
+        assert got == {"h1": ["http://h1.test/s.xml"], "h2": [], "h3": []}
