@@ -733,22 +733,42 @@ def seq_tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), TOKENIZE_REGEX)
 
 
-def _gram_starts(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """(id, start, gram_hash): one row per token n-gram occurrence;
-    ``start`` is the 0-based token index of the gram's first token and
-    ``gram_hash`` the cross-engine 60-bit md5 of the space-joined gram.
-    Map-only (split + transform + posexplode): no shuffle, no UDF."""
-    toks = docs.select(F.col(id_col), seq_tokens_col(text_col).alias("toks"))
-    grams = F.when(
+def _gram_hash_array(n: int):
+    """Array of 60-bit gram hashes over the ``toks`` column (JVM
+    transform/slice; shorter-than-n docs give an empty array)."""
+    return F.when(
         F.size("toks") >= n,
         F.transform(
             F.sequence(F.lit(0), F.size("toks") - n),
             lambda i: md5_hash60(F.concat_ws(" ", F.slice("toks", i + 1, n))),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def _gram_starts(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, start, gram_hash): one row per token n-gram occurrence;
+    ``start`` is the 0-based token index of the gram's first token and
+    ``gram_hash`` the cross-engine 60-bit md5 of the space-joined gram.
+    Map-only (split + transform + posexplode): no shuffle, no UDF."""
+    toks = docs.select(F.col(id_col), seq_tokens_col(text_col).alias("toks"))
     return toks.select(
         F.col(id_col),
-        F.posexplode(grams).alias("start", "gram_hash"),
+        F.posexplode(_gram_hash_array(n)).alias("start", "gram_hash"),
+    )
+
+
+def _gram_starts_with_total(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Like ``_gram_starts`` but ONE scan also carries the doc's token
+    count, and zero-gram docs keep a single null-gram row
+    (``posexplode_outer``) — downstream aggregates get totals without a
+    second corpus scan + join."""
+    toks = docs.select(F.col(id_col), seq_tokens_col(text_col).alias("toks"))
+    return toks.select(
+        F.col(id_col),
+        F.size("toks").alias("total_tokens"),
+        F.posexplode_outer(_gram_hash_array(n)).alias("start", "gram_hash"),
     )
 
 
@@ -870,32 +890,27 @@ def top_ngram_stats(
     gram_hash wins (irrelevant to count/frac, but keeps any future
     gram-exposing variant engine-stable).
 
-    Scale shape: map-only gram pass, ONE two-phase groupBy on
+    Scale shape: ONE corpus scan (total_tokens rides the exploded gram
+    rows via ``posexplode_outer`` — zero-gram docs keep a null-gram
+    row, so no totals re-scan/join), ONE two-phase groupBy on
     (id, gram_hash), then a map-side-combined max per id.  Docs shorter
     than n tokens report 0 counts (no grams)."""
-    grams = _gram_starts(docs, n, id_col, text_col)
-    totals = docs.select(
-        F.col(id_col), F.size(seq_tokens_col(text_col)).alias("total_tokens")
+    base = _gram_starts_with_total(docs, n, id_col, text_col)
+    per_gram = base.groupBy(id_col, "gram_hash").agg(
+        F.first("total_tokens").alias("total_tokens"),
+        F.count("gram_hash").alias("cnt"),  # count(col): null grams -> 0
     )
-    per_gram = grams.groupBy(id_col, "gram_hash").agg(
-        F.count(F.lit(1)).alias("cnt")
+    top = per_gram.groupBy(id_col).agg(
+        F.first("total_tokens").alias("total_tokens"),
+        F.max("cnt").alias("top_ngram_count"),
     )
-    top = per_gram.groupBy(id_col).agg(F.max("cnt").alias("top_ngram_count"))
-    return (
-        totals.join(top, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.coalesce("top_ngram_count", F.lit(0))
-            .cast("long")
-            .alias("top_ngram_count"),
-            F.round(
-                F.coalesce("top_ngram_count", F.lit(0))
-                * n
-                / F.col("total_tokens"),
-                6,
-            ).alias("top_ngram_frac"),
-        )
+    return top.select(
+        F.col(id_col),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        F.round(
+            F.col("top_ngram_count") * n / F.col("total_tokens"), 6
+        ).alias("top_ngram_frac"),
     )
 
 
@@ -912,51 +927,61 @@ def dup_ngram_coverage(
     total_tokens, covered_tokens, dup_coverage_frac) with covered =
     union of the [start, start+n-1] spans of every within-doc repeated
     gram (same gaps-and-islands merge as ``repeated_ngram_spans``, but
-    grouped per (id, gram_hash) instead of across docs)."""
-    grams = _gram_starts(docs, n, id_col, text_col)
-    totals = docs.select(
-        F.col(id_col), F.size(seq_tokens_col(text_col)).alias("total_tokens")
+    (id, gram_hash) instead of across docs).
+
+    Scale shape: ONE corpus scan — totals ride the exploded rows
+    (``posexplode_outer`` keeps a null-gram row per zero-gram doc) and
+    a row_number sentinel keeps one row per doc through the hit filter,
+    so every doc reaches the final aggregate (0 coverage when no gram
+    repeats) with no totals re-scan/join; window/agg exchanges only,
+    all keyed on id."""
+    base = _gram_starts_with_total(docs, n, id_col, text_col)
+    marked = base.withColumn(
+        "cnt",
+        F.count("gram_hash").over(Window.partitionBy(id_col, "gram_hash")),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("start")),
     )
-    dup_hits = (
-        grams.withColumn(
-            "cnt", F.count(F.lit(1)).over(
-                Window.partitionBy(id_col, "gram_hash")
-            )
-        )
-        .filter(F.col("cnt") >= 2)
-        .select(id_col, "start")
+    # keep duplicated-gram hits AND one sentinel row per doc (rn=1,
+    # start nulled unless it is itself a hit) so docs with zero hits —
+    # whether they have grams or not — reach the final aggregate
+    hits = marked.filter((F.col("cnt") >= 2) | (F.col("rn") == 1)).select(
+        id_col,
+        "total_tokens",
+        F.when(F.col("cnt") >= 2, F.col("start")).alias("start"),
     )
     w = Window.partitionBy(id_col).orderBy("start")
     lag_start = F.lag("start").over(w)
-    islands = dup_hits.select(
+    islands = hits.select(
         F.col(id_col),
+        "total_tokens",
         F.col("start"),
         F.sum(
-            F.when(
+            F.when(F.col("start").isNull(), 0)
+            .when(
                 lag_start.isNull() | (F.col("start") > lag_start + n), 1
-            ).otherwise(0)
+            )
+            .otherwise(0)
         )
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("island"),
     )
     spans = islands.groupBy(id_col, "island").agg(
-        (F.max("start") - F.min("start") + n).alias("span_tokens")
+        F.first("total_tokens").alias("total_tokens"),
+        F.when(F.count("start") > 0, F.max("start") - F.min("start") + n)
+        .otherwise(F.lit(0))
+        .alias("span_tokens"),
     )
     covered = spans.groupBy(id_col).agg(
-        F.sum("span_tokens").alias("covered_tokens")
+        F.first("total_tokens").alias("total_tokens"),
+        F.sum("span_tokens").alias("covered_tokens"),
     )
-    return (
-        totals.join(covered, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.coalesce("covered_tokens", F.lit(0))
-            .cast("long")
-            .alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0))
-                / F.col("total_tokens"),
-                6,
-            ).alias("dup_coverage_frac"),
-        )
+    return covered.select(
+        F.col(id_col),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+            "dup_coverage_frac"
+        ),
     )
