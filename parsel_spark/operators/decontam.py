@@ -8,12 +8,13 @@ reproductions of it): any training doc sharing too many token n-grams
 with a benchmark doc leaks test data.
 
 Scale shape (100 TB corpus, small eval set): the eval side collapses to
-a DISTINCT set of 8-byte gram hashes — broadcast; the corpus side
-computes its per-doc distinct gram array entirely JVM-side (split /
-transform / array_distinct — map-only), explodes it, broadcast-joins,
-and re-aggregates per doc with map-side partial aggregation.  One
-shuffle total (the per-doc groupBy), no all-pairs, no Python in the
-hot path.
+a DISTINCT set of 8-byte gram hashes.  The default plan broadcasts it
+as ONE array and each doc computes ``array_intersect`` in place —
+MAP-ONLY, zero shuffles (the corpus's per-doc distinct gram array is
+built JVM-side: split / transform / array_distinct).  For eval sets
+too large for a single in-memory array, ``method="join"`` explodes doc
+grams and broadcast-joins instead (one map-side-combined shuffle).
+Never all-pairs, no Python in the hot path either way.
 
 Cross-engine: gram hashing is the same 60-bit md5 used by the dedup
 family (``md5_hash60``), so a DuckDB oracle replays the whole
@@ -57,6 +58,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str | None = None,
+    method: str = "array",
 ) -> DataFrame:
     """(id, total_ngrams, overlap_ngrams, overlap_frac, contaminated)
     for every doc in ``docs``: the fraction of the doc's DISTINCT token
@@ -66,7 +68,22 @@ def decontaminate(
     Docs with fewer than ``n`` tokens have no grams: total_ngrams=0,
     overlap_frac=0.0, never flagged — length-gate such docs upstream if
     they matter.  ``threshold`` compares the UNROUNDED fraction (the
-    reported overlap_frac is rounded to 6dp for display/parity)."""
+    reported overlap_frac is rounded to 6dp for display/parity).
+
+    ``method`` picks the physical plan (identical semantics):
+
+    * ``"array"`` (default): the distinct eval-gram set collapses to a
+      single broadcast ARRAY and each doc computes
+      ``size(array_intersect(doc_grams, eval_grams))`` in place —
+      MAP-ONLY, zero shuffles, the right plan while the eval set fits
+      an executor (an 8-byte hash per gram: ~10M benchmark grams =
+      ~80 MB — comfortably within a broadcast);
+    * ``"join"``: explode doc grams, broadcast-hash-join against the
+      eval-gram table, re-aggregate per doc (one map-side-combined
+      shuffle) — the fallback when the eval set is too large for a
+      single in-memory array."""
+    if method not in ("array", "join"):
+        raise ValueError(f"method must be 'array' or 'join', got {method!r}")
     eval_grams = (
         eval_docs.select(
             F.explode(
@@ -79,19 +96,33 @@ def decontaminate(
         F.col(id_col),
         _distinct_gram_hashes(text_col, n).alias("g"),
     )
-    exploded = per_doc.select(
-        id_col, F.size("g").alias("n_grams"), F.explode_outer("g").alias("h")
-    )
-    # broadcast-join BEFORE the per-doc groupBy: the only shuffle is the
-    # map-side-combined aggregation on id (explode_outer keeps
-    # zero-gram docs as one null-h row, which can never match)
-    marked = exploded.join(
-        F.broadcast(eval_grams.withColumn("m", F.lit(1))), "h", "left"
-    )
-    agg = marked.groupBy(id_col).agg(
-        F.max("n_grams").cast("long").alias("total_ngrams"),
-        F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("overlap_ngrams"),
-    )
+    if method == "array":
+        eval_arr = eval_grams.agg(F.collect_set("h").alias("eh"))
+        agg = per_doc.crossJoin(F.broadcast(eval_arr)).select(
+            F.col(id_col),
+            F.size("g").cast("long").alias("total_ngrams"),
+            F.size(F.array_intersect("g", "eh"))
+            .cast("long")
+            .alias("overlap_ngrams"),
+        )
+    else:
+        exploded = per_doc.select(
+            id_col,
+            F.size("g").alias("n_grams"),
+            F.explode_outer("g").alias("h"),
+        )
+        # broadcast-join BEFORE the per-doc groupBy: the only shuffle is
+        # the map-side-combined aggregation on id (explode_outer keeps
+        # zero-gram docs as one null-h row, which can never match)
+        marked = exploded.join(
+            F.broadcast(eval_grams.withColumn("m", F.lit(1))), "h", "left"
+        )
+        agg = marked.groupBy(id_col).agg(
+            F.max("n_grams").cast("long").alias("total_ngrams"),
+            F.sum(F.coalesce("m", F.lit(0)))
+            .cast("long")
+            .alias("overlap_ngrams"),
+        )
     frac = F.col("overlap_ngrams") / F.col("total_ngrams")
     return agg.select(
         id_col,

@@ -745,6 +745,28 @@ class TestDecontaminate:
         assert got[4]["overlap_frac"] == 0.0
         assert not got[4]["contaminated"]
 
+    def test_array_and_join_methods_agree(self, spark) -> None:
+        """The map-only broadcast-array plan and the explode+join plan
+        are the same operator — value-identical on the planted corpus
+        (and the array plan really is shuffle-free)."""
+        from parsel_spark.operators.decontam import decontaminate
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        ev = docs.filter(docs.doc_id % 97 == 0)
+        a_df = decontaminate(docs, ev, n=5, threshold=0.3, method="array")
+        plan = a_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        a = {tuple(r) for r in a_df.collect()}
+        b = {
+            tuple(r)
+            for r in decontaminate(
+                docs, ev, n=5, threshold=0.3, method="join"
+            ).collect()
+        }
+        assert a == b and len(a) == docs.count()
+
     def test_eval_text_col_override(self, spark) -> None:
         """Benchmark tables usually name their text column differently
         (question/prompt); eval_text_col maps it without renaming."""
