@@ -550,6 +550,40 @@ def q_crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHOR-TEXT pairs (the link-graph signal the href-only hot path
+    drops): pages built with closed-form anchor text — nested markup
+    inside the anchor included — must come back as exact (doc_id, href,
+    anchor_text) rows through the one-parse extract_anchors UDF."""
+    from parsel_spark.functions.udfs import extract_anchors
+
+    docs = _read(spark, sf_dir, "documents")
+    n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    with_n = docs.crossJoin(F.broadcast(n_df))
+    doc_id = F.col("doc_id")
+    anchors = []
+    for j in range(3):
+        target = F.pmod(doc_id * 7 + j * 11 + 1, F.col("__n"))
+        anchors.append(
+            F.concat(
+                F.lit('<a href="'), _doc_url(target),
+                F.lit(f'">anchor <b>{j}</b> of '), doc_id, F.lit("</a>"),
+            )
+        )
+    html = F.concat(
+        F.lit("<html><body>"), anchors[0], anchors[1], anchors[2],
+        F.lit("</body></html>"),
+    )
+    pages = with_n.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id", F.explode(extract_anchors("html")).alias("a")
+    ).select(
+        "doc_id",
+        F.col("a.href").alias("href"),
+        F.col("a.text").alias("anchor_text"),
+    )
+
+
 def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-DOC repetition signal (Gopher-style quality rule): the
     most frequent 2-gram's occurrence count and token fraction per doc.
@@ -1131,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngram_stats": q_doc_top_ngram_stats,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "crawl_sitemap_extract": q_crawl_sitemap_extract,
+        "crawl_anchor_text": q_crawl_anchor_text,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1496,6 +1531,19 @@ def oracle_sql() -> dict[str, str]:
                'http://docs-' || (doc_id % {N_DOC_HOSTS})
                  || '.test/d/' || doc_id AS url
         FROM documents
+    """
+
+    # anchor-text pairs: closed-form (doc, target href, anchor text)
+    sql["crawl_anchor_text"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+             js(j) AS (VALUES (0),(1),(2))
+        SELECT d.doc_id AS doc_id,
+               'http://docs-' ||
+                 (((d.doc_id*7 + js.j*11 + 1) % n.n) % {N_DOC_HOSTS})
+                 || '.test/d/' || ((d.doc_id*7 + js.j*11 + 1) % n.n)
+                 AS href,
+               'anchor ' || js.j || ' of ' || d.doc_id AS anchor_text
+        FROM documents d, js, n
     """
 
     # within-doc repetition signals (Gopher-style quality rules)

@@ -381,3 +381,46 @@ def extract_sitemap(column: Column | str) -> Column:
         },
         type="xml",
     )
+
+
+def extract_anchors(column: Column | str) -> Column:
+    """``ARRAY<STRUCT<href, text>>`` — every anchor's href PAIRED with
+    its whitespace-normalized subtree text, in document order.  Anchor
+    text is the classic link-graph signal (crawl prioritization,
+    target-page description for training corpora) that the plain
+    ``a::attr(href)`` hot path throws away; this keeps the same
+    one-parse-per-row Arrow shape.  Anchors without an href keep a null
+    href (callers filter); nested markup inside the anchor flattens to
+    its text."""
+
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, None)
+            if sel is None:
+                out.append([])
+                continue
+            try:
+                anchors = []
+                for a in sel.css("a"):
+                    href = a.attrib.get("href")
+                    text = " ".join(
+                        "".join(a.css("::text").getall()).split()
+                    )
+                    anchors.append((href, text))
+                out.append(anchors)
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    return _udf(column)

@@ -500,3 +500,33 @@ class TestSitemapExtract:
         assert got[3] == (["http://c.test/1"], [])
         assert got[4] == ([], ["http://a.test/sitemap-2.xml"])
         assert got[5] == ([], [])
+
+
+class TestExtractAnchors:
+    def test_pairs_order_nested_markup_and_nulls(self, spark) -> None:
+        from parsel_spark.functions.udfs import extract_anchors
+
+        html = (
+            '<body><a href="/1">one <b>bold</b> link</a>'
+            "<a>no href here</a>"
+            '<a href="/2">  spaced\n text </a>'
+            '<a href="/3"></a></body>'
+        )
+        df = spark.createDataFrame(
+            [(1, html), (2, None), (3, "no anchors at all")],
+            "id long, html string",
+        )
+        got = {
+            r["id"]: [(a["href"], a["text"]) for a in r["a"]]
+            for r in df.select(
+                "id", extract_anchors("html").alias("a")
+            ).collect()
+        }
+        assert got[1] == [
+            ("/1", "one bold link"),
+            (None, "no href here"),
+            ("/2", "spaced text"),
+            ("/3", ""),
+        ]
+        assert got[2] == []
+        assert got[3] == []
