@@ -606,6 +606,32 @@ def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(_read(spark, sf_dir, "documents"), n=5)
 
 
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED Gopher-style quality GATE: the map-only document gates
+    (word count / mean word length / stopword floor / symbol ceiling)
+    joined with the top-2-gram repetition gate — the full keep/drop
+    decision a production corpus filter makes, with every rule value-
+    replayed by the oracle.  Thresholds are the public Gopher-paper
+    bands except min_words=10 (the synthetic docs are short)."""
+    from parsel_spark.functions.textstats import gopher_quality_flags
+    from parsel_spark.operators.dedup import top_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = docs.select("doc_id", *gopher_quality_flags())
+    rep = top_ngram_stats(docs, n=2).select(
+        "doc_id", (F.col("top_ngram_frac") <= 0.2).alias("ok_repetition")
+    )
+    return flags.join(rep, "doc_id").select(
+        "doc_id",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_stopwords",
+        "ok_symbol_ratio",
+        "ok_repetition",
+        (F.col("keep") & F.col("ok_repetition")).alias("keep"),
+    )
+
+
 def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED training-data pipeline row: substring-level dedup
     (repeated-5-gram spans removed in place) feeding BPE-ish token
@@ -1166,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "crawl_sitemap_extract": q_crawl_sitemap_extract,
         "crawl_anchor_text": q_crawl_anchor_text,
+        "doc_quality_filter": q_doc_quality_filter,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1626,6 +1653,71 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(cov.covered, 0) * 1.0 / len(toks), 6)
                    AS dup_coverage_frac
         FROM t LEFT JOIN cov USING (doc_id)
+    """
+
+    # composed Gopher-style quality gate: every rule value-replayed
+    sql["doc_quality_filter"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), ' +') AS toks,
+                   trim(text) = '' AS empty
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, toks, empty,
+                   len(toks) AS n_words,
+                   length(text) AS n_chars,
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                     / len(toks) AS mwl,
+                   len(list_filter(toks,
+                       x -> x IN ('the','a','of','and','to','in','is','it')
+                   ))::DOUBLE / len(toks) AS swr,
+                   length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                     ::DOUBLE AS n_sym
+            FROM t
+        ),
+        flags AS (
+            SELECT doc_id,
+                   CASE WHEN empty THEN FALSE
+                        ELSE n_words BETWEEN 10 AND 100000 END
+                       AS ok_word_count,
+                   CASE WHEN empty THEN FALSE
+                        ELSE mwl >= 3.0 AND mwl <= 10.0 END
+                       AS ok_mean_word_len,
+                   CASE WHEN empty THEN FALSE ELSE swr >= 0.0 END
+                       AS ok_stopwords,
+                   CASE WHEN empty OR n_chars = 0 THEN FALSE
+                        ELSE n_sym / n_chars <= 0.1 END
+                       AS ok_symbol_ratio
+            FROM m
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks2) >= 2 THEN
+                       [('0x' || substr(md5(array_to_string(
+                            toks2[i+1:i+2], ' ')), 1, 15))::BIGINT
+                        FOR i IN generate_series(0, len(toks2) - 2)]
+                       ELSE []::BIGINT[] END) AS gh
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), ' +') AS toks2
+                  FROM documents)
+        ),
+        pg AS (
+            SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY doc_id, gh
+        ),
+        top AS (SELECT doc_id, max(cnt) AS top_cnt FROM pg GROUP BY doc_id),
+        rep AS (
+            SELECT t.doc_id,
+                   coalesce(top.top_cnt, 0) * 2.0
+                     / len(string_split_regex(trim(t.text), ' +')) <= 0.2
+                       AS ok_repetition
+            FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+        )
+        SELECT flags.doc_id, ok_word_count, ok_mean_word_len,
+               ok_stopwords, ok_symbol_ratio, ok_repetition,
+               (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                AND ok_symbol_ratio AND ok_repetition) AS keep
+        FROM flags JOIN rep ON flags.doc_id = rep.doc_id
     """
 
     # composed pipeline: substring-dedup clean text -> BPE-ish counting

@@ -165,3 +165,63 @@ def bpe_token_count(text_col: str | Column = "text") -> Column:
     (``len(regexp_extract_all(...))``)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.regexp_count(col, F.lit(BPE_SPLIT_REGEX))
+
+
+def gopher_quality_flags(
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.0,
+    max_symbol_ratio: float = 0.1,
+) -> list[Column]:
+    """Gopher-lineage document quality gates (public background: the
+    rule list in Rae et al. 2021 §A1.1) as aliased boolean Columns plus
+    a final ``keep`` conjunction — MAP-ONLY, pure JVM expressions, each
+    replayable verbatim in a SQL oracle:
+
+    * ``ok_word_count``   — whitespace words within [min, max];
+    * ``ok_mean_word_len``— mean word length within [min, max] (the
+      classic 3..10 band catches gibberish and symbol soup);
+    * ``ok_stopwords``    — stopword ratio at or above the floor
+      (the "contains common words" gate);
+    * ``ok_symbol_ratio`` — non-alphanumeric-space characters at or
+      below the ceiling;
+    * ``keep``            — all of the above.
+
+    Thresholds compare UNROUNDED values; empty/whitespace-only docs
+    fail every gate explicitly (no 0/0 division reaches the output).
+    The within-doc repetition gates of the same paper live in
+    ``operators.dedup.top_ngram_stats`` / ``dup_ngram_coverage`` —
+    join them in when the corpus warrants (see the driver's composed
+    ``doc_quality_filter`` query)."""
+    n_words = token_count(text_col)
+    n_chars = char_count(text_col)
+    empty = F.trim(F.col(text_col)) == ""
+    mwl = mean_word_length(text_col)
+    swr = stopword_ratio(text_col)
+    symbols = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")
+    )
+    sym_ratio = symbols.cast("double") / n_chars.cast("double")
+    ok_word_count = F.when(empty, F.lit(False)).otherwise(
+        n_words.between(min_words, max_words)
+    )
+    ok_mwl = F.when(empty, F.lit(False)).otherwise(
+        (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    )
+    ok_stop = F.when(empty, F.lit(False)).otherwise(
+        swr >= min_stopword_ratio
+    )
+    ok_sym = F.when(empty | (n_chars == 0), F.lit(False)).otherwise(
+        sym_ratio <= max_symbol_ratio
+    )
+    keep = ok_word_count & ok_mwl & ok_stop & ok_sym
+    return [
+        ok_word_count.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_sym.alias("ok_symbol_ratio"),
+        keep.alias("keep"),
+    ]

@@ -848,3 +848,54 @@ class TestRepetitionStats:
         assert bad == 0
         # doubled docs are self-repeating: coverage must actually fire
         assert out.filter(F.col("covered_tokens") > 0).count() > 0
+
+
+class TestGopherQualityFlags:
+    def test_each_gate_fires_on_planted_failures(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.textstats import gopher_quality_flags
+
+        rows = [
+            (1, "the quick brown foxes jumped over the lazy sleeping dogs"
+                " in warm summer weather today"),
+            (2, "too short"),                                  # word count
+            (3, " ".join(["supercalifragilistic"] * 20)),      # mean len high
+            (4, " ".join(["a", "b"] * 10)),                    # mean len low
+            (5, "x " * 10 + "@#$%^&*()!! @#$%^&*()!!"),        # symbols
+            (6, ""),                                           # empty
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id", *gopher_quality_flags(min_words=5)
+            ).collect()
+        }
+        assert got[1]["keep"]
+        assert not got[2]["ok_word_count"] and not got[2]["keep"]
+        assert not got[3]["ok_mean_word_len"]
+        assert not got[4]["ok_mean_word_len"]
+        assert not got[5]["ok_symbol_ratio"]
+        # empty doc fails every gate, no 0/0 reaches the output
+        assert not any(
+            got[6][c]
+            for c in ("ok_word_count", "ok_mean_word_len", "ok_stopwords",
+                      "ok_symbol_ratio", "keep")
+        )
+
+    def test_stopword_floor_opt_in(self, spark) -> None:
+        from parsel_spark.functions.textstats import gopher_quality_flags
+
+        docs = spark.createDataFrame(
+            [(1, "words without any common stopwords whatsoever present")],
+            "doc_id long, text string",
+        )
+        loose = docs.select(
+            "doc_id", *gopher_quality_flags(min_words=3)
+        ).first()
+        strict = docs.select(
+            "doc_id",
+            *gopher_quality_flags(min_words=3, min_stopword_ratio=0.05),
+        ).first()
+        assert loose["ok_stopwords"] and not strict["ok_stopwords"]
