@@ -215,6 +215,8 @@ def main() -> None:
             "emb_knn_ivf",
             "doc_ngram_dedup",
             "doc_decontaminate",
+            "doc_main_text",
+            "doc_quality_filter",
             "q_pricing_summary",
             "q_revenue_by_nation",
             "q_top_orders_per_customer",
