@@ -923,6 +923,69 @@ def q_stream_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING variant of the composed quality gate: the documents
+    table flows readStream → map-only gopher gates + top-2gram
+    repetition gate → parquet sink (availableNow).  The repetition gate
+    is a per-row HOF recount here (streams cannot reuse the batch
+    groupBy shape without state), which is exactly why the gate exists
+    as a pure column: batch and stream must agree value-for-value, and
+    the oracle is the SAME SQL as doc_quality_filter's keep columns."""
+    import tempfile
+
+    from parsel_spark.functions.textstats import gopher_quality_flags
+    from parsel_spark.operators.dedup import seq_tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_qf_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir
+    )
+    # per-row top-2gram recount with higher-order functions (no state,
+    # no shuffle): max over the distinct grams of their occurrence
+    # counts — small per-doc arrays, identical values to the batch plan
+    toks = seq_tokens_col("text")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))
+        ),
+    )
+    ok_rep = (top_cnt * 2 / F.size(toks)) <= 0.2
+    flagged = stream.select(
+        "doc_id", *gopher_quality_flags(), ok_rep.alias("ok_repetition")
+    ).select(
+        "doc_id",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_stopwords",
+        "ok_symbol_ratio",
+        "ok_repetition",
+        (F.col("keep") & F.col("ok_repetition")).alias("keep"),
+    )
+    query = (
+        flagged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_crawl_forget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END CrawlRun + cuckoo ``forget()`` under the hard oracle
     gate: initialize from the first N_SEED_DOCS doc urls (politeness
@@ -1193,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_extract": q_crawl_sitemap_extract,
         "crawl_anchor_text": q_crawl_anchor_text,
         "doc_quality_filter": q_doc_quality_filter,
+        "stream_quality_filter": q_stream_quality_filter,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1719,6 +1783,10 @@ def oracle_sql() -> dict[str, str]:
                 AND ok_symbol_ratio AND ok_repetition) AS keep
         FROM flags JOIN rep ON flags.doc_id = rep.doc_id
     """
+
+    # the streaming gate must produce the SAME rows as the batch gate —
+    # one oracle, two execution models
+    sql["stream_quality_filter"] = sql["doc_quality_filter"]
 
     # composed pipeline: substring-dedup clean text -> BPE-ish counting
     sql["doc_clean_token_stats"] = (
