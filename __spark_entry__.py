@@ -1113,6 +1113,37 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl→LLM-corpus data path in ONE row: corpus → WARC
+    files (mandatory-header records) → file-parallel scanner →
+    main-text extraction (the planted 3-link nav cluster must drop, the
+    caption unit must survive) → BPE-ish token counting.  The oracle
+    states the surviving text and its token count in closed form."""
+    import tempfile
+
+    from parsel_spark.functions.maintext import main_text
+    from parsel_spark.functions.textstats import bpe_token_count
+    from parsel_spark.sources.warc import read_warc, warc_record_col
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _doc_pages(docs)
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_warc_mt_")
+    warc_dir = os.path.join(tmp, "warc")
+    pages.select(warc_record_col().alias("value")).write.mode(
+        "overwrite"
+    ).text(warc_dir)
+    recovered = read_warc(spark, warc_dir)
+    with_text = recovered.select(
+        F.element_at(F.split("url", "/d/"), -1).cast("long").alias("doc_id"),
+        main_text("html").alias("main_text"),
+    )
+    return with_text.select(
+        "doc_id",
+        "main_text",
+        bpe_token_count("main_text").cast("long").alias("n_tokens"),
+    )
+
+
 def q_stream_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed STREAMING crawl pipeline across a micro-run handoff:
     stage 1 streams the planted-link corpus through the fused
@@ -1273,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
         "crawl_forget_seen": q_crawl_forget_seen,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_main_text": q_warc_main_text,
         "img_phash_near_dup": q_img_phash_near_dup,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
@@ -1782,6 +1814,23 @@ def oracle_sql() -> dict[str, str]:
                (ok_word_count AND ok_mean_word_len AND ok_stopwords
                 AND ok_symbol_ratio AND ok_repetition) AS keep
         FROM flags JOIN rep ON flags.doc_id = rep.doc_id
+    """
+
+    # crawl -> LLM-corpus composition: WARC roundtrip + boilerplate
+    # strip + token count, stated in closed form
+    sql["warc_main_text"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       substr(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                             ' ', 'g'), 1, 40),
+                       ' +', ' ', 'g')) AS main_text
+            FROM documents
+        )
+        SELECT doc_id, main_text,
+               len(regexp_extract_all(main_text, '{bpe_pat}'))::BIGINT
+                   AS n_tokens
+        FROM m
     """
 
     # the streaming gate must produce the SAME rows as the batch gate —
