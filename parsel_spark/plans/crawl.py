@@ -752,3 +752,31 @@ class CrawlRun:
     def seen_set(self) -> set[str]:
         seen = self.catalog.read_table(self.spark, "seen")
         return {r["url"] for r in seen.select("url").collect()}
+
+
+def seeds_from_sitemaps(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Seed list (url, priority, seq) for ``CrawlRun.initialize`` from a
+    table of sitemap XML documents (sitemaps.org protocol): page locs
+    exploded and deduplicated, uniform priority, ``seq=0`` — crawl
+    order then falls deterministically to the engine's (priority DESC,
+    seq ASC, url_hash, url) tiebreak, so no global window / single
+    partition sequencing is needed at any scale.
+
+    ``sitemapindex`` entries are NOT fetched here (the engine has no
+    network layer): route ``extract_sitemap(...).sitemap_urls`` through
+    your fetch stage and call again with the nested documents."""
+    from ..functions.udfs import extract_sitemap
+
+    return (
+        sitemaps.select(
+            F.explode(extract_sitemap(xml_col).getField("page_urls")).alias(
+                "url"
+            )
+        )
+        .distinct()
+        .select(
+            "url",
+            F.lit(0.0).alias("priority"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    )

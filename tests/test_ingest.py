@@ -72,3 +72,46 @@ class TestBucketedCorpus:
         assert desc.get("Num Buckets") == "8"
         assert "url" in desc.get("Bucket Columns", "")
         assert "url" in desc.get("Sort Columns", "")
+
+
+class TestSitemapSeeding:
+    def test_sitemap_to_crawl_wave(self, spark, tmp_path) -> None:
+        """Sitemap XML -> seeds_from_sitemaps -> CrawlRun.initialize ->
+        one wave: the crawl dequeues exactly the sitemap's pages and
+        extracts their links (full discovery-path integration)."""
+        from parsel_spark.plans.crawl import CrawlRun, seeds_from_sitemaps
+        from parsel_spark.sources.snapshots import SnapshotCatalog
+        from parsel_spark.sources.synth import (
+            SynthConfig,
+            synth_pages,
+            synth_robots,
+        )
+
+        cfg = SynthConfig(
+            n_pages=300, n_hosts=20, out_degree=4, seed=3, with_images=False
+        )
+        pages = synth_pages(spark, cfg).cache()
+        # per-host sitemaps listing a slice of real corpus urls
+        urls = [r["url"] for r in pages.select("url").limit(40).collect()]
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+            + "</urlset>"
+        )
+        sitemaps = spark.createDataFrame([(xml,)], "xml string")
+        seeds = seeds_from_sitemaps(sitemaps)
+        assert seeds.columns == ["url", "priority", "seq"]
+        assert seeds.count() == len(set(urls))
+
+        run = CrawlRun(
+            spark,
+            SnapshotCatalog(str(tmp_path / "cat")),
+            pages,
+            synth_robots(spark, cfg, fast=True),
+            num_shards=8,
+        )
+        run.initialize(seeds)
+        metrics = list(run.run(1))[0]
+        pages.unpersist()
+        assert metrics["dequeued"] > 0
+        assert metrics["links_extracted"] > 0
