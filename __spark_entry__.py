@@ -505,6 +505,42 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
+def q_selector_exslt_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXSLT ``date:`` module THROUGH the distributed UDF layer: XML
+    docs carry a closed-form pub date per doc_id; xpath with the opt-in
+    dates-and-times namespace must recover year / month / leap flag /
+    day-in-year, which the oracle recomputes with native SQL date
+    functions — two independent date implementations agreeing value-
+    for-value."""
+    from parsel_spark.functions.udfs import xpath_getall
+
+    NS = {"date": "http://exslt.org/dates-and-times"}
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    pub = F.concat(
+        (F.lit(2000) + F.pmod(doc_id, F.lit(30))).cast("string"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(12))).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(28))).cast("string"), 2, "0"),
+    )
+    xml = F.concat(F.lit("<doc><pub>"), pub, F.lit("</pub></doc>"))
+    pages = docs.select("doc_id", xml.alias("xml"))
+
+    def first(q: str) -> F.Column:
+        return F.element_at(
+            xpath_getall("xml", q, type="xml", namespaces=NS), 1
+        )
+
+    return pages.select(
+        "doc_id",
+        first("string(date:year(string(//pub)))").alias("pub_year"),
+        first("string(date:month-in-year(string(//pub)))").alias("pub_month"),
+        first("date:leap-year(string(//pub))").alias("is_leap"),
+        first("string(date:day-in-year(string(//pub)))").alias("day_in_year"),
+    )
+
+
 def q_crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SITEMAP ingestion (sitemaps.org protocol): per-host sitemap XML
     is synthesized JVM-side from the documents table (every doc url
@@ -1286,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "crawl_sitemap_extract": q_crawl_sitemap_extract,
         "crawl_anchor_text": q_crawl_anchor_text,
+        "selector_exslt_dates": q_selector_exslt_dates,
         "doc_quality_filter": q_doc_quality_filter,
         "stream_quality_filter": q_stream_quality_filter,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1654,6 +1691,25 @@ def oracle_sql() -> dict[str, str]:
                'http://docs-' || (doc_id % {N_DOC_HOSTS})
                  || '.test/d/' || doc_id AS url
         FROM documents
+    """
+
+    # EXSLT date: via the UDF layer vs native SQL date functions — two
+    # independent date implementations must agree
+    sql["selector_exslt_dates"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   2000 + (doc_id % 30) AS y,
+                   1 + (doc_id % 12) AS m,
+                   1 + (doc_id % 28) AS dd
+            FROM documents
+        )
+        SELECT doc_id,
+               y::VARCHAR AS pub_year,
+               m::VARCHAR AS pub_month,
+               CASE WHEN y % 4 = 0 AND (y % 100 != 0 OR y % 400 = 0)
+                    THEN '1' ELSE '0' END AS is_leap,
+               dayofyear(make_date(y, m, dd))::VARCHAR AS day_in_year
+        FROM d
     """
 
     # anchor-text pairs: closed-form (doc, target href, anchor text)
