@@ -205,13 +205,14 @@ def run_level(cpus: int) -> dict:
                 # distinct shard ids hashed into 64 partitions is
                 # balls-into-bins (some cogroup tasks carry 3-4 shards;
                 # the gate stage shows max/mean task time 2.6-3x in
-                # stage_profile_32_r4repeat.json).  A 64-vs-512 A/B at
-                # 800k pages was NOISE-AMBIGUOUS (+/-10% both ways,
-                # identical wave totals), and more shards ship more
-                # bloom-bitmap bytes per wave (128 KiB/shard) — measured
-                # 2x WORSE at sf0.1's tiny waves.  Kept at 64 until a
-                # quiet-box A/B separates the effects; override via
-                # SCALING_SHARDS.
+                # stage_profile_32_r4repeat.json).  RESOLVED r5: a
+                # same-session alternating best-of-2 A/B at the full
+                # 3.2M workload (BENCH/shard_ab.json) measured 512
+                # shards 1.18x SLOWER than 64 (89.3s vs 105.2s,
+                # identical wave totals) — the extra bloom-bitmap bytes
+                # per wave (128 KiB/shard) and finer cogroup groups
+                # cost more than the bin-packing skew saves.  64 stays;
+                # override via SCALING_SHARDS.
                 num_shards=int(os.environ.get("SCALING_SHARDS", "64")),
                 frontier_partitions=cpus * PARTS_MULT,
                 checkpoint_interval=WAVES,
