@@ -668,6 +668,33 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus rollup (the "dataset card" numbers mixture
+    planning starts from): docs + BPE-token totals + token share per
+    source — one map-side-combined groupBy, total joined back as a
+    broadcast 1-row aggregate."""
+    from parsel_spark.functions.sampling import source_mixture
+
+    return source_mixture(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE PLANNING: target weights {src0:0.1, src1:0.2, src2:0.7}
+    over a 20k-token budget compile to per-source deterministic
+    sampling rates; src2's target deliberately exceeds its corpus so
+    the clamp-at-1.0 + REPORTED shortfall path is value-checked (no
+    silent redistribution)."""
+    from parsel_spark.functions.sampling import (
+        mixture_sampling_rates,
+        source_mixture,
+    )
+
+    mix = source_mixture(_read(spark, sf_dir, "documents"))
+    return mixture_sampling_rates(
+        mix, {"src0": 1.0, "src1": 2.0, "src2": 7.0}, token_budget=20_000
+    )
+
+
 def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED training-data pipeline row: substring-level dedup
     (repeated-5-gram spans removed in place) feeding BPE-ish token
@@ -1325,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_exslt_dates": q_selector_exslt_dates,
         "doc_quality_filter": q_doc_quality_filter,
         "stream_quality_filter": q_stream_quality_filter,
+        "doc_source_mixture": q_doc_source_mixture,
+        "doc_mixture_rates": q_doc_mixture_rates,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1892,6 +1921,42 @@ def oracle_sql() -> dict[str, str]:
     # the streaming gate must produce the SAME rows as the batch gate —
     # one oracle, two execution models
     sql["stream_quality_filter"] = sql["doc_quality_filter"]
+
+    # mixture planning: per-source token rollup + rate compilation
+    sql["doc_source_mixture"] = f"""
+        WITH t AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text, '{bpe_pat}')))::BIGINT
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        a AS (SELECT sum(total_tokens) AS all_tokens FROM t)
+        SELECT source, n_docs, total_tokens,
+               round(total_tokens / a.all_tokens::DOUBLE, 6) AS token_share
+        FROM t, a
+    """
+
+    sql["doc_mixture_rates"] = f"""
+        WITH t AS (
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '{bpe_pat}')))::BIGINT
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        w(source, weight) AS (
+            VALUES ('src0', 0.1), ('src1', 0.2), ('src2', 0.7)
+        )
+        SELECT t.source, w.weight,
+               round(w.weight * 20000)::BIGINT AS target_tokens,
+               round(least(1.0,
+                     round(w.weight * 20000) / t.total_tokens::DOUBLE),
+                     6) AS rate,
+               least(round(w.weight * 20000)::BIGINT, t.total_tokens)
+                   AS expected_tokens,
+               greatest(0, round(w.weight * 20000)::BIGINT - t.total_tokens)
+                   AS shortfall
+        FROM t JOIN w ON t.source = w.source
+    """
 
     # composed pipeline: substring-dedup clean text -> BPE-ish counting
     sql["doc_clean_token_stats"] = (

@@ -119,3 +119,91 @@ def hash_sample_strata(
         else rate_expr.otherwise(F.lit(float(default_rate)))
     )
     return df.filter(unit_hash(key_col, seed) < rate_expr)
+
+
+def source_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Per-source corpus rollup — the "dataset card" numbers mixture
+    planning starts from: (source, n_docs, total_tokens, token_share).
+    ``tokens_col`` defaults to the BPE-ish counter (the budget unit a
+    packing stage sees).
+
+    Scale shape: one map-side-combined groupBy on the source key; the
+    corpus-wide total joins back as a broadcast 1-row aggregate (no
+    single-partition window)."""
+    if tokens_col is None:
+        from .textstats import bpe_token_count
+
+        tokens_col = bpe_token_count().cast("long")
+    per_source = docs.select(
+        F.col(source_col).alias("source"), tokens_col.alias("__t")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("total_tokens"),
+    )
+    total = per_source.groupBy().agg(
+        F.sum("total_tokens").alias("__all")
+    )
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("__all"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+def mixture_sampling_rates(
+    mixture: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Per-source deterministic sampling rates realizing a target
+    mixture: ``rate_s = min(1, token_budget * w_s / total_tokens_s)``
+    (single-pass; a source too small for its target clamps at 1.0 and
+    the shortfall is REPORTED, not silently redistributed — surplus
+    re-allocation is a policy choice left to the caller).  Output:
+    (source, weight, target_tokens, rate, expected_tokens, shortfall).
+    Feed ``rate`` into ``hash_sample_strata`` for the map-side filter."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    pairs = [(s, float(w) / total_w) for s, w in sorted(weights.items())]
+    weight_expr = F.lit(None).cast("double")
+    for source, weight in pairs:
+        weight_expr = F.when(
+            F.col("source") == source, F.lit(weight)
+        ).otherwise(weight_expr)
+    target = F.round(F.col("weight") * token_budget).cast("long")
+    rate = F.least(
+        F.lit(1.0), F.col("target_tokens") / F.col("total_tokens")
+    )
+    return (
+        mixture.select("source", "total_tokens", weight_expr.alias("weight"))
+        .filter(F.col("weight").isNotNull())
+        .withColumn("target_tokens", target)
+        .withColumn("rate", F.round(rate, 6))
+        .withColumn(
+            "expected_tokens",
+            F.least("target_tokens", "total_tokens").cast("long"),
+        )
+        .withColumn(
+            "shortfall",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("target_tokens") - F.col("total_tokens")).cast(
+                    "long"
+                ),
+            ),
+        )
+        .select(
+            "source", "weight", "target_tokens", "rate",
+            "expected_tokens", "shortfall",
+        )
+    )

@@ -530,3 +530,49 @@ class TestExtractAnchors:
         ]
         assert got[2] == []
         assert got[3] == []
+
+
+class TestMixturePlanning:
+    def test_rollup_and_rates(self, spark) -> None:
+        from parsel_spark.functions.sampling import (
+            mixture_sampling_rates,
+            source_mixture,
+        )
+        from pyspark.sql import functions as F
+
+        rows = (
+            [(f"a{i}", "srcA", "w " * 100) for i in range(10)]   # 10 docs
+            + [(f"b{i}", "srcB", "w " * 100) for i in range(2)]  # small src
+        )
+        docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+        mix = source_mixture(docs, tokens_col=F.lit(100).cast("long"))
+        got = {r["source"]: r for r in mix.collect()}
+        assert got["srcA"]["n_docs"] == 10 and got["srcA"]["total_tokens"] == 1000
+        assert got["srcB"]["token_share"] == round(200 / 1200, 6)
+
+        plan = {
+            r["source"]: r
+            for r in mixture_sampling_rates(
+                mix, {"srcA": 1.0, "srcB": 1.0}, token_budget=1000
+            ).collect()
+        }
+        # srcA: target 500 of 1000 -> rate 0.5; srcB: target 500 of 200
+        # -> clamp at 1.0 with a REPORTED shortfall of 300
+        assert plan["srcA"]["rate"] == 0.5 and plan["srcA"]["shortfall"] == 0
+        assert plan["srcB"]["rate"] == 1.0
+        assert plan["srcB"]["expected_tokens"] == 200
+        assert plan["srcB"]["shortfall"] == 300
+
+    def test_bad_inputs_raise(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.sampling import mixture_sampling_rates
+
+        mix = spark.createDataFrame(
+            [("s", 10, 100, 1.0)],
+            "source string, n_docs long, total_tokens long, token_share double",
+        )
+        with _pytest.raises(ValueError):
+            mixture_sampling_rates(mix, {"s": 1.0}, token_budget=0)
+        with _pytest.raises(ValueError):
+            mixture_sampling_rates(mix, {"s": 0.0}, token_budget=10)
