@@ -695,6 +695,31 @@ def q_doc_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAND MIXING COMPOSITION: rollup → rate compilation → the actual
+    stratified map-side sample.  The computed per-source rates (a
+    3-row collect — the one acceptable driver hop, same as robots
+    rules) drive hash_sample_strata; the oracle recomputes the rates
+    in SQL and replays the exact unit-hash filter, so the SAMPLED SET
+    itself — not a count — is the checked value."""
+    from parsel_spark.functions.sampling import (
+        hash_sample_strata,
+        mixture_sampling_rates,
+        source_mixture,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    plan = mixture_sampling_rates(
+        source_mixture(docs),
+        {"src0": 1.0, "src1": 2.0, "src2": 7.0},
+        token_budget=20_000,
+    )
+    rates = {r["source"]: float(r["rate"]) for r in plan.collect()}
+    return hash_sample_strata(
+        docs, "doc_id", "source", rates, default_rate=0.0, seed=0
+    ).select("doc_id", "source")
+
+
 def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED training-data pipeline row: substring-level dedup
     (repeated-5-gram spans removed in place) feeding BPE-ish token
@@ -1354,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_filter": q_stream_quality_filter,
         "doc_source_mixture": q_doc_source_mixture,
         "doc_mixture_rates": q_doc_mixture_rates,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -2288,6 +2314,30 @@ def oracle_sql() -> dict[str, str]:
                    WHEN source = 'src1' THEN 0.5::DOUBLE
                    ELSE 0.1::DOUBLE END
     """
+    # grand mixing composition: recompute the rates in SQL, replay the
+    # exact unit-hash filter — the sampled SET is the checked value
+    sql["doc_mixture_sample"] = f"""
+        WITH t AS (
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '{bpe_pat}')))::BIGINT
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        w(source, weight) AS (
+            VALUES ('src0', 0.1), ('src1', 0.2), ('src2', 0.7)
+        ),
+        r AS (
+            SELECT t.source,
+                   round(least(1.0,
+                         round(w.weight * 20000) / t.total_tokens::DOUBLE),
+                         6) AS rate
+            FROM t JOIN w ON t.source = w.source
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE {unit.format(seed=0)} < r.rate
+    """
+
     sql["doc_pack_sequences"] = f"""
         WITH t AS (
             SELECT doc_id,
