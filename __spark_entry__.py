@@ -1339,6 +1339,53 @@ def q_img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(_synth_image_table(spark, sf_dir), max_hamming=3)
 
 
+def _synth_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image+caption table in the BASELINE input_hint
+    metadata shape (image_id, w, h, fmt, caption), derived from
+    ``documents``: dimensions are closed-form integer mixes of doc_id
+    spanning 16..2063 px (so undersized and extreme-aspect rows occur
+    naturally), the caption is the document's first 180 chars, with
+    planted failures — every 19th doc a too-short caption, every 23rd a
+    one-word caption.  The same arithmetic is stated in ANSI SQL for
+    the oracle.  Payload ``bytes`` is omitted here by design: the
+    curation gate touches only metadata columns, which is exactly the
+    100 TB point (the binary column never leaves the scan)."""
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    w = F.pmod(doc_id * F.lit(40503) + F.lit(17), F.lit(2048)) + F.lit(16)
+    h = F.pmod(doc_id * F.lit(69069) + F.lit(5), F.lit(2048)) + F.lit(16)
+    caption = (
+        F.when(F.pmod(doc_id, F.lit(19)) == 0, F.lit(" img "))
+        .when(F.pmod(doc_id, F.lit(23)) == 0, F.lit("photograph"))
+        .otherwise(F.substring(F.col("text"), 1, 180))
+    )
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("bmp"), F.lit("jpeg")),
+        (F.pmod(doc_id, F.lit(3)) + F.lit(1)).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("img-"), doc_id).alias("image_id"),
+        w.cast("long").alias("w"),
+        h.cast("long").alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+    )
+
+
+def q_img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-lineage image-text pair curation gate
+    (multimodal.caption_pair_quality_flags) over the input_hint-shaped
+    table: dimension floor, integer aspect-ratio ceiling, caption
+    char-length band, caption word floor — MAP-ONLY, every rule value
+    replayed by the oracle.  The planted short/one-word captions and
+    the naturally-occurring tiny/elongated dimensions exercise each
+    gate's failure path at every SF."""
+    from parsel_spark.operators.multimodal import caption_pair_quality_flags
+
+    imgs = _synth_image_caption_table(spark, sf_dir)
+    return imgs.select("image_id", "w", "h", *caption_pair_quality_flags())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1398,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_main_text": q_warc_main_text,
         "img_phash_near_dup": q_img_phash_near_dup,
+        "img_caption_filter": q_img_caption_filter,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
         "stream_crawl_pipeline": q_stream_crawl_pipeline,
@@ -2681,6 +2729,36 @@ def oracle_sql() -> dict[str, str]:
         FROM images a, images b
         WHERE a.image_id < b.image_id
           AND bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+    sql["img_caption_filter"] = """
+        WITH img AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   (doc_id*40503 + 17) % 2048 + 16 AS w,
+                   (doc_id*69069 + 5) % 2048 + 16 AS h,
+                   CASE WHEN doc_id % 19 = 0 THEN ' img '
+                        WHEN doc_id % 23 = 0 THEN 'photograph'
+                        ELSE substring(text, 1, 180) END AS caption
+            FROM documents
+        ), gated AS (
+            SELECT image_id, w, h,
+                   length(trim(caption)) AS caption_len,
+                   CASE WHEN trim(caption) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(caption), '\\s+'))
+                   END AS caption_words,
+                   (w >= 64 AND h >= 64) AS ok_dims,
+                   greatest(w, h) <= 4 * least(w, h) AS ok_aspect,
+                   CASE WHEN trim(caption) = '' THEN FALSE
+                        ELSE length(trim(caption)) BETWEEN 5 AND 512
+                   END AS ok_caption_len
+            FROM img
+        )
+        SELECT image_id, w, h, caption_len, caption_words,
+               ok_dims, ok_aspect, ok_caption_len,
+               caption_words >= 2 AS ok_caption_words,
+               (ok_dims AND ok_aspect AND ok_caption_len
+                AND caption_words >= 2) AS keep
+        FROM gated
     """
 
     return sql

@@ -230,3 +230,66 @@ def phash_near_dup_pairs(
     return cand.select("img_a", "img_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def caption_pair_quality_flags(
+    w_col: str = "w",
+    h_col: str = "h",
+    caption_col: str = "caption",
+    min_dim: int = 64,
+    max_aspect: int = 4,
+    min_caption_chars: int = 5,
+    max_caption_chars: int = 512,
+    min_caption_words: int = 2,
+) -> "list[Column]":
+    """Image-text pair curation gates (public background: the
+    LAION-400M/5B metadata filters — Schuhmann et al. 2021/2022 — which
+    drop pairs on image dimensions, extreme aspect ratios, and
+    too-short/too-long alt-text) reduced to closed-form rules over the
+    BASELINE input_hint columns ``(w:int, h:int, caption:string)``.
+
+    Aliased boolean Columns plus a final ``keep`` conjunction —
+    MAP-ONLY, pure JVM expressions, integer arithmetic only (the aspect
+    gate compares ``greatest(w,h) <= max_aspect * least(w,h)`` so no
+    float ratio ever crosses an engine boundary), each replayable
+    verbatim in a SQL oracle:
+
+    * ``ok_dims``          — both sides at least ``min_dim`` px;
+    * ``ok_aspect``        — long side within ``max_aspect``× the short;
+    * ``ok_caption_len``   — trimmed caption length in chars within
+      [min, max] (empty captions fail explicitly);
+    * ``ok_caption_words`` — at least ``min_caption_words`` whitespace
+      words;
+    * ``keep``             — all of the above.
+
+    CLIP-score filtering (the other half of the public recipe) needs a
+    learned model and is out of scope by design — the embedding-side
+    analogue lives in operators/similarity.py over the ``embeddings``
+    table.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    cap = F.trim(F.col(caption_col))
+    empty = cap == ""
+    cap_len = F.length(cap)
+    cap_words = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.split(cap, r"\s+"))
+    )
+    ok_dims = (w >= min_dim) & (h >= min_dim)
+    ok_aspect = F.greatest(w, h) <= F.lit(max_aspect) * F.least(w, h)
+    ok_cap_len = F.when(empty, F.lit(False)).otherwise(
+        cap_len.between(min_caption_chars, max_caption_chars)
+    )
+    ok_cap_words = cap_words >= min_caption_words
+    keep = ok_dims & ok_aspect & ok_cap_len & ok_cap_words
+    return [
+        cap_len.cast("long").alias("caption_len"),
+        cap_words.cast("long").alias("caption_words"),
+        ok_dims.alias("ok_dims"),
+        ok_aspect.alias("ok_aspect"),
+        ok_cap_len.alias("ok_caption_len"),
+        ok_cap_words.alias("ok_caption_words"),
+        keep.alias("keep"),
+    ]

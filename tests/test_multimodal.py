@@ -110,3 +110,52 @@ def test_phash_near_dup_pairs_banded(spark) -> None:
     }
     # b vs c: hamming 5 -> excluded; d (8) and e excluded
     assert got == {("a", "b"): 2, ("a", "c"): 3}
+
+
+def test_caption_pair_quality_flags_per_gate(spark) -> None:
+    """Each curation gate fails on exactly its planted row and the keep
+    conjunction admits only the clean pair (LAION-lineage rules:
+    dimension floor, aspect ceiling, caption length band, word floor)."""
+    from parsel_spark.operators.multimodal import caption_pair_quality_flags
+
+    rows = [
+        ("good", 640, 480, "a clear photo of a red bicycle"),
+        ("tiny", 32, 100, "a clear photo of a red bicycle"),       # dims only (aspect 3.1x ok)
+        ("banner", 2000, 100, "a clear photo of a red bicycle"),   # aspect 20x
+        ("shortcap", 640, 480, "  hi "),                           # 2 chars
+        ("longcap", 640, 480, "x" * 600),                          # > 512
+        ("oneword", 640, 480, "photograph"),                       # 1 word
+        ("emptycap", 640, 480, "   "),                             # empty
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, caption string")
+    got = {
+        r["image_id"]: r.asDict()
+        for r in df.select("image_id", *caption_pair_quality_flags()).collect()
+    }
+    assert got["good"]["keep"] is True
+    assert got["tiny"]["ok_dims"] is False and got["tiny"]["ok_aspect"] is True
+    assert got["banner"]["ok_aspect"] is False and got["banner"]["ok_dims"] is True
+    assert got["shortcap"]["ok_caption_len"] is False
+    assert got["shortcap"]["caption_len"] == 2  # trimmed
+    assert got["longcap"]["ok_caption_len"] is False
+    assert got["oneword"]["ok_caption_words"] is False
+    assert got["oneword"]["ok_caption_len"] is True
+    assert got["emptycap"]["ok_caption_len"] is False
+    assert got["emptycap"]["caption_words"] == 0
+    for k in ("tiny", "banner", "shortcap", "longcap", "oneword", "emptycap"):
+        assert got[k]["keep"] is False
+
+
+def test_caption_filter_is_map_only(spark) -> None:
+    """The curation gate adds no exchange: the physical plan over a
+    parquet-free in-memory scan contains no shuffle."""
+    from parsel_spark.operators.multimodal import caption_pair_quality_flags
+
+    df = spark.createDataFrame(
+        [("a", 100, 100, "two words")], "image_id string, w int, h int, caption string"
+    )
+    plan = (
+        df.select("image_id", *caption_pair_quality_flags())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
