@@ -1386,6 +1386,49 @@ def q_img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("image_id", "w", "h", *caption_pair_quality_flags())
 
 
+def q_img_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE dedup pipeline end-to-end: phash near-dup pairs
+    (banded-LSH blocking) → connected components (dup_clusters) →
+    best-RESOLUTION representative per cluster (the public
+    image-corpus recipe: among perceptual duplicates keep the largest
+    copy).  Resolution is recomputed closed-form from the digits in
+    image_id — the planted ``-dup`` twins get +64 px width so the twin,
+    not the original, is provably the kept representative.  Integer
+    area argmax via row_number(area DESC, image_id ASC); the oracle
+    replays the pair graph, closes it with a recursive CTE, and picks
+    with the same window."""
+    from pyspark.sql import Window
+
+    from parsel_spark.operators.dedup import dup_clusters
+    from parsel_spark.operators.multimodal import phash_near_dup_pairs
+
+    imgs = _synth_image_table(spark, sf_dir)
+    pairs = phash_near_dup_pairs(imgs, max_hamming=3).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    clusters = dup_clusters(pairs, imgs, id_col="image_id")
+    n = F.regexp_extract("image_id", "([0-9]+)", 1).cast("long")
+    is_dup = F.col("image_id").endswith("-dup")
+    w = (
+        F.pmod(n * F.lit(40503) + F.lit(17), F.lit(2048))
+        + F.lit(16)
+        + F.when(is_dup, F.lit(64)).otherwise(F.lit(0))
+    )
+    h = F.pmod(n * F.lit(69069) + F.lit(5), F.lit(2048)) + F.lit(16)
+    sized = clusters.select(
+        "image_id", "cluster_id", (w * h).cast("long").alias("area")
+    )
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("area").desc(), F.col("image_id").asc()
+    )
+    return sized.select(
+        "image_id",
+        "cluster_id",
+        "area",
+        (F.row_number().over(win) == 1).alias("is_rep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1446,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_main_text": q_warc_main_text,
         "img_phash_near_dup": q_img_phash_near_dup,
         "img_caption_filter": q_img_caption_filter,
+        "img_phash_clusters": q_img_phash_clusters,
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
         "stream_crawl_pipeline": q_stream_crawl_pipeline,
@@ -2729,6 +2773,52 @@ def oracle_sql() -> dict[str, str]:
         FROM images a, images b
         WHERE a.image_id < b.image_id
           AND bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+    sql["img_phash_clusters"] = """
+        WITH RECURSIVE base AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   ((doc_id*2654435761 + 1013904223) % 2147483648) * 2147483648
+                   + ((doc_id*2246822519 + 374761393) % 2147483648) AS phash,
+                   doc_id
+            FROM documents
+        ), images AS (
+            SELECT image_id, phash FROM base
+            UNION ALL
+            SELECT image_id || '-dup', xor(phash, 3) FROM base
+            WHERE doc_id % 10 = 0
+        ), pairs AS (
+            SELECT a.image_id AS img_a, b.image_id AS img_b
+            FROM images a, images b
+            WHERE a.image_id < b.image_id
+              AND bit_count(xor(a.phash, b.phash)) <= 3
+        ), edges AS (
+            SELECT img_a AS a, img_b AS b FROM pairs
+            UNION ALL
+            SELECT img_b AS a, img_a AS b FROM pairs
+        ), reach(node, anc) AS (
+            SELECT image_id, image_id FROM images
+            UNION
+            SELECT e.b, r.anc FROM reach r JOIN edges e ON e.a = r.node
+        ), clusters AS (
+            SELECT node AS image_id, min(anc) AS cluster_id
+            FROM reach GROUP BY node
+        ), sized AS (
+            SELECT image_id, cluster_id,
+                   CAST((CAST(regexp_extract(image_id, '([0-9]+)', 1) AS BIGINT)
+                         * 40503 + 17) % 2048 + 16
+                        + CASE WHEN image_id LIKE '%-dup' THEN 64 ELSE 0 END
+                        AS BIGINT)
+                   * CAST((CAST(regexp_extract(image_id, '([0-9]+)', 1) AS BIGINT)
+                           * 69069 + 5) % 2048 + 16 AS BIGINT) AS area
+            FROM clusters
+        )
+        SELECT image_id, cluster_id, area,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY area DESC, image_id ASC
+               ) = 1 AS is_rep
+        FROM sized
     """
 
     sql["img_caption_filter"] = """

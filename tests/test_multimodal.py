@@ -159,3 +159,24 @@ def test_caption_filter_is_map_only(spark) -> None:
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_phash_clusters_keep_best_resolution(spark) -> None:
+    """End-to-end image dedup at sf0.001: every planted 2-bit twin lands
+    in its original's cluster and — carrying +64 px width — is the kept
+    representative; non-dup images are their own singleton reps."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_img_phash_clusters(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r["image_id"]: r for r in rows}
+    twins = [r for r in rows if r["image_id"].endswith("-dup")]
+    assert twins, "synthesis must plant twins at every SF"
+    for twin in twins:
+        orig = by_id[twin["image_id"][: -len("-dup")]]
+        assert twin["cluster_id"] == orig["cluster_id"]
+        assert twin["area"] > orig["area"]
+        if not orig["is_rep"]:  # pair cluster: exactly the twin is kept
+            assert twin["is_rep"] is True
+    reps = sum(1 for r in rows if r["is_rep"])
+    clusters = len({r["cluster_id"] for r in rows})
+    assert reps == clusters
