@@ -489,6 +489,41 @@ def q_doc_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as MULTI-LINE pages (the corpus texts carry
+    no newlines): a copyright footer planted on every doc, a newsletter
+    plug on every 3rd, sandwiching two unique content lines cut from
+    the doc's own text.  ``concat_ws`` skips the NULL conditional line
+    identically in Spark and DuckDB, so both engines see byte-identical
+    pages."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Copyright ACME Corp -- All Rights Reserved."),
+            F.substring("text", 1, 120),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit("Subscribe to our newsletter today!"),
+            ),
+            F.substring("text", 121, 140),
+        ).alias("text"),
+    )
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document LINE-level dedup (dedup.line_dedup)
+    over synthesized multi-line pages: the planted copyright footer
+    (every doc) and newsletter plug (every 3rd doc) are provably
+    stripped, unique content lines provably kept byte-exact.  The
+    oracle replays split, normalization, distinct-doc counting and
+    in-order reassembly in ANSI SQL."""
+    from parsel_spark.operators.dedup import line_dedup
+
+    return line_dedup(_synth_multiline_docs(spark, sf_dir), min_docs=2)
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVAL-SET DECONTAMINATION: flag docs whose distinct-5-gram overlap
     with the eval set reaches 30%.  The eval set is derived
@@ -1457,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_lsh_pairs": q_doc_jaccard_lsh_pairs,
         "doc_repeated_ngram_spans": q_doc_repeated_ngram_spans,
         "doc_ngram_dedup": q_doc_ngram_dedup,
+        "doc_line_dedup": q_doc_line_dedup,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_main_text": q_doc_main_text,
         "doc_clean_token_stats": q_doc_clean_token_stats,
@@ -1780,6 +1816,52 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN c USING (doc_id)
     """
     )
+
+    sql["doc_line_dedup"] = """
+        WITH src AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       'Copyright ACME Corp -- All Rights Reserved.',
+                       substring(text, 1, 120),
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'Subscribe to our newsletter today!' END,
+                       substring(text, 121, 140)) AS text
+            FROM documents
+        ), split_t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+        ), lines AS (
+            SELECT doc_id,
+                   unnest([i FOR i IN generate_series(0, len(ls) - 1)]) AS line_no,
+                   unnest(ls) AS line
+            FROM split_t
+        ), keyed AS (
+            SELECT doc_id, line_no, line,
+                   trim(regexp_replace(regexp_replace(
+                       lower(line), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS key
+            FROM lines
+        ), dup AS (
+            SELECT key FROM keyed WHERE key <> ''
+            GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+        ), keptl AS (
+            SELECT k.doc_id, k.line_no, k.line
+            FROM keyed k ANTI JOIN dup USING (key)
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+                   count(*) AS kept_n
+            FROM keptl GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, count(*) AS total_lines FROM keyed GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               (tot.total_lines - coalesce(agg.kept_n, 0))::BIGINT
+                   AS removed_lines,
+               tot.total_lines::BIGINT AS total_lines
+        FROM src s
+        LEFT JOIN agg USING (doc_id)
+        JOIN tot USING (doc_id)
+    """
 
     sql["doc_decontaminate"] = """
         WITH t AS (

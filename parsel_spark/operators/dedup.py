@@ -867,6 +867,81 @@ def remove_repeated_ngrams(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document LINE-level dedup — the paragraph/line-hash pass of
+    the public CCNet recipe (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    normalize each line (lowercase, strip non-letters, squeeze spaces),
+    hash it, and REMOVE every line whose normalized form occurs in
+    >= ``min_docs`` distinct documents — the cheap first strike against
+    nav bars, cookie banners, copyright footers and share buttons,
+    coarser than ``repeated_ngram_spans`` but far cheaper (one 8-byte
+    hash per LINE, not per token n-gram).  Lines that normalize to ''
+    (blank / punctuation-only) are never counted and always kept.
+    Output: (id, clean_text, removed_lines, total_lines); line order is
+    preserved and untouched lines keep their exact bytes.
+
+    Normalization is deliberately ASCII-letters-only (``[^a-z ]`` both
+    in Spark's Java regex and the DuckDB/RE2 oracle) so the key is
+    bit-identical across engines; non-Latin text therefore dedups on
+    its spacing skeleton — acceptable for the boilerplate use case and
+    documented here.
+
+    Scale shape: line explode is map-only; the duplicate decision is
+    ONE map-side-combined groupBy on the 60-bit line hash (only
+    (hash, id) shuffles — Catalyst prunes the line text from the count
+    and the rejoin); removal happens IN PLACE per doc with higher-order
+    functions over the split array (same pattern as
+    ``remove_repeated_ngrams``), so the corpus is never re-collected.
+    Reference counterpart: parsel has none — training-data surface."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("line")), "[^a-z ]", ""), " +", " "
+        )
+    )
+    keyed = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_no", "line"
+        ),
+    ).select(F.col(id_col), "line_no", norm.alias("key"))
+    hashed = keyed.select(
+        F.col(id_col), "line_no", md5_hash60(F.col("key")).alias("line_hash"), "key"
+    )
+    dup = (
+        hashed.filter(F.col("key") != "")
+        .groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line_hash")
+    )
+    per_doc = (
+        hashed.join(dup, "line_hash")
+        .groupBy(id_col)
+        .agg(F.collect_list("line_no").alias("covered"))
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    arr = F.split(F.col(text_col), "\n", -1)
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(arr, lambda l, i: F.struct(l.alias("t"), i.alias("i"))),
+        lambda s: ~F.array_contains(covered, s["i"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), "\n").alias(
+            "clean_text"
+        ),
+        F.size(covered).cast("long").alias("removed_lines"),
+        F.size(arr).cast("long").alias("total_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition stats (Gopher-style quality signals)
 # ---------------------------------------------------------------------------

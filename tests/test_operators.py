@@ -899,3 +899,59 @@ class TestGopherQualityFlags:
             *gopher_quality_flags(min_words=3, min_stopword_ratio=0.05),
         ).first()
         assert loose["ok_stopwords"] and not strict["ok_stopwords"]
+
+
+class TestLineDedup:
+    """CCNet-style line-level dedup: the normalized-line hash decides,
+    boilerplate goes everywhere it appears, unique lines keep their
+    exact bytes, blank/punct-only lines never count."""
+
+    FOOTER = "Copyright ACME Corp -- All Rights Reserved."
+
+    def _docs(self, spark):
+        rows = [
+            (1, f"{self.FOOTER}\nunique alpha content line\n***\nTail one."),
+            # same footer but different case + punctuation: SAME key
+            (2, f"copyright acme corp all rights reserved\nother beta line\nTail two!"),
+            (3, "totally original page\nwith no shared lines\n***"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_normalized_boilerplate_removed_everywhere(self, spark) -> None:
+        from parsel_spark.operators.dedup import line_dedup
+
+        got = {r["doc_id"]: r for r in line_dedup(self._docs(spark)).collect()}
+        # the two footer variants normalize to one key -> both removed
+        assert got[1]["clean_text"] == "unique alpha content line\n***\nTail one."
+        assert got[1]["removed_lines"] == 1 and got[1]["total_lines"] == 4
+        assert got[2]["clean_text"] == "other beta line\nTail two!"
+        assert got[2]["removed_lines"] == 1 and got[2]["total_lines"] == 3
+        # '***' normalizes to '' in docs 1 and 3: shared but never counted
+        assert got[3]["clean_text"] == "totally original page\nwith no shared lines\n***"
+        assert got[3]["removed_lines"] == 0
+
+    def test_min_docs_threshold(self, spark) -> None:
+        from parsel_spark.operators.dedup import line_dedup
+
+        docs = self._docs(spark)
+        got = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+        # footer appears in only 2 docs -> survives at min_docs=3
+        assert all(got[i]["removed_lines"] == 0 for i in (1, 2, 3))
+
+    def test_fully_boilerplate_doc_empties(self, spark) -> None:
+        from parsel_spark.operators.dedup import line_dedup
+
+        rows = [(1, "same line"), (2, "Same LINE!"), (3, "same line\nextra")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert got[1]["clean_text"] == "" and got[1]["removed_lines"] == 1
+        assert got[2]["clean_text"] == ""
+        assert got[3]["clean_text"] == "extra"
+
+    def test_partitioning_invariance(self, spark) -> None:
+        from parsel_spark.operators.dedup import line_dedup
+
+        docs = self._docs(spark)
+        a = {tuple(r) for r in line_dedup(docs).collect()}
+        b = {tuple(r) for r in line_dedup(docs.repartition(7)).collect()}
+        assert a == b
