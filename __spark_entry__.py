@@ -1341,6 +1341,120 @@ def q_crawl_url_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL corpus with planted curation cases, one per
+    doc: ad-network hosts on blocked domains (incl. a deep subdomain of
+    a mid-level blocklist entry), a high-score word-bearing query
+    string, an under-threshold word hit, a non-http scheme, and the
+    plain corpus URL.  CASE order resolves modulus overlaps identically
+    in Spark and the SQL oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    base_host = F.concat(F.lit("docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)))
+    tail = F.concat(F.lit("/d/"), doc_id)
+    url = (
+        F.when(
+            F.pmod(doc_id, F.lit(7)) == 0,
+            F.concat(
+                F.lit("http://ads.tracker"),
+                F.pmod(doc_id, F.lit(3)),
+                F.lit(".test"),
+                tail,
+            ),
+        )
+        .when(
+            F.pmod(doc_id, F.lit(13)) == 0,
+            F.concat(F.lit("http://deep.sub.tracker1.test"), tail),
+        )
+        .when(
+            F.pmod(doc_id, F.lit(5)) == 0,
+            F.concat(
+                F.lit("http://"),
+                base_host,
+                F.lit(".test"),
+                tail,
+                F.lit("?ref=casino-poker-night"),
+            ),
+        )
+        .when(
+            F.pmod(doc_id, F.lit(11)) == 0,
+            F.concat(F.lit("ftp://"), base_host, F.lit(".test"), tail),
+        )
+        .when(
+            F.pmod(doc_id, F.lit(17)) == 0,
+            F.concat(
+                F.lit("http://"), base_host, F.lit(".test"), tail, F.lit("?q=casino")
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://"), base_host, F.lit(".test"), tail))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URLFILTER_BLOCKLIST = ["tracker0.test", "tracker2.test", "sub.tracker1.test"]
+_URLFILTER_WEIGHTS = {"casino": 2, "poker": 2, "night": 1}
+_URLFILTER_THRESHOLD = 4
+
+
+def q_crawl_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL curation (urlfilter.url_filter_flags):
+    domain-blocklist verdicts via ≤4 map-side suffix keys probed
+    through broadcast joins (ads.tracker0.test blocks as a SUBDOMAIN of
+    a blocked domain; deep.sub.tracker1.test via a mid-level entry;
+    ads.tracker1.test provably passes), a weighted URL-word score
+    (casino-poker-night = 5 blocks at threshold 4, lone casino = 2
+    keeps), and an http/https scheme gate.  The oracle replays suffix
+    generation, list-intersection blocking and the word CASE-sum in
+    ANSI SQL."""
+    from parsel_spark.functions.urlfilter import url_filter_flags
+
+    urls = _synth_messy_urls(spark, sf_dir)
+    block = spark.createDataFrame(
+        [(d,) for d in _URLFILTER_BLOCKLIST], "domain string"
+    )
+    return url_filter_flags(
+        urls, block, _URLFILTER_WEIGHTS, _URLFILTER_THRESHOLD
+    ).select(
+        "doc_id", "url", "host_blocked", "word_score", "scheme_ok", "keep"
+    )
+
+
+def q_crawl_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys (urlfilter.surt_key) over URLs with planted
+    messiness — uppercase www hosts, explicit ports, query strings:
+    the CDX-convention key (reversed comma-joined host labels + ')' +
+    lowercased path + '?query'; scheme/port dropped, leading www
+    stripped) that range-partitions a 100 TB URL index by registered
+    domain.  The oracle rebuilds the key with regex host/path/query
+    extraction + list_reverse in ANSI SQL — two independent
+    implementations of the transform."""
+    from parsel_spark.functions.urlfilter import surt_key
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    m = F.pmod(doc_id, F.lit(N_DOC_HOSTS))
+    tail = F.concat(F.lit("/D/"), doc_id)
+    url = (
+        F.when(
+            F.pmod(doc_id, F.lit(4)) == 0,
+            F.concat(F.lit("http://WWW.Docs-"), m, F.lit(".Test"), tail),
+        )
+        .when(
+            F.pmod(doc_id, F.lit(9)) == 0,
+            F.concat(
+                F.lit("http://docs-"),
+                m,
+                F.lit(".test:8080"),
+                tail,
+                F.lit("?x=1&y=2"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://docs-"), m, F.lit(".test"), tail))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return urls.select("doc_id", "url", surt_key("url").alias("surt"))
+
+
 def _synth_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic image table in the BASELINE input_hint shape
     (image_id, phash — the metadata columns the dedup path touches),
@@ -1520,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_drop_rewrite": q_selector_drop_rewrite,
         "selector_jmespath": q_selector_jmespath,
         "crawl_url_hash_shards": q_crawl_url_hash_shards,
+        "crawl_url_filter": q_crawl_url_filter,
+        "crawl_surt_keys": q_crawl_surt_keys,
         "crawl_forget_seen": q_crawl_forget_seen,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_main_text": q_warc_main_text,
@@ -2800,6 +2916,88 @@ def oracle_sql() -> dict[str, str]:
     # mixH1: h = rotl32(h ^ k1, 13) * 5 + 0xe6546b64  (mod 2^32)
     mixh1 = f"({_rotl32(f'xor(h, {mixk1})', 13)} * 5 + {0xE6546B64}) % {m32}"
     fmix = f"xor(f2, f2 >> 16)"
+    sql["crawl_url_filter"] = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'http://ads.tracker' || (doc_id % 3)
+                             || '.test/d/' || doc_id
+                        WHEN doc_id % 13 = 0
+                        THEN 'http://deep.sub.tracker1.test/d/' || doc_id
+                        WHEN doc_id % 5 = 0
+                        THEN 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test/d/' || doc_id
+                             || '?ref=casino-poker-night'
+                        WHEN doc_id % 11 = 0
+                        THEN 'ftp://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test/d/' || doc_id
+                        WHEN doc_id % 17 = 0
+                        THEN 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test/d/' || doc_id || '?q=casino'
+                        ELSE 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test/d/' || doc_id
+                   END AS url
+            FROM documents
+        ), p AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   string_split(
+                       lower(regexp_extract(url,
+                           '^[A-Za-z]+://([^/?#:@]+)', 1)), '.') AS labels
+            FROM u
+        ), v AS (
+            SELECT doc_id, url, scheme,
+                   len(list_intersect(
+                       [array_to_string(labels[len(labels)-k+1:], '.')
+                        FOR k IN generate_series(2, least(len(labels), 5))],
+                       ['tracker0.test', 'tracker2.test', 'sub.tracker1.test']
+                   )) > 0 AS host_blocked,
+                   (CASE WHEN lower(url) LIKE '%casino%' THEN 2 ELSE 0 END
+                    + CASE WHEN lower(url) LIKE '%night%' THEN 1 ELSE 0 END
+                    + CASE WHEN lower(url) LIKE '%poker%' THEN 2 ELSE 0 END
+                   )::BIGINT AS word_score
+            FROM p
+        )
+        SELECT doc_id, url, host_blocked, word_score,
+               scheme IN ('http', 'https') AS scheme_ok,
+               (scheme IN ('http', 'https') AND NOT host_blocked
+                AND word_score < 4) AS keep
+        FROM v
+    """
+
+    sql["crawl_surt_keys"] = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'http://WWW.Docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.Test/D/' || doc_id
+                        WHEN doc_id % 9 = 0
+                        THEN 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test:8080/D/' || doc_id || '?x=1&y=2'
+                        ELSE 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                             || '.test/D/' || doc_id
+                   END AS url
+            FROM documents
+        ), p AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       lower(regexp_extract(url,
+                           '^[A-Za-z]+://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+                       '^www\\.', '') AS host,
+                   lower(coalesce(nullif(regexp_extract(url,
+                       '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), ''), '/')) AS path,
+                   CASE WHEN url LIKE '%?%'
+                        THEN '?' || lower(regexp_extract(url,
+                                 '\\?([^#]*)', 1))
+                        ELSE '' END AS q
+            FROM u
+        )
+        SELECT doc_id, url,
+               array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || path || q AS surt
+        FROM p
+    """
+
     sql["crawl_url_hash_shards"] = f"""
         WITH urls AS (
             SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
