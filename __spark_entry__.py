@@ -1109,6 +1109,42 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful exact dedup (stream_crawl.dedup_stream):
+    documents flow readStream → md5-keyed GroupState first-sighting
+    gate → parquet sink.  Input is ONE parquet file so the whole corpus
+    is exactly one trigger, where first-wins semantics coincide with
+    batch ``exact_dedup`` — the oracle is the SAME GROUP BY md5(text)
+    SQL as doc_exact_dedup plus the hash column, so the custom stateful
+    operator sits under the hard value gate rather than the weaker
+    rows-only check.  Cross-trigger suppression is pinned separately by
+    a two-trigger unit test."""
+    import tempfile
+
+    from parsel_spark.streaming.stream_crawl import dedup_stream
+
+    docs = _read(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_dd_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    docs.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(
+        in_dir
+    )
+    stream = dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select("text_md5", "doc_id", "dup_count")
+
+
 def q_crawl_forget_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END CrawlRun + cuckoo ``forget()`` under the hard oracle
     gate: initialize from the first N_SEED_DOCS doc urls (politeness
@@ -1645,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract_links": q_stream_extract_links,
         "stream_politeness_gate": q_stream_politeness_gate,
         "stream_crawl_pipeline": q_stream_crawl_pipeline,
+        "stream_exact_dedup": q_stream_exact_dedup,
     }
 
 
@@ -2338,6 +2375,14 @@ def oracle_sql() -> dict[str, str]:
     # composed streaming pipeline: distinct planted targets per host,
     # ranked by url (the gate's order when no priority/seq columns
     # exist), admitted while rank <= floor(min(3, 1 + 1/1)) = 2
+    sql["stream_exact_dedup"] = """
+        SELECT md5(text) AS text_md5,
+               min(doc_id) AS doc_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """
+
     sql["stream_crawl_pipeline"] = f"""
         WITH n AS (SELECT count(*) AS n FROM documents),
              js(j) AS (VALUES (0),(1),(2)),

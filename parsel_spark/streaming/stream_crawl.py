@@ -152,6 +152,70 @@ def politeness_stream(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming EXACT dedup keyed on content hash — first sighting
+    wins (``applyInPandasWithState``): the first trigger containing a
+    given ``md5(text)`` emits ONE row ``(text_md5, id, dup_count)``
+    with the trigger's min id and arrival count; every later trigger's
+    arrivals of that hash are suppressed (the state keeps counting them
+    in ``total`` but emits nothing — append-mode streams cannot retract
+    the already-emitted row, so re-emitting updated counts would
+    duplicate keys downstream; suppression IS the dedup contract).
+
+    Single-trigger parity: when the whole input arrives in one trigger
+    this equals batch ``exact_dedup`` exactly (min id + full count per
+    distinct text) — the driver row runs that equivalence against the
+    same DuckDB oracle SQL as the batch row.
+
+    Scale shape: the groupBy shuffles (hash, id) pairs only — text
+    never moves past the map-side md5 — and state is one
+    (boolean, long) per DISTINCT content hash, sharded across
+    executors' state stores by the same key.  At 100 TB-corpus scale
+    that state belongs in the RocksDB state store provider with a
+    TTL/timeout eviction policy (``GroupStateTimeout``) chosen by the
+    dedup horizon; NoTimeout here = unbounded horizon, the batch-parity
+    semantic."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"text_md5 string, {id_col} {id_type}, dup_count long"
+    state_schema = "seen boolean, total long"
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col)
+    )
+
+    def first_wins(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (text_md5,) = key
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        n = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            _, total = state.get
+            state.update((True, int(total) + n))
+            return
+        first_id = min(pdf[id_col].min() for pdf in pdfs)
+        state.update((True, n))
+        yield pd.DataFrame(
+            {"text_md5": [text_md5], id_col: [first_id], "dup_count": [n]}
+        )
+
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        first_wins,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_frontier(
     spark: SparkSession,
     input_path: str,

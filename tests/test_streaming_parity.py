@@ -266,3 +266,96 @@ def test_politeness_stream_refill_catchup_over_absence(spark, tmp_path) -> None:
         seen |= allowed
 
     assert stream_waves == batch_waves
+
+
+class TestDedupStream:
+    """Stateful streaming exact dedup: one-trigger parity with batch
+    exact_dedup; cross-trigger suppression via GroupState."""
+
+    def _write(self, spark, path, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    def _start(self, spark, in_dir, out_dir, chk):
+        from parsel_spark.streaming.stream_crawl import dedup_stream
+
+        stream = dedup_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def test_single_trigger_equals_batch_exact_dedup(
+        self, spark, tmp_path
+    ) -> None:
+        from parsel_spark.operators.dedup import exact_dedup
+
+        rows = [(i, f"text-{i % 40}") for i in range(120)]
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        self._write(spark, in_dir, rows)
+        self._start(
+            spark, in_dir, out_dir, str(tmp_path / "chk")
+        ).awaitTermination(120)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        batch = {
+            (r["doc_id"], r["dup_count"]) for r in exact_dedup(docs).collect()
+        }
+        streamed = {
+            (r["doc_id"], r["dup_count"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert streamed == batch and len(batch) == 40
+
+    def test_second_trigger_suppresses_seen_hashes(
+        self, spark, tmp_path
+    ) -> None:
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        chk = str(tmp_path / "chk")
+        self._write(spark, in_dir, [(1, "alpha"), (2, "alpha"), (3, "beta")])
+        self._start(spark, in_dir, out_dir, chk).awaitTermination(120)
+        first = {
+            (r["text_md5"], r["doc_id"], r["dup_count"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert {(d, c) for _, d, c in first} == {(1, 2), (3, 1)}
+
+        # trigger 2: one seen text (suppressed) + one new (emitted)
+        self._write(spark, in_dir, [(9, "alpha"), (10, "gamma")])
+        self._start(spark, in_dir, out_dir, chk).awaitTermination(120)
+        second = {
+            (r["text_md5"], r["doc_id"], r["dup_count"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        new = second - first
+        assert {(d, c) for _, d, c in new} == {(10, 1)}
+
+    def test_string_ids_supported(self, spark, tmp_path) -> None:
+        from parsel_spark.streaming.stream_crawl import dedup_stream
+
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        spark.createDataFrame(
+            [("b", "x"), ("a", "x")], "doc_id string, text string"
+        ).coalesce(1).write.parquet(in_dir)
+        stream = dedup_stream(
+            spark.readStream.schema("doc_id string, text string").parquet(
+                in_dir
+            )
+        )
+        (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        ).awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == "a" and rows[0]["dup_count"] == 2
