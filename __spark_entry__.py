@@ -1109,6 +1109,34 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (unicodenorm.normalize_text): every
+    3rd doc gets a PLANTED DECOMPOSED suffix (e + U+0301 combining
+    acute — provably changed, one code point shorter after
+    composition), every 3rd+1 the PRECOMPOSED é spelling (provably
+    unchanged).  Spark runs CPython's unicodedata through an
+    Arrow-batched pandas UDF; the oracle runs DuckDB's utf8proc
+    ``nfc_normalize`` — two independent UAX #15 implementations
+    agreeing on bytes, flags and code-point counts."""
+    from parsel_spark.functions.unicodenorm import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    text = F.col("text")
+    planted = (
+        F.when(
+            F.pmod(doc_id, F.lit(3)) == 0,
+            F.concat(text, F.lit(" cafe"), F.lit("e\u0301")),  # decomposed
+        )
+        .when(
+            F.pmod(doc_id, F.lit(3)) == 1,
+            F.concat(text, F.lit(" caf"), F.lit("\u00e9")),  # precomposed
+        )
+        .otherwise(text)
+    )
+    return normalize_text(docs.select("doc_id", planted.alias("text")))
+
+
 def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING stateful exact dedup (stream_crawl.dedup_stream):
     documents flow readStream → md5-keyed GroupState first-sighting
@@ -1682,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_politeness_gate": q_stream_politeness_gate,
         "stream_crawl_pipeline": q_stream_crawl_pipeline,
         "stream_exact_dedup": q_stream_exact_dedup,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
     }
 
 
@@ -2375,6 +2404,25 @@ def oracle_sql() -> dict[str, str]:
     # composed streaming pipeline: distinct planted targets per host,
     # ranked by url (the gate's order when no priority/seq columns
     # exist), admitted while rank <= floor(min(3, 1 + 1/1)) = 2
+    sql["doc_nfc_normalize"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' cafe' || chr(101) || chr(769)
+                        WHEN doc_id % 3 = 1
+                        THEN text || ' caf' || chr(233)
+                        ELSE text
+                   END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               nfc_normalize(text) AS text,
+               nfc_normalize(text) <> text AS changed,
+               length(text)::BIGINT AS len_before,
+               length(nfc_normalize(text))::BIGINT AS len_after
+        FROM t
+    """
+
     sql["stream_exact_dedup"] = """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS doc_id,
