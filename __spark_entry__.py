@@ -703,6 +703,33 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_host_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ← corpus-quality FEEDBACK composition
+    (frontier.host_quality_priority): every document's Gopher keep
+    verdict (the doc_quality_filter gate verbatim) rolls up per host
+    into (n_docs, n_keep, keep_rate) and a deterministic priority rank
+    (keep_rate DESC, host ASC) — the host-reputation table the frontier
+    consumes as a broadcast priority source.  The oracle reuses the
+    SAME gate CTEs as doc_quality_filter (single source of truth) and
+    replays rollup + rank() in ANSI SQL."""
+    from parsel_spark.functions.textstats import gopher_quality_flags
+    from parsel_spark.operators.dedup import top_ngram_stats
+    from parsel_spark.operators.frontier import host_quality_priority
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("docs-"), F.pmod(F.col("doc_id"), F.lit(N_DOC_HOSTS)), F.lit(".test")
+    )
+    flags = docs.select("doc_id", host.alias("host"), *gopher_quality_flags())
+    rep = top_ngram_stats(docs, n=2).select(
+        "doc_id", (F.col("top_ngram_frac") <= 0.2).alias("ok_repetition")
+    )
+    verdicts = flags.join(rep, "doc_id").select(
+        "host", (F.col("keep") & F.col("ok_repetition")).alias("keep")
+    )
+    return host_quality_priority(verdicts)
+
+
 def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus rollup (the "dataset card" numbers mixture
     planning starts from): docs + BPE-token totals + token share per
@@ -1680,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_anchor_text": q_crawl_anchor_text,
         "selector_exslt_dates": q_selector_exslt_dates,
         "doc_quality_filter": q_doc_quality_filter,
+        "crawl_host_priority": q_crawl_host_priority,
         "stream_quality_filter": q_stream_quality_filter,
         "doc_source_mixture": q_doc_source_mixture,
         "doc_mixture_rates": q_doc_mixture_rates,
@@ -2303,6 +2331,30 @@ def oracle_sql() -> dict[str, str]:
     # the streaming gate must produce the SAME rows as the batch gate —
     # one oracle, two execution models
     sql["stream_quality_filter"] = sql["doc_quality_filter"]
+
+    # host-reputation rollup: reuse the quality gate's CTEs verbatim
+    # (single source of truth for the keep rule), swap the final SELECT
+    # for the per-host aggregation + rank
+    _gate_ctes = sql["doc_quality_filter"].rsplit("SELECT flags.doc_id", 1)[0]
+    sql["crawl_host_priority"] = _gate_ctes + f""", kv AS (
+            SELECT 'docs-' || (flags.doc_id % {N_DOC_HOSTS}) || '.test'
+                       AS host,
+                   (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                    AND ok_symbol_ratio AND ok_repetition) AS keep
+            FROM flags JOIN rep ON flags.doc_id = rep.doc_id
+        )
+        SELECT host,
+               count(*) AS n_docs,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                   AS keep_rate,
+               rank() OVER (
+                   ORDER BY sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                                / count(*) DESC,
+                            host
+               ) AS priority_rank
+        FROM kv GROUP BY host
+    """
 
     # mixture planning: per-source token rollup + rate compilation
     sql["doc_source_mixture"] = f"""

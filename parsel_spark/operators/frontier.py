@@ -670,3 +670,44 @@ def new_frontier_rows(new_urls: DataFrame, wave: int) -> DataFrame:
         F.col("url_hash").alias("seq"),
         F.lit(wave + 1).alias("discovered_wave"),
     )
+
+
+def host_quality_priority(
+    flagged: DataFrame,
+    host_col: str = "host",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-host quality rollup → crawl priority: the feedback loop
+    production crawlers close between the corpus filter and the
+    frontier (hosts whose fetched pages keep passing the quality gate
+    earn budget; boilerplate farms lose it).  Input is one boolean
+    quality verdict per fetched page; output one row per host:
+    ``(host, n_docs, n_keep, keep_rate, priority_rank)`` with rank 1 =
+    best (``keep_rate`` DESC, host ASC tiebreak — total order, so the
+    ranking is deterministic and engine-replayable).
+
+    Scale shape: ONE map-side-combined groupBy(host); the result is
+    dim-table-sized (hosts ≪ pages), so the global rank window —
+    a single-partition sort — is over thousands-to-millions of rows,
+    not the corpus, and the table re-enters the crawl loop as a
+    BROADCAST join against frontier candidates (`prepare_seeds` /
+    `new_frontier_rows` consume it as a priority source).
+
+    Reference counterpart: none — parsel stops at extraction; this is
+    the scheduling layer above it."""
+    agg = flagged.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(keep_col).cast("long")).alias("n_keep"),
+    )
+    from pyspark.sql import Window
+
+    rated = agg.select(
+        host_col,
+        "n_docs",
+        "n_keep",
+        (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+    )
+    rank_w = Window.orderBy(F.col("keep_rate").desc(), F.col(host_col))
+    return rated.withColumn(
+        "priority_rank", F.rank().over(rank_w).cast("long")
+    )

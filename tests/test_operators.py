@@ -955,3 +955,38 @@ class TestLineDedup:
         a = {tuple(r) for r in line_dedup(docs).collect()}
         b = {tuple(r) for r in line_dedup(docs.repartition(7)).collect()}
         assert a == b
+
+
+class TestHostQualityPriority:
+    def test_rollup_and_rank(self, spark) -> None:
+        from parsel_spark.operators.frontier import host_quality_priority
+
+        rows = [
+            ("a.test", True), ("a.test", True), ("a.test", False),
+            ("b.test", True), ("b.test", True),
+            ("c.test", False),
+        ]
+        got = {
+            r["host"]: r
+            for r in host_quality_priority(
+                spark.createDataFrame(rows, "host string, keep boolean")
+            ).collect()
+        }
+        assert got["b.test"]["priority_rank"] == 1  # 2/2 keep rate
+        assert got["a.test"]["priority_rank"] == 2  # 2/3
+        assert got["c.test"]["priority_rank"] == 3  # 0/1
+        assert got["a.test"]["n_docs"] == 3 and got["a.test"]["n_keep"] == 2
+        assert got["b.test"]["keep_rate"] == 1.0
+
+    def test_tie_breaks_on_host_with_rank_semantics(self, spark) -> None:
+        from parsel_spark.operators.frontier import host_quality_priority
+
+        rows = [("x.test", True), ("w.test", True), ("z.test", False)]
+        got = {
+            r["host"]: r["priority_rank"]
+            for r in host_quality_priority(
+                spark.createDataFrame(rows, "host string, keep boolean")
+            ).collect()
+        }
+        # equal rates rank by host ascending; rank() (not dense_rank)
+        assert got == {"w.test": 1, "x.test": 2, "z.test": 3}
