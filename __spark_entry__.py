@@ -1612,6 +1612,21 @@ def _synth_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (multimodal.aspect_bucket): every image
+    snaps to the nearest ladder aspect via the INTEGER-EXACT argmin
+    (|w/h - bw/bh| compared through cross-multiplication — no float
+    ratios anywhere), ties to the earliest ladder entry.  Per-image
+    assignment over the input_hint-shaped table; the oracle replays the
+    same least()+CASE integer algebra in ANSI SQL."""
+    from parsel_spark.operators.multimodal import aspect_bucket
+
+    imgs = _synth_image_caption_table(spark, sf_dir)
+    return imgs.select(
+        "image_id", "w", "h", aspect_bucket("w", "h").alias("bucket")
+    )
+
+
 def q_img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-lineage image-text pair curation gate
     (multimodal.caption_pair_quality_flags) over the input_hint-shaped
@@ -1708,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_exslt_dates": q_selector_exslt_dates,
         "doc_quality_filter": q_doc_quality_filter,
         "crawl_host_priority": q_crawl_host_priority,
+        "img_aspect_buckets": q_img_aspect_buckets,
         "stream_quality_filter": q_stream_quality_filter,
         "doc_source_mixture": q_doc_source_mixture,
         "doc_mixture_rates": q_doc_mixture_rates,
@@ -3244,6 +3260,36 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY area DESC, image_id ASC
                ) = 1 AS is_rep
         FROM sized
+    """
+
+    sql["img_aspect_buckets"] = """
+        WITH img AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   (doc_id*40503 + 17) % 2048 + 16 AS w,
+                   (doc_id*69069 + 5) % 2048 + 16 AS h
+            FROM documents
+        ), d AS (
+            SELECT image_id, w, h,
+                   abs(w*1  - h*1 ) * 144 AS d_sq,
+                   abs(w*3  - h*4 ) * 48  AS d_l43,
+                   abs(w*4  - h*3 ) * 36  AS d_p34,
+                   abs(w*9  - h*16) * 16  AS d_w169,
+                   abs(w*16 - h*9 ) * 9   AS d_t916,
+                   abs(w*2  - h*3 ) * 72  AS d_l32,
+                   abs(w*3  - h*2 ) * 48  AS d_p23
+            FROM img
+        )
+        SELECT image_id, w, h,
+               CASE WHEN d_sq = m THEN 'square_1_1'
+                    WHEN d_l43 = m THEN 'landscape_4_3'
+                    WHEN d_p34 = m THEN 'portrait_3_4'
+                    WHEN d_w169 = m THEN 'wide_16_9'
+                    WHEN d_t916 = m THEN 'tall_9_16'
+                    WHEN d_l32 = m THEN 'landscape_3_2'
+                    ELSE 'portrait_2_3' END AS bucket
+        FROM (SELECT *, least(d_sq, d_l43, d_p34, d_w169, d_t916,
+                              d_l32, d_p23) AS m
+              FROM d)
     """
 
     sql["img_caption_filter"] = """

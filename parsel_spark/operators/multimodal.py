@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -293,3 +294,88 @@ def caption_pair_quality_flags(
         ok_cap_words.alias("ok_caption_words"),
         keep.alias("keep"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (image-training batch prep)
+# ---------------------------------------------------------------------------
+
+# (label, bw, bh) — the bucket ladder every image snaps to.  Public
+# technique: aspect-ratio bucketing for text-to-image training
+# (NovelAI's published bucketing writeup; SDXL's multi-aspect ladder) —
+# batches must share a shape, so images group by nearest aspect bucket
+# instead of center-cropping everything square.
+DEFAULT_ASPECT_LADDER: list[tuple[str, int, int]] = [
+    ("square_1_1", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("portrait_3_4", 3, 4),
+    ("wide_16_9", 16, 9),
+    ("tall_9_16", 9, 16),
+    ("landscape_3_2", 3, 2),
+    ("portrait_2_3", 2, 3),
+]
+
+
+def aspect_bucket(
+    w_col: Column | str,
+    h_col: Column | str,
+    ladder: list[tuple[str, int, int]] | None = None,
+) -> Column:
+    """Nearest-aspect bucket label for (w, h) — INTEGER-EXACT argmin.
+
+    The distance to bucket (bw, bh) is |w/h - bw/bh|, but comparing
+    those floats invites cross-engine rounding drift, so the argmin is
+    done on exact integers: |w/h - bw/bh| = |w*bh - h*bw| / (h*bh), and
+    since h > 0 is shared by every candidate, bucket i beats bucket j
+    iff |w*bh_i - h*bw_i| * SCALE/bh_i < |w*bh_j - h*bw_j| * SCALE/bh_j
+    where SCALE is any common multiple of the ladder's bh values.
+    Ties resolve to the EARLIEST ladder entry (documented, determinism
+    over cleverness).  Compiles to least() over per-bucket integer
+    expressions + one CASE chain — map-only, whole-stage codegen,
+    trivially replayable in ANSI SQL.
+
+    Reference counterpart: none — image-training surface."""
+    ladder = ladder if ladder is not None else DEFAULT_ASPECT_LADDER
+    if not ladder:
+        raise ValueError("aspect ladder must be non-empty")
+    w = F.col(w_col) if isinstance(w_col, str) else w_col
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+    scale = 1
+    for _, _, bh in ladder:
+        from math import lcm
+
+        scale = lcm(scale, bh)
+    dists = [
+        F.abs(w * F.lit(bh) - h * F.lit(bw)) * F.lit(scale // bh)
+        for _, bw, bh in ladder
+    ]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    expr = None
+    for (label, _, _), dist in zip(ladder, dists):
+        cond = dist == best
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    return expr
+
+
+def aspect_bucket_stats(
+    images: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    ladder: list[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """Per-bucket image counts + pixel totals — the numbers a training
+    loader needs to size per-bucket batches.  ONE map-side-combined
+    groupBy over the handful of ladder labels."""
+    return (
+        images.select(
+            aspect_bucket(w_col, h_col, ladder).alias("bucket"),
+            (F.col(w_col) * F.col(h_col)).alias("__px"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("__px").cast("long").alias("total_pixels"),
+        )
+    )

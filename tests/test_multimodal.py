@@ -180,3 +180,58 @@ def test_phash_clusters_keep_best_resolution(spark) -> None:
     reps = sum(1 for r in rows if r["is_rep"])
     clusters = len({r["cluster_id"] for r in rows})
     assert reps == clusters
+
+
+class TestAspectBuckets:
+    def test_known_shapes_snap_to_their_bucket(self, spark) -> None:
+        from parsel_spark.operators.multimodal import aspect_bucket
+
+        rows = [
+            (512, 512, "square_1_1"),
+            (800, 600, "landscape_4_3"),
+            (600, 800, "portrait_3_4"),
+            (1920, 1080, "wide_16_9"),
+            (1080, 1920, "tall_9_16"),
+            (900, 600, "landscape_3_2"),
+            (600, 900, "portrait_2_3"),
+        ]
+        df = spark.createDataFrame(
+            [(w, h) for w, h, _ in rows], "w long, h long"
+        )
+        got = df.select("w", "h", aspect_bucket("w", "h").alias("b")).collect()
+        expect = {(w, h): b for w, h, b in rows}
+        for r in got:
+            assert r["b"] == expect[(r["w"], r["h"])], (r["w"], r["h"], r["b"])
+
+    def test_tie_resolves_to_earliest_ladder_entry(self, spark) -> None:
+        from parsel_spark.operators.multimodal import aspect_bucket
+
+        # w/h exactly between 1/1 and 4/3 -> dist ties -> square wins
+        # 1/1 vs 4/3: midpoint 7/6
+        got = (
+            spark.createDataFrame([(7, 6)], "w long, h long")
+            .select(aspect_bucket("w", "h").alias("b"))
+            .first()["b"]
+        )
+        assert got == "square_1_1"
+
+    def test_custom_ladder_and_stats(self, spark) -> None:
+        from parsel_spark.operators.multimodal import aspect_bucket_stats
+
+        ladder = [("sq", 1, 1), ("wide", 2, 1)]
+        df = spark.createDataFrame(
+            [(100, 100), (100, 100), (200, 100)], "w long, h long"
+        )
+        got = {
+            r["bucket"]: (r["n_images"], r["total_pixels"])
+            for r in aspect_bucket_stats(df, ladder=ladder).collect()
+        }
+        assert got == {"sq": (2, 20000), "wide": (1, 20000)}
+
+    def test_empty_ladder_raises(self) -> None:
+        import pytest
+
+        from parsel_spark.operators.multimodal import aspect_bucket
+
+        with pytest.raises(ValueError):
+            aspect_bucket("w", "h", ladder=[])
