@@ -918,6 +918,32 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (similarity.quantize_embeddings): scale = max|x|/127 and
+    floor-quantized codes, float→double cast before every arithmetic
+    step so the integer codes are engine-exact.  The oracle replays
+    max-abs, scale and the floor quantizer element-for-element in ANSI
+    SQL — the whole code array is value-checked, not a summary."""
+    from parsel_spark.operators.similarity import quantize_embeddings
+
+    embeddings = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(embeddings.select("vec_id", "embedding"))
+
+
+def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec 0 by QUANTIZED dot product
+    (similarity.knn_quantized): integer dots are exactly representable
+    in doubles (64 products of |q| ≤ 127), so summation order cannot
+    perturb the score and the ranking replays exactly; ties break on
+    vec_id.  The oracle re-quantizes everything and walks the same
+    integer dot + rescale in SQL."""
+    from parsel_spark.operators.similarity import knn_quantized
+
+    embeddings = _read(spark, sf_dir, "embeddings")
+    return knn_quantized(embeddings.select("vec_id", "embedding"), query_id=0)
+
+
 def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import norm
 
@@ -1734,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_near_dup_pairs_blocked_compat": q_emb_near_dup_pairs,
         "emb_norms": q_emb_norms,
+        "emb_quantize_int8": q_emb_quantize_int8,
+        "emb_knn_int8": q_emb_knn_int8,
         "emb_label_centroid_dims": q_emb_label_centroid_dims,
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_frontier_wave1": q_crawl_frontier_wave1,
@@ -2439,6 +2467,49 @@ def oracle_sql() -> dict[str, str]:
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.30
+    """
+
+    sql["emb_quantize_int8"] = """
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   / 127.0 AS scale,
+               CASE WHEN list_max(list_transform(embedding,
+                        x -> abs(x::DOUBLE))) = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                        x -> floor(x::DOUBLE * 127.0
+                             / list_max(list_transform(embedding,
+                                   y -> abs(y::DOUBLE))))::INT)
+               END AS qvec
+        FROM embeddings
+    """
+
+    sql["emb_knn_int8"] = """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                       / 127.0 AS scale,
+                   CASE WHEN list_max(list_transform(embedding,
+                            x -> abs(x::DOUBLE))) = 0
+                        THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding,
+                            x -> floor(x::DOUBLE * 127.0
+                                 / list_max(list_transform(embedding,
+                                       y -> abs(y::DOUBLE))))::INT)
+                   END AS qvec
+            FROM embeddings
+        ), qq AS (
+            SELECT scale AS q_scale, qvec AS q_qvec FROM q WHERE vec_id = 0
+        )
+        SELECT q.vec_id,
+               list_sum(list_transform(
+                   range(1, len(q.qvec) + 1),
+                   i -> q.qvec[i] * qq.q_qvec[i]))::DOUBLE
+                 * q.scale * qq.q_scale AS qscore
+        FROM q, qq
+        WHERE q.vec_id <> 0
+        ORDER BY qscore DESC, q.vec_id
+        LIMIT 10
     """
 
     sql["emb_norms"] = """

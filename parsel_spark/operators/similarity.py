@@ -389,3 +389,77 @@ def label_centroids(embeddings: DataFrame, round_to: int = 4) -> DataFrame:
             F.transform("pairs", lambda s: s["mean_value"]).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (the 4x memory lever for ANN at scale)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i * 127 / max|x|)`` (floor, not round — round's
+    half-way rule differs across engines, floor is bit-deterministic
+    everywhere; the ≤0.5-step bias is irrelevant at the recall level
+    ANN cares about).  All-zero vectors quantize to zeros with scale 0.
+
+    Every element is cast float→double BEFORE arithmetic (exact), so
+    the produced codes are engine-replayable integers.  Values live in
+    [-127, 127].
+
+    Why: a float32 embedding column is the dominant byte cost of an ANN
+    index (64-dim float32 = 256 B/vector; int8 + one scale = 72 B) —
+    quantizing at ingest cuts index shuffle and memory ~4x, and integer
+    dot products are exactly representable in doubles, so scoring stays
+    deterministic.  Map-only; other columns pass through."""
+    emb = F.col(emb_col)
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    qvec = F.when(
+        max_abs == F.lit(0.0), F.transform(emb, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            emb,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / max_abs
+            ).cast("int"),
+        )
+    )
+    passthrough = [c for c in embeddings.columns if c != emb_col]
+    return embeddings.select(
+        *passthrough,
+        (max_abs / F.lit(127.0)).alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def knn_quantized(
+    embeddings: DataFrame, query_id: int, k: int = 10
+) -> DataFrame:
+    """Top-k neighbors by QUANTIZED dot product: int8 codes from
+    ``quantize_embeddings``, integer dot (exact — every partial sum of
+    64 products of |q| ≤ 127 fits a double with no rounding, so
+    summation order cannot matter), rescaled by the two scales.
+    Same broadcast-query + TakeOrdered shape as ``knn_bruteforce``;
+    ties break on vec_id for engine-stable selection."""
+    q = quantize_embeddings(embeddings)
+    query = q.filter(F.col("vec_id") == query_id).select(
+        F.col("scale").alias("q_scale"), F.col("qvec").alias("q_qvec")
+    )
+    dotq = F.aggregate(
+        F.zip_with("qvec", "q_qvec", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            (dotq.cast("double") * F.col("scale") * F.col("q_scale")).alias(
+                "qscore"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("qscore"), F.asc("vec_id")).limit(k)
