@@ -1162,6 +1162,41 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join coverage: the RefinedWeb URL gate running on
+    a STREAMING corpus against the STATIC broadcast blocklist — the
+    shape a continuous-ingest crawler uses (url_filter_flags is plan
+    algebra, so the same function serves both execution models
+    unchanged).  Oracle: the SAME SQL as crawl_url_filter — one oracle,
+    two execution models, like stream_quality_filter."""
+    import tempfile
+
+    from parsel_spark.functions.urlfilter import url_filter_flags
+
+    urls = _synth_messy_urls(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_uf_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    urls.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(in_dir)
+    block = spark.createDataFrame(
+        [(d,) for d in _URLFILTER_BLOCKLIST], "domain string"
+    )
+    flagged = url_filter_flags(
+        stream, block, _URLFILTER_WEIGHTS, _URLFILTER_THRESHOLD
+    ).select("doc_id", "url", "host_blocked", "word_score", "scheme_ok", "keep")
+    query = (
+        flagged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (unicodenorm.normalize_text): every
     3rd doc gets a PLANTED DECOMPOSED suffix (e + U+0301 combining
@@ -1783,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_pipeline": q_stream_crawl_pipeline,
         "stream_exact_dedup": q_stream_exact_dedup,
         "doc_nfc_normalize": q_doc_nfc_normalize,
+        "stream_url_filter": q_stream_url_filter,
     }
 
 
@@ -3196,6 +3232,10 @@ def oracle_sql() -> dict[str, str]:
                 AND word_score < 4) AS keep
         FROM v
     """
+
+    # the streaming URL gate must produce the SAME rows as the batch
+    # gate — one oracle, two execution models
+    sql["stream_url_filter"] = sql["crawl_url_filter"]
 
     sql["crawl_surt_keys"] = f"""
         WITH u AS (
