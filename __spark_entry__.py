@@ -1197,6 +1197,28 @@ def q_stream_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_doc_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style per-host contribution cap
+    (sampling.cap_per_group): at most 10 docs per synthesized host
+    (doc_id % 7 → ~71 docs/host at sf0.01, so EVERY host provably
+    exceeds the cap and the predicate does real work), winners chosen
+    by the deterministic md5 unit hash (seed 5) with doc_id tiebreak —
+    the unbiased rerun-stable subset a 100 TB corpus needs, ONE window
+    exchange, no driver data.  The oracle replays the exact
+    row_number()-over-unit-hash predicate in ANSI SQL."""
+    from parsel_spark.functions.sampling import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("docs-"), F.pmod(F.col("doc_id"), F.lit(N_DOC_HOSTS)), F.lit(".test")
+    )
+    capped = cap_per_group(
+        docs.select("doc_id", host.alias("host")),
+        "host", cap=10, id_col="doc_id", seed=5,
+    )
+    return capped.select("doc_id", "host")
+
+
 def q_doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (unicodenorm.normalize_text): every
     3rd doc gets a PLANTED DECOMPOSED suffix (e + U+0301 combining
@@ -1819,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": q_stream_exact_dedup,
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "stream_url_filter": q_stream_url_filter,
+        "doc_host_cap": q_doc_host_cap,
     }
 
 
@@ -3236,6 +3259,22 @@ def oracle_sql() -> dict[str, str]:
     # the streaming URL gate must produce the SAME rows as the batch
     # gate — one oracle, two execution models
     sql["stream_url_filter"] = sql["crawl_url_filter"]
+
+    # per-host cap: the EXACT row_number-over-unit-hash predicate
+    sql["doc_host_cap"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   'docs-' || (doc_id % {N_DOC_HOSTS}) || '.test' AS host,
+                   {unit.format(seed=5)} AS u
+            FROM documents
+        ), r AS (
+            SELECT doc_id, host,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY u, doc_id) AS rn
+            FROM h
+        )
+        SELECT doc_id, host FROM r WHERE rn <= 10
+    """
 
     sql["crawl_surt_keys"] = f"""
         WITH u AS (

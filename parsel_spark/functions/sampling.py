@@ -207,3 +207,48 @@ def mixture_sampling_rates(
             "expected_tokens", "shortfall",
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: Column | str,
+    cap: int,
+    id_col: str,
+    order_by: list[Column] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the C4/FineWeb-style
+    per-host (or per-domain / per-URL-prefix) contribution cap that
+    stops a handful of giant hosts from dominating a 100 TB corpus.
+
+    Deterministic by construction: the default order is
+    ``(unit_hash(id_col, seed), id_col)`` — an unbiased, rerun-stable
+    "random" subset of each oversized group (same engine-portable md5
+    unit hash as :func:`hash_sample`, so the DuckDB oracle replays the
+    exact predicate).  Pass ``order_by`` (e.g. ``[F.col("quality")
+    .desc()]``) to keep the BEST rows instead; ``id_col`` is always the
+    final tiebreak so ties cannot flap across runs or partitioning.
+
+    Scale shape: ONE hash exchange on the group key + an in-partition
+    sort (``row_number`` window) — no driver data, no all-group
+    materialization.  Groups under the cap pass through unchanged; AQE
+    skew handling applies to the exchange like any other window.  The
+    returned frame keeps the input columns (the rank is internal).
+
+    Reference counterpart: none (parsel stops at extraction); SURVEY §2
+    training-data-pipeline extension, same category as hash_sample.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    from pyspark.sql import Window
+
+    order = list(order_by) if order_by else [unit_hash(id_col, seed)]
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(gcol).orderBy(*order)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__cpg_rn", rn)
+        .filter(F.col("__cpg_rn") <= F.lit(cap))
+        .drop("__cpg_rn")
+    )

@@ -236,6 +236,64 @@ class TestSampling:
                 == {(r["doc_id"], r["split"]) for r in out2.collect()})
 
 
+class TestCapPerGroup:
+    def test_cap_enforced_and_deterministic(self, spark) -> None:
+        """Every group ends at min(cap, size); the kept set is identical
+        across partitionings (unit-hash order + id tiebreak)."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.sampling import cap_per_group
+
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("string").alias("host"),
+        )
+        out = cap_per_group(df, "host", cap=7, id_col="doc_id", seed=3)
+        counts = {r["host"]: r["count"] for r in
+                  out.groupBy("host").count().collect()}
+        assert counts == {str(h): 7 for h in range(5)}
+        out2 = cap_per_group(
+            df.repartition(11), "host", cap=7, id_col="doc_id", seed=3
+        )
+        assert ({(r["doc_id"], r["host"]) for r in out.collect()}
+                == {(r["doc_id"], r["host"]) for r in out2.collect()})
+
+    def test_under_cap_groups_pass_through(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.sampling import cap_per_group
+
+        df = spark.range(4).select(
+            F.col("id").alias("doc_id"), F.lit("only").alias("host")
+        )
+        out = cap_per_group(df, "host", cap=10, id_col="doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 3]
+
+    def test_keep_best_ordering(self, spark) -> None:
+        """order_by keeps the BEST rows (quality DESC), id tiebreak."""
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.sampling import cap_per_group
+
+        rows = [(1, "h", 0.9), (2, "h", 0.1), (3, "h", 0.9), (4, "h", 0.5)]
+        df = spark.createDataFrame(rows, "doc_id long, host string, q double")
+        out = cap_per_group(
+            df, "host", cap=2, id_col="doc_id",
+            order_by=[F.col("q").desc()],
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    def test_bad_cap_raises(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.sampling import cap_per_group
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError):
+            cap_per_group(df.withColumn("host", df.doc_id % 2),
+                          "host", cap=0, id_col="doc_id")
+
+
 class TestRedactPII:
     def test_redacts_planted_pii(self, spark) -> None:
         from parsel_spark.functions.textstats import redact_pii
