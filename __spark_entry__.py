@@ -1197,6 +1197,49 @@ def q_stream_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP page-level layer (extract_canonical_links
+    respect_nofollow=True): per doc, four planted anchors — one
+    absolute canonical (kept), one rel="nofollow" (dropped), one
+    rel="NOFOLLOW external" (case + multi-token, dropped), one
+    rel="author me" relative link (kept and base-resolved) — and every
+    5th doc carries <meta name="ROBOTS" content="noindex, NOFOLLOW">
+    which suppresses ALL its links.  One fused ArrowEvalPython hop, no
+    second pass; the oracle states the survivor URL set in closed
+    form."""
+    from parsel_spark.functions.udfs import extract_canonical_links
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    hostbase = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)), F.lit(".test")
+    )
+    meta = F.when(
+        F.pmod(doc_id, F.lit(5)) == 0,
+        F.lit('<meta name="ROBOTS" content="noindex, NOFOLLOW">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="'), hostbase, F.lit("/a/"), doc_id, F.lit('">A</a>'),
+        F.lit('<a rel="nofollow" href="/b/'), doc_id, F.lit('">B</a>'),
+        F.lit('<a rel="NOFOLLOW external" href="/c/'), doc_id,
+        F.lit('">C</a>'),
+        F.lit('<a rel="author me" href="/d/'), doc_id, F.lit('">D</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(hostbase, F.lit("/page/"), doc_id).alias("url"),
+        html.alias("html"),
+    )
+    return pages.select(
+        "doc_id",
+        F.explode(
+            extract_canonical_links("html", "url", respect_nofollow=True)
+        ).alias("url"),
+    )
+
+
 def q_doc_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style per-host contribution cap
     (sampling.cap_per_group): at most 10 docs per synthesized host
@@ -1842,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "stream_url_filter": q_stream_url_filter,
         "doc_host_cap": q_doc_host_cap,
+        "crawl_nofollow_links": q_crawl_nofollow_links,
     }
 
 
@@ -3259,6 +3303,22 @@ def oracle_sql() -> dict[str, str]:
     # the streaming URL gate must produce the SAME rows as the batch
     # gate — one oracle, two execution models
     sql["stream_url_filter"] = sql["crawl_url_filter"]
+
+    # REP nofollow: survivors stated in closed form — the absolute
+    # canonical anchor and the base-resolved rel="author me" anchor of
+    # every doc WITHOUT the meta-robots nofollow (doc_id % 5 != 0)
+    sql["crawl_nofollow_links"] = f"""
+        WITH k AS (
+            SELECT doc_id,
+                   'http://docs-' || (doc_id % {N_DOC_HOSTS}) || '.test'
+                       AS hb
+            FROM documents
+            WHERE doc_id % 5 <> 0
+        )
+        SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
+        UNION ALL
+        SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
 
     # per-host cap: the EXACT row_number-over-unit-hash predicate
     sql["doc_host_cap"] = f"""

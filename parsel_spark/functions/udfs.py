@@ -285,15 +285,31 @@ def extract_links(column: Column | str) -> Column:
     return css_getall(column, "a::attr(href)")
 
 
+def _rel_tokens(value: str) -> set[str]:
+    """Lowercased token set of a ``rel`` / robots-directive attribute
+    (HTML rel is space-separated; robots meta content is
+    comma-separated — both tokenizations are accepted everywhere)."""
+    return set(value.lower().replace(",", " ").split())
+
+
 def extract_canonical_links(
     html_column: Column | str,
     base_url_column: Column | str,
     drop_css: str | None = None,
+    respect_nofollow: bool = False,
 ) -> Column:
     """FUSED hot path: parse + [optional ``drop_css`` node removal] +
     ``a::attr(href)`` + resolve-against-base + RFC-3986 canonicalization
     in ONE pandas UDF pass, returning ``ARRAY<STRING>`` of canonical
     URLs.
+
+    ``respect_nofollow=True`` applies the Robots Exclusion Protocol's
+    page-level layer (the public robots-meta/rel-nofollow convention
+    every polite crawler honors): a ``<meta name="robots">`` whose
+    content contains the ``nofollow`` directive suppresses ALL links of
+    that page, and any ``<a rel>`` containing the ``nofollow`` token
+    (case-insensitive, multi-token rel supported) is skipped.  Off by
+    default: the hot path stays the single compiled-CSS pass.
 
     Fusion matters at scale: the unfused plan round-trips every exploded
     href JVM→Python→JVM for the resolve UDF — at ~12 links/page that is
@@ -326,7 +342,26 @@ def extract_canonical_links(
                     if sel is None:
                         out.append([])
                         continue
-                hrefs = sel.css("a::attr(href)").getall()
+                if respect_nofollow:
+                    page_nofollow = False
+                    for m in sel.xpath("//meta[@content]"):
+                        name = (m.attrib.get("name") or "").strip().lower()
+                        if name == "robots" and "nofollow" in _rel_tokens(
+                            m.attrib.get("content") or ""
+                        ):
+                            page_nofollow = True
+                            break
+                    if page_nofollow:
+                        out.append([])
+                        continue
+                    hrefs = [
+                        a.attrib["href"]
+                        for a in sel.xpath("//a[@href]")
+                        if "nofollow"
+                        not in _rel_tokens(a.attrib.get("rel") or "")
+                    ]
+                else:
+                    hrefs = sel.css("a::attr(href)").getall()
                 resolved = []
                 for href in hrefs:
                     url = resolve_url(base, href)

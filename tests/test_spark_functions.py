@@ -193,6 +193,74 @@ def test_fused_extract_drop_css_single_python_hop(spark, pages) -> None:
         assert got[row["url"]] == expected
 
 
+class TestNofollowLinks:
+    def _extract(self, spark, rows):
+        from parsel_spark.functions.udfs import extract_canonical_links
+
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        return {
+            r["doc_id"]: list(r["links"])
+            for r in df.select(
+                "doc_id",
+                extract_canonical_links(
+                    "html", "url", respect_nofollow=True
+                ).alias("links"),
+            ).collect()
+        }
+
+    def test_rel_nofollow_tokens_dropped(self, spark) -> None:
+        """nofollow matches as a token, case-insensitively, inside
+        multi-token rel values; other rel values are kept."""
+        rows = [(
+            1, "http://h.test/p",
+            '<html><body>'
+            '<a href="http://x.test/a">A</a>'
+            '<a rel="nofollow" href="/b">B</a>'
+            '<a rel="NOFOLLOW external" href="/c">C</a>'
+            '<a rel="nofollower" href="/e">E</a>'
+            '<a rel="author me" href="/d">D</a>'
+            '</body></html>',
+        )]
+        got = self._extract(spark, rows)
+        assert got[1] == [
+            "http://x.test/a", "http://h.test/e", "http://h.test/d",
+        ]
+
+    def test_meta_robots_nofollow_suppresses_page(self, spark) -> None:
+        """<meta name=robots> containing the nofollow directive (any
+        case, comma-separated) drops ALL links; a non-robots meta or a
+        robots meta without nofollow does not."""
+        rows = [
+            (1, "http://h.test/p",
+             '<html><head><meta name="ROBOTS" content="noindex, NOFOLLOW">'
+             '</head><body><a href="/x">X</a></body></html>'),
+            (2, "http://h.test/p",
+             '<html><head><meta name="robots" content="noindex">'
+             '</head><body><a href="/x">X</a></body></html>'),
+            (3, "http://h.test/p",
+             '<html><head><meta name="description" content="nofollow">'
+             '</head><body><a href="/x">X</a></body></html>'),
+        ]
+        got = self._extract(spark, rows)
+        assert got[1] == []
+        assert got[2] == ["http://h.test/x"]
+        assert got[3] == ["http://h.test/x"]
+
+    def test_default_path_unchanged(self, spark) -> None:
+        """respect_nofollow defaults OFF: the hot path keeps every
+        anchor regardless of rel."""
+        from parsel_spark.functions.udfs import extract_canonical_links
+
+        rows = [(1, "http://h.test/p",
+                 '<html><body><a rel="nofollow" href="/b">B</a>'
+                 '</body></html>')]
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        r = df.select(
+            extract_canonical_links("html", "url").alias("links")
+        ).first()
+        assert list(r["links"]) == ["http://h.test/b"]
+
+
 class TestSampling:
     def test_hash_sample_deterministic_and_composable(self, spark) -> None:
         """Same rows on every run / partitioning; a 10%-of-50% sample is
