@@ -197,19 +197,29 @@ def politeness_dequeue(
     return dequeued, host_state_update(host_state, dequeued)
 
 
-def extract_wave_links(fetched: DataFrame) -> DataFrame:
+def extract_wave_links(
+    fetched: DataFrame, respect_nofollow: bool = False
+) -> DataFrame:
     """html → canonical link URLs (+xxhash64), via the FUSED
     parse/select/resolve/canonicalize pandas UDF — one Python pass per
     page, only the canonical url array crosses the JVM↔Python boundary
     (a mapInArrow variant with python-side explode measured ~15% slower:
     arrow→pylist marshalling beats pandas only for numeric payloads).
     Runs map-side against the fetch join output; the html column is
-    projected away before any shuffle."""
+    projected away before any shuffle.
+
+    ``respect_nofollow=True`` applies the REP page-level layer (meta
+    robots nofollow + ``<a rel=nofollow>`` token) inside the SAME fused
+    UDF — no extra pass, no plan change."""
     from ..functions.udfs import extract_canonical_links
 
     return (
         fetched.select(
-            F.explode(extract_canonical_links("html", "url")).alias("url")
+            F.explode(
+                extract_canonical_links(
+                    "html", "url", respect_nofollow=respect_nofollow
+                )
+            ).alias("url")
         )
         .select("url", F.xxhash64("url").alias("url_hash"))
     )

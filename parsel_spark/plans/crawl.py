@@ -80,6 +80,7 @@ class CrawlRun:
         pages_prepared: bool = False,
         robots_rules: dict | None = None,
         seen_check: str = "cogroup",
+        respect_nofollow: bool = False,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -111,6 +112,10 @@ class CrawlRun:
                 f"seen_check must be 'cogroup' or 'join', got {seen_check}"
             )
         self.seen_check = seen_check
+        # REP page-level layer in the wave's extract stage (meta robots
+        # nofollow + rel=nofollow tokens) — same fused UDF, off by
+        # default so the reference-ordering parity corpus is unchanged
+        self.respect_nofollow = respect_nofollow
         # pages_prepared=True: caller already bucketed the corpus
         # hash(url, frontier_partitions) (CrawlRun.prepare_pages) and
         # cached it — on a real cluster this is the corpus table's
@@ -445,7 +450,9 @@ class CrawlRun:
         page_hits = self._prepared_pages().join(
             dequeued.select("url").hint("SHUFFLE_HASH"), "url", "left_semi"
         )
-        links = fr.extract_wave_links(page_hits).withColumn(
+        links = fr.extract_wave_links(
+            page_hits, respect_nofollow=self.respect_nofollow
+        ).withColumn(
             "host", F.parse_url("url", F.lit("HOST"))
         )
         pending = None

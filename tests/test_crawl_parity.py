@@ -334,3 +334,60 @@ def test_resume_across_seen_check_modes(spark, corpus, oracle_result, tmp_path) 
         resumed.run(WAVES - 2)
         assert resumed.crawl_order() == oracle.crawl_order(), name
         assert resumed.seen_set() == oracle.seen_set(), name
+
+
+def test_respect_nofollow_prunes_discovery(spark, tmp_path) -> None:
+    """CrawlRun(respect_nofollow=True): a rel=nofollow anchor is never
+    discovered and a meta-robots-nofollow page contributes no links —
+    the default run crawls the full graph from the same corpus."""
+    from parsel_spark.plans.crawl import CrawlRun
+    from parsel_spark.sources.snapshots import SnapshotCatalog
+
+    def page(url, html):
+        return (url, None, 0, 0, "png", "", 0, url,
+                "a.test", html)
+
+    rows = [
+        page("http://a.test/s",
+             '<html><body><a href="/x">x</a>'
+             '<a rel="nofollow" href="/y">y</a></body></html>'),
+        page("http://a.test/x",
+             '<html><head><meta name="robots" content="nofollow"></head>'
+             '<body><a href="/z">z</a></body></html>'),
+        page("http://a.test/y",
+             '<html><body><a href="/w">w</a></body></html>'),
+        page("http://a.test/z", "<html><body>leaf</body></html>"),
+        page("http://a.test/w", "<html><body>leaf</body></html>"),
+    ]
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, url string, host string, "
+              "html string")
+    pages = spark.createDataFrame(rows, schema)
+    robots = spark.createDataFrame(
+        [("a.test", ["/"], [], 1.0, 10)],
+        "host string, allow_prefixes array<string>, "
+        "deny_prefixes array<string>, crawl_delay double, "
+        "max_fetch_per_wave int",
+    )
+    seeds = spark.createDataFrame(
+        [("http://a.test/s", 1.0, 0)], "url string, priority double, seq long"
+    )
+
+    polite = CrawlRun(
+        spark, SnapshotCatalog(str(tmp_path / "nf")), pages, robots,
+        num_shards=4, respect_nofollow=True,
+    )
+    polite.initialize(seeds)
+    polite.run(4)
+    assert polite.seen_set() == {"http://a.test/s", "http://a.test/x"}
+
+    full = CrawlRun(
+        spark, SnapshotCatalog(str(tmp_path / "full")), pages, robots,
+        num_shards=4,
+    )
+    full.initialize(seeds)
+    full.run(4)
+    assert full.seen_set() == {
+        "http://a.test/s", "http://a.test/x", "http://a.test/y",
+        "http://a.test/z", "http://a.test/w",
+    }
