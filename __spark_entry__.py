@@ -1492,7 +1492,12 @@ def q_stream_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one refill) through the applyInPandasWithState politeness gate.
     The oracle states the full composition in closed form: the DISTINCT
     planted targets per host, ranked by url, admitted while
-    rank ≤ floor(min(CAP, 1 + 1/delay)) = 2."""
+    rank ≤ floor(min(CAP, 1 + 1/delay)) = 2.
+
+    SCALE NOTE: the coalesce(1) exists ONLY to pin the trigger count so
+    the refill arithmetic is closed-form — the batch crawl loop
+    (plans/crawl.py) is the scale path; do not imitate the single-file
+    handoff at production volume."""
     import tempfile
 
     from parsel_spark.streaming.stream_crawl import (
