@@ -1240,6 +1240,42 @@ def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index composition (warc.cdx_index): simple
+    closed-form pages → WARC records → file-parallel scanner → CDX
+    rows.  The md5 digest is a BYTE-FIDELITY witness: it only matches
+    if the payload survives the WARC envelope + Content-Length unwrap
+    exactly, and DuckDB recomputes it over the independently
+    reconstructed html string.  (warc_file, record_offset) are the
+    re-fetch address — partition-layout-dependent, so they are checked
+    by the offset-addressing pytest, not the SQL oracle."""
+    import tempfile
+
+    from parsel_spark.sources.warc import cdx_index, read_warc, warc_record_col
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    hostbase = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)), F.lit(".test")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'), hostbase, F.lit("/a/"), doc_id,
+        F.lit('">A</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(hostbase, F.lit("/page/"), doc_id).alias("url"),
+        html.alias("html"),
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_cdx_q_")
+    warc_dir = os.path.join(tmp, "warc")
+    pages.select(warc_record_col().alias("value")).write.mode(
+        "overwrite"
+    ).text(warc_dir)
+    return cdx_index(read_warc(spark, warc_dir)).select(
+        "urlkey", "url", "digest", "length"
+    )
+
+
 def q_doc_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style per-host contribution cap
     (sampling.cap_per_group): at most 10 docs per synthesized host
@@ -1891,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_filter": q_stream_url_filter,
         "doc_host_cap": q_doc_host_cap,
         "crawl_nofollow_links": q_crawl_nofollow_links,
+        "warc_cdx_index": q_warc_cdx_index,
     }
 
 
@@ -3323,6 +3360,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
         UNION ALL
         SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
+
+    # CDX index: urlkey/digest/length reconstructed INDEPENDENTLY —
+    # DuckDB rebuilds the exact html string and re-hashes it, so a
+    # digest match proves byte-fidelity through the WARC envelope
+    sql["warc_cdx_index"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   'docs-' || (doc_id % {N_DOC_HOSTS}) || '.test' AS host,
+                   '<html><body><a href="http://docs-'
+                       || (doc_id % {N_DOC_HOSTS}) || '.test/a/' || doc_id
+                       || '">A</a></body></html>' AS html
+            FROM documents
+        )
+        SELECT 'test,docs-' || (doc_id % {N_DOC_HOSTS}) || ')/page/'
+                   || doc_id AS urlkey,
+               'http://' || host || '/page/' || doc_id AS url,
+               md5(html) AS digest,
+               strlen(html)::BIGINT AS length
+        FROM p
     """
 
     # per-host cap: the EXACT row_number-over-unit-hash predicate

@@ -210,3 +210,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         scan, schema=WARC_OUT_SCHEMA
     )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style capture index (the public Common-Crawl/OpenWayback
+    convention) over ``read_warc`` output: ``urlkey`` = SURT key,
+    ``digest`` = md5 of the payload octets (byte-fidelity witness for
+    the envelope/unwrap roundtrip), ``length`` = payload octet length,
+    plus the ``(warc_file, record_offset)`` re-fetch address the
+    scanner surfaces.  Pure JVM column algebra — map-only over the
+    scan.
+
+    At 100 TB: write sorted by ``urlkey`` (range-partition +
+    ``sortWithinPartitions``) to get the binary-searchable per-shard
+    index files the public convention expects; this function leaves
+    ordering to the writer so the scan stays shuffle-free."""
+    from ..functions.urlfilter import surt_key
+
+    return records.select(
+        surt_key("url").alias("urlkey"),
+        "url",
+        F.md5(F.encode("html", "UTF-8")).alias("digest"),
+        F.octet_length("html").cast("long").alias("length"),
+        "warc_file",
+        "record_offset",
+    )

@@ -188,3 +188,36 @@ def test_write_warc_sink_roundtrip(spark, tmp_path) -> None:
     write_warc(df, out)
     back = {(r["url"], r["html"]) for r in read_warc(spark, out).collect()}
     assert back == set(rows)
+
+
+def test_cdx_index_digest_and_address(spark, tmp_path) -> None:
+    """cdx_index rows: urlkey is the SURT of the record URL, digest is
+    md5 of the exact payload octets, and (warc_file, record_offset)
+    addresses a WARC/ record header whose Target-URI is that URL."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parsel_spark.sources.warc import cdx_index, read_warc, warc_record_col
+
+    rows = [
+        ("http://www.Ex.test/A/1", "<html><body>one</body></html>"),
+        ("http://ex.test/b?Q=2", "<html><body>two</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    warc_dir = str(tmp_path / "warc")
+    pages.coalesce(1).select(warc_record_col().alias("value")).write.text(
+        warc_dir
+    )
+    out = {r["url"]: r for r in cdx_index(read_warc(spark, warc_dir)).collect()}
+    assert out["http://www.Ex.test/A/1"]["urlkey"] == "test,ex)/a/1"
+    assert out["http://ex.test/b?Q=2"]["urlkey"] == "test,ex)/b?q=2"
+    for url, html in rows:
+        r = out[url]
+        assert r["digest"] == hashlib.md5(html.encode()).hexdigest()
+        assert r["length"] == len(html.encode())
+        with open(r["warc_file"].replace("file:", ""), "rb") as fh:
+            fh.seek(r["record_offset"])
+            chunk = fh.read(400)
+        assert chunk.startswith(b"WARC/")
+        assert f"WARC-Target-URI: {url}".encode() in chunk
