@@ -1240,6 +1240,36 @@ def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter strip (urlfilter.strip_tracking_params):
+    four planted URL shapes per doc — no query / only-tracking /
+    tracking-mixed-with-real / real-plus-trailing-tracking — and the
+    oracle REPLAYS the split→filter→rejoin algebra with DuckDB's
+    independent list_filter + regexp lambda over the same pattern."""
+    from parsel_spark.functions.urlfilter import strip_tracking_params
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+        F.lit(".test/p/"), doc_id,
+    )
+    v = F.pmod(doc_id, F.lit(4))
+    url = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("?utm_source=s"), doc_id))
+        .when(v == 2, F.concat(
+            base, F.lit("?utm_campaign=c&id="), doc_id, F.lit("&fbclid=f&b=2")
+        ))
+        .otherwise(F.concat(base, F.lit("?id="), doc_id, F.lit("&gclid=g")))
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        strip_tracking_params(url).alias("clean_url"),
+    )
+
+
 def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture-index composition (warc.cdx_index): simple
     closed-form pages → WARC records → file-parallel scanner → CDX
@@ -1928,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_host_cap": q_doc_host_cap,
         "crawl_nofollow_links": q_crawl_nofollow_links,
         "warc_cdx_index": q_warc_cdx_index,
+        "crawl_strip_tracking": q_crawl_strip_tracking,
     }
 
 
@@ -3360,6 +3391,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
         UNION ALL
         SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
+
+    # tracking-param strip: DuckDB's list_filter lambda replays the
+    # split -> filter -> rejoin algebra over the SAME anchored pattern
+    sql["crawl_strip_tracking"] = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS base,
+                   doc_id % 4 AS v
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   CASE v
+                       WHEN 0 THEN base
+                       WHEN 1 THEN base || '?utm_source=s' || doc_id
+                       WHEN 2 THEN base || '?utm_campaign=c&id=' || doc_id
+                                        || '&fbclid=f&b=2'
+                       ELSE base || '?id=' || doc_id || '&gclid=g'
+                   END AS url,
+                   base
+            FROM u
+        ), s AS (
+            SELECT doc_id, url, base,
+                   -- duckdb's array_to_string([]) is NULL, not '' —
+                   -- coalesce INSIDE the branch so no-query urls keep
+                   -- their NULL marker
+                   CASE WHEN contains(url, '?') THEN coalesce(
+                       array_to_string(
+                           list_filter(
+                               str_split(split_part(url, '?', 2), '&'),
+                               p -> NOT regexp_matches(
+                                   split_part(p, '=', 1),
+                                   '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)$')
+                           ), '&'), '')
+                   END AS q
+            FROM w
+        )
+        SELECT doc_id, url,
+               CASE WHEN q IS NULL THEN url
+                    WHEN q = '' THEN base
+                    ELSE base || '?' || q END AS clean_url
+        FROM s
     """
 
     # CDX index: urlkey/digest/length reconstructed INDEPENDENTLY —

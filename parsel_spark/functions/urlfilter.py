@@ -174,3 +174,37 @@ def surt_key(url_col: Column | str, strip_www: bool = True) -> Column:
         path,
         F.coalesce(F.concat(F.lit("?"), query), F.lit("")),
     )
+
+
+#: the public tracking-parameter families every crawler's canonicalizer
+#: strips (Google Analytics utm_*, Facebook fbclid, Google Ads gclid,
+#: Microsoft msclkid, Mailchimp mc_eid) — key-exact, case-sensitive
+#: (the trackers emit them lowercase; unknown cases are left alone)
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)$"
+
+
+def strip_tracking_params(url_col: Column | str) -> Column:
+    """URL with tracking query parameters removed — the crawl-identity
+    normalization that stops ``?utm_source=…`` variants from inflating
+    a 10^10-URL frontier with duplicate crawl targets.  Non-tracking
+    parameters keep their original order and encoding; a query that
+    becomes empty drops its ``?``; URLs without a query pass through
+    unchanged.  Pure JVM higher-order-function algebra (split → filter
+    → rejoin), map-only, whole-stage-codegen friendly — composes
+    before :func:`parsel_spark.functions.canonical.canonicalize_url`
+    (which then sorts/re-encodes the survivors)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    base = F.substring_index(col, "?", 1)
+    query = F.parse_url(col, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~F.element_at(F.split(p, "="), 1).rlike(
+            TRACKING_PARAM_PATTERN
+        ),
+    )
+    newq = F.array_join(kept, "&")
+    return (
+        F.when(query.isNull(), col)
+        .when(newq == "", base)
+        .otherwise(F.concat(base, F.lit("?"), newq))
+    )

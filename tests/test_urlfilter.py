@@ -165,3 +165,25 @@ class TestUrlFilterFlags:
         # never exchanges); a shuffled join anywhere breaks the shape
         assert plan.count("BroadcastHashJoin") == 4, plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+class TestStripTrackingParams:
+    def test_shapes(self, spark) -> None:
+        """No-query passthrough; all-tracking drops the '?'; mixed
+        keeps survivors in order; unknown-case keys are left alone."""
+        from parsel_spark.functions.urlfilter import strip_tracking_params
+
+        cases = {
+            "http://a.test/p": "http://a.test/p",
+            "http://a.test/p?utm_source=x": "http://a.test/p",
+            "http://a.test/p?utm_campaign=c&id=5&fbclid=z&b=2":
+                "http://a.test/p?id=5&b=2",
+            "http://a.test/p?id=5&gclid=g": "http://a.test/p?id=5",
+            "http://a.test/p?UTM_SOURCE=x": "http://a.test/p?UTM_SOURCE=x",
+            "http://a.test/p?ref=x&mc_eid=m": "http://a.test/p?ref=x",
+        }
+        df = spark.createDataFrame([(u,) for u in cases], "url string")
+        got = {r["url"]: r["c"] for r in
+               df.select("url", strip_tracking_params("url").alias("c"))
+               .collect()}
+        assert got == cases
