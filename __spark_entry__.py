@@ -1240,6 +1240,28 @@ def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_char_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained rare-gram gibberish signal
+    (textstats.char_gram_coverage, n=3, min_df=2): every 10th doc gets
+    a PLANTED deterministic gibberish suffix (doc-unique trigrams —
+    df=1 by construction, so those occurrences provably drag coverage
+    below the clean docs').  The oracle replays the ENTIRE computation
+    — trigram explode, document-frequency table, threshold, left join,
+    per-doc integer fraction — in ANSI SQL."""
+    from parsel_spark.functions.textstats import char_gram_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    gib = F.when(
+        F.pmod(doc_id, F.lit(10)) == 0,
+        F.concat(F.lit(" qz"), doc_id, F.lit("xj"), doc_id, F.lit("vq")),
+    ).otherwise(F.lit(""))
+    prepared = docs.select(
+        "doc_id", F.concat(F.col("text"), gib).alias("text")
+    )
+    return char_gram_coverage(prepared, "text", "doc_id", n=3, min_df=2)
+
+
 def q_crawl_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter strip (urlfilter.strip_tracking_params):
     four planted URL shapes per doc — no query / only-tracking /
@@ -1959,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_nofollow_links": q_crawl_nofollow_links,
         "warc_cdx_index": q_warc_cdx_index,
         "crawl_strip_tracking": q_crawl_strip_tracking,
+        "doc_char_gram_coverage": q_doc_char_gram_coverage,
     }
 
 
@@ -3391,6 +3414,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
         UNION ALL
         SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
+
+    # rare-gram coverage: the full train+score computation replayed —
+    # trigram explode, df table, threshold, join, integer fraction
+    sql["doc_char_gram_coverage"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 10 = 0
+                                THEN ' qz' || doc_id || 'xj' || doc_id
+                                     || 'vq'
+                                ELSE '' END AS text
+            FROM documents
+        ), g AS (
+            SELECT p.doc_id, substr(p.text, gs.i, 3) AS gram
+            FROM p, LATERAL (
+                SELECT unnest(generate_series(1, length(p.text) - 2)) AS i
+            ) gs
+        ), dfx AS (
+            SELECT gram
+            FROM (SELECT gram, count(DISTINCT doc_id) AS df
+                  FROM g GROUP BY gram)
+            WHERE df >= 2
+        ), scored AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_common
+            FROM g LEFT JOIN dfx d ON g.gram = d.gram
+            GROUP BY g.doc_id
+        )
+        SELECT doc.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.n_common, 0) AS n_common,
+               round(s.n_common::DOUBLE / s.n_grams, 9) AS coverage
+        FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id
     """
 
     # tracking-param strip: DuckDB's list_filter lambda replays the

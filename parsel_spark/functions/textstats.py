@@ -225,3 +225,71 @@ def gopher_quality_flags(
         ok_sym.alias("ok_symbol_ratio"),
         keep.alias("keep"),
     ]
+
+
+def char_ngrams(text_col: str | Column = "text", n: int = 3) -> Column:
+    """ARRAY of the text's character n-grams (all positions, with
+    multiplicity) — pure JVM ``sequence`` + ``transform`` HOFs, no
+    Python.  Empty/short texts yield an empty array."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        F.length(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_gram_coverage(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+):
+    """Corpus-trained gibberish signal (CCNet-lineage rare-gram idea,
+    Wenzek et al. LREC 2020, reduced to integer-exact form): per doc,
+    the fraction of its character-n-gram OCCURRENCES whose corpus
+    DOCUMENT frequency is ≥ ``min_df``.  Natural text is built from
+    grams the corpus keeps reusing, so clean docs score near 1 while
+    mojibake / random-key-mash / binary-leak docs score low — a
+    model-free stand-in for the LM-perplexity filter (no LM libs
+    in-sandbox), and exactly replayable cross-engine because every
+    intermediate is an integer count.
+
+    Shape at 100 TB: grams explode map-side (JVM HOFs, no Python), ONE
+    map-side-combined groupBy for the df table (bounded by charset^n,
+    broadcastable), broadcast join back, ONE per-doc aggregation.
+    Train the df table on a :func:`sampling.hash_sample` of the corpus
+    at production scale; scoring stays map-side + one doc-keyed agg.
+
+    Returns (id_col, n_grams, n_common, coverage) — coverage NULL for
+    docs with no grams (shorter than n)."""
+    grams = docs.select(
+        id_col, F.explode(char_ngrams(text_col, n)).alias("gram")
+    )
+    df_table = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    common = F.broadcast(df_table.withColumn("is_common", F.lit(1)))
+    scored = (
+        grams.join(common, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("is_common"), F.lit(0)).alias("n_common"),
+        )
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_grams"), 9
+        ).alias("coverage"),
+    )

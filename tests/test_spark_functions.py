@@ -702,3 +702,41 @@ class TestMixturePlanning:
             mixture_sampling_rates(mix, {"s": 1.0}, token_budget=0)
         with _pytest.raises(ValueError):
             mixture_sampling_rates(mix, {"s": 0.0}, token_budget=10)
+
+
+class TestCharGramCoverage:
+    def test_gibberish_scores_below_clean(self, spark) -> None:
+        """Docs sharing natural trigrams score 1.0; a doc whose text is
+        unique-by-construction scores 0; a mixed doc lands between."""
+        from parsel_spark.functions.textstats import char_gram_coverage
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "qzQ17xjW93vqK5"),
+            (4, "the cat qzW7vK"),
+            (5, "ab"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               char_gram_coverage(df, "text", "doc_id").collect()}
+        assert got[1]["coverage"] >= 0.85
+        assert got[2]["coverage"] >= 0.85
+        assert got[3]["coverage"] == 0.0
+        assert 0.0 < got[4]["coverage"] < got[1]["coverage"]
+        assert got[5]["n_grams"] == 0 and got[5]["coverage"] is None
+
+    def test_counts_exact_on_tiny_corpus(self, spark) -> None:
+        """Hand-counted: 'aaaa' x2 docs -> grams ['aaa','aaa'] each,
+        df(aaa)=2 >= 2 -> coverage 1.0 with n_grams=2."""
+        from parsel_spark.functions.textstats import char_gram_coverage
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "aaaa")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in
+               char_gram_coverage(df, "text", "doc_id").collect()}
+        for i in (1, 2):
+            assert got[i]["n_grams"] == 2
+            assert got[i]["n_common"] == 2
+            assert got[i]["coverage"] == 1.0
