@@ -1240,6 +1240,42 @@ def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling (frontier.recrawl_due, Cho &
+    Garcia-Molina revisit-policy shape): synthesized catalog states
+    exercise every branch — never-fetched (doc_id%7==0),
+    changed-after-fetch (doc_id%3==0 among the dated), exponential
+    backoff with the overflow-safe clamp (unchanged_count 0..11 against
+    min=100s/max=10000s), elapsed spanning both sides of the interval.
+    now_ts is a pinned literal (the operator takes it as an argument —
+    never wall clock), so the oracle replays the integer algebra
+    exactly."""
+    from parsel_spark.operators.frontier import recrawl_due
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    lf = F.when(
+        F.pmod(doc_id, F.lit(7)) != 0,
+        (F.lit(900000) + F.pmod(doc_id * 37, F.lit(59900))).cast("long"),
+    )
+    lc = F.when(
+        F.pmod(doc_id, F.lit(5)) != 0,
+        F.when(F.pmod(doc_id, F.lit(3)) == 0, lf + 50).otherwise(lf - 50),
+    )
+    state = docs.select(
+        F.concat(
+            F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+            F.lit(".test/p/"), doc_id,
+        ).alias("url"),
+        lf.alias("last_fetch_ts"),
+        lc.alias("last_change_ts"),
+        F.pmod(doc_id, F.lit(12)).cast("int").alias("unchanged_count"),
+    )
+    return recrawl_due(
+        state, now_ts=960000, min_interval_s=100, max_interval_s=10000
+    )
+
+
 def q_doc_char_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained rare-gram gibberish signal
     (textstats.char_gram_coverage, n=3, min_df=2): every 10th doc gets
@@ -1982,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_index": q_warc_cdx_index,
         "crawl_strip_tracking": q_crawl_strip_tracking,
         "doc_char_gram_coverage": q_doc_char_gram_coverage,
+        "crawl_recrawl_due": q_crawl_recrawl_due,
     }
 
 
@@ -3414,6 +3451,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
         UNION ALL
         SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
+
+    # adaptive revisit: the exact integer backoff algebra replayed
+    # (shift-left clamp exponent = bit_length(max/min) = 7 here)
+    sql["crawl_recrawl_due"] = f"""
+        WITH s AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 900000 + (doc_id * 37) % 59900 END
+                       AS last_fetch_ts,
+                   doc_id
+            FROM documents
+        ), t AS (
+            SELECT url, last_fetch_ts,
+                   CASE WHEN doc_id % 5 <> 0 THEN
+                       CASE WHEN doc_id % 3 = 0 THEN last_fetch_ts + 50
+                            ELSE last_fetch_ts - 50 END
+                   END AS last_change_ts,
+                   (doc_id % 12)::INT AS unchanged_count
+            FROM s
+        ), u AS (
+            SELECT *,
+                   least(100 * (1::BIGINT
+                       << least(unchanged_count, 7)), 10000)
+                       AS interval_s
+            FROM t
+        )
+        SELECT url, last_fetch_ts, last_change_ts, unchanged_count,
+               interval_s,
+               (last_fetch_ts IS NULL
+                OR (last_change_ts IS NOT NULL
+                    AND last_change_ts > last_fetch_ts)
+                OR (960000 - last_fetch_ts >= interval_s)) AS due,
+               CASE WHEN NOT (last_fetch_ts IS NULL
+                        OR (last_change_ts IS NOT NULL
+                            AND last_change_ts > last_fetch_ts)
+                        OR (960000 - last_fetch_ts >= interval_s))
+                    THEN 0
+                    WHEN last_fetch_ts IS NULL THEN 960000
+                    ELSE greatest(960000 - last_fetch_ts - interval_s, 0)
+               END AS overdue_s
+        FROM u
     """
 
     # rare-gram coverage: the full train+score computation replayed —

@@ -721,3 +721,73 @@ def host_quality_priority(
     return rated.withColumn(
         "priority_rank", F.rank().over(rank_w).cast("long")
     )
+
+
+def recrawl_due(
+    state: DataFrame,
+    now_ts: int,
+    min_interval_s: int = 86400,
+    max_interval_s: int = 30 * 86400,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adaptive revisit scheduling (the public Cho & Garcia-Molina
+    revisit-policy shape: frequently-changing pages revisit often,
+    static pages back off exponentially).  Input: one row per known URL
+    with ``last_fetch_ts`` (epoch seconds, NULL = never fetched),
+    ``last_change_ts`` (last observed content change, NULL = unknown)
+    and ``unchanged_count`` (consecutive unchanged revisits).  Output
+    adds:
+
+    * ``interval_s`` — ``clamp(min_interval_s * 2^unchanged_count,
+      min, max)``, integer-exact (shifts, no floats);
+    * ``due`` — never fetched, OR a change was observed after the last
+      fetch (sitemap ``lastmod`` / ETag feeds ``last_change_ts``), OR
+      the backoff interval has elapsed;
+    * ``overdue_s`` — seconds past due (0 when not due): the natural
+      priority column for :func:`politeness_window`'s ordering.
+
+    Pure map-side column algebra over the catalog table — no shuffle;
+    at 10^10 URLs the due-set filter pushes down to the scan and only
+    due rows enter the wave.  ``now_ts`` is an explicit argument (never
+    wall clock) so runs are deterministic and resumable."""
+    if min_interval_s < 1 or max_interval_s < min_interval_s:
+        raise ValueError(
+            f"need 1 <= min_interval_s <= max_interval_s, got "
+            f"{min_interval_s}, {max_interval_s}"
+        )
+    last_fetch = F.col("last_fetch_ts")
+    last_change = F.col("last_change_ts")
+    # 2^unchanged_count via shiftleft, capped BEFORE the multiply so a
+    # deep backoff cannot overflow: counts beyond the cap's exponent
+    # all clamp to max_interval_s
+    max_exp = int(max(0, (max_interval_s // min_interval_s))).bit_length()
+    # SQL shiftleft accepts a column bit count (the python DSL wrapper
+    # does not) — both engines replay this exact integer expression
+    interval = F.least(
+        F.lit(min_interval_s).cast("long")
+        * F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"least(unchanged_count, {max_exp}))"
+        ),
+        F.lit(max_interval_s).cast("long"),
+    )
+    elapsed = F.lit(now_ts).cast("long") - last_fetch
+    due = (
+        last_fetch.isNull()
+        | (last_change.isNotNull() & (last_change > last_fetch))
+        | (elapsed >= interval)
+    )
+    overdue = F.when(
+        last_fetch.isNull(), F.lit(now_ts).cast("long")
+    ).otherwise(F.greatest(elapsed - interval, F.lit(0).cast("long")))
+    return state.select(
+        url_col,
+        "last_fetch_ts",
+        "last_change_ts",
+        "unchanged_count",
+        interval.alias("interval_s"),
+        due.alias("due"),
+        F.when(due, overdue).otherwise(F.lit(0).cast("long")).alias(
+            "overdue_s"
+        ),
+    )

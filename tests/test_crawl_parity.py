@@ -391,3 +391,59 @@ def test_respect_nofollow_prunes_discovery(spark, tmp_path) -> None:
         "http://a.test/s", "http://a.test/x", "http://a.test/y",
         "http://a.test/z", "http://a.test/w",
     }
+
+
+def test_recrawl_due_branches(spark) -> None:
+    """Never-fetched always due; change-after-fetch due regardless of
+    backoff; unchanged pages back off exponentially with the interval
+    clamped at max; overdue_s is 0 for not-due rows."""
+    from parsel_spark.operators.frontier import recrawl_due
+
+    rows = [
+        # url, last_fetch, last_change, unchanged_count
+        ("u-never", None, None, 0),
+        ("u-changed", 1000, 1500, 10),     # change after fetch -> due
+        ("u-fresh", 1900, 1800, 0),        # elapsed 100 < 100*2^0? ==
+        ("u-backoff", 1000, 900, 3),       # interval 800, elapsed 1000
+        ("u-deep", 1000, 900, 60),         # clamp: interval = max
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, last_fetch_ts long, last_change_ts long, "
+        "unchanged_count int",
+    )
+    out = {r["url"]: r for r in
+           recrawl_due(df, now_ts=2000, min_interval_s=100,
+                       max_interval_s=1600).collect()}
+    assert out["u-never"]["due"] and out["u-never"]["overdue_s"] == 2000
+    assert out["u-changed"]["due"]
+    # elapsed 100 >= interval 100 -> due exactly at the boundary
+    assert out["u-fresh"]["due"] and out["u-fresh"]["overdue_s"] == 0
+    assert out["u-backoff"]["interval_s"] == 800
+    assert out["u-backoff"]["due"]
+    assert out["u-backoff"]["overdue_s"] == 200
+    assert out["u-deep"]["interval_s"] == 1600  # clamped, no overflow
+    assert not out["u-deep"]["due"]  # elapsed 1000 < clamped 1600
+    assert out["u-deep"]["overdue_s"] == 0
+
+    not_due = recrawl_due(
+        df, now_ts=1100, min_interval_s=100, max_interval_s=1600
+    )
+    nd = {r["url"]: r for r in not_due.collect()}
+    assert not nd["u-backoff"]["due"] and nd["u-backoff"]["overdue_s"] == 0
+
+
+def test_recrawl_due_bad_intervals_raise(spark) -> None:
+    import pytest as _pytest
+
+    from parsel_spark.operators.frontier import recrawl_due
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, 0)],
+        "url string, last_fetch_ts long, last_change_ts long, "
+        "unchanged_count int",
+    )
+    with _pytest.raises(ValueError):
+        recrawl_due(df, now_ts=10, min_interval_s=0)
+    with _pytest.raises(ValueError):
+        recrawl_due(df, now_ts=10, min_interval_s=100, max_interval_s=50)
