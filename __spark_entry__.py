@@ -1867,6 +1867,22 @@ def _synth_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-level image dedup (multimodal.caption_dedup): the
+    planted repeated captions (every 19th doc ' img ', every 23rd
+    'photograph' — note the normalization merges ' img ' with any
+    'IMG'-cased variant) form large groups whose best-resolution
+    member (integer-area argmax, image_id ASC tiebreak) is the kept
+    rep; unique captions are their own reps.  The oracle replays key,
+    group count and the row_number argmax in ANSI SQL."""
+    from parsel_spark.operators.multimodal import caption_dedup
+
+    imgs = _synth_image_caption_table(spark, sf_dir)
+    return caption_dedup(imgs).select(
+        "image_id", "caption_key", "group_n", "is_rep"
+    )
+
+
 def q_img_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing (multimodal.aspect_bucket): every image
     snaps to the nearest ladder aspect via the INTEGER-EXACT argmin
@@ -2019,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_strip_tracking": q_crawl_strip_tracking,
         "doc_char_gram_coverage": q_doc_char_gram_coverage,
         "crawl_recrawl_due": q_crawl_recrawl_due,
+        "img_caption_dedup": q_img_caption_dedup,
     }
 
 
@@ -3451,6 +3468,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hb || '/a/' || doc_id AS url FROM k
         UNION ALL
         SELECT doc_id, hb || '/d/' || doc_id AS url FROM k
+    """
+
+    # caption dedup: key, group count and the area argmax replayed
+    sql["img_caption_dedup"] = """
+        WITH img AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   (doc_id*40503 + 17) % 2048 + 16 AS w,
+                   (doc_id*69069 + 5) % 2048 + 16 AS h,
+                   CASE WHEN doc_id % 19 = 0 THEN ' img '
+                        WHEN doc_id % 23 = 0 THEN 'photograph'
+                        ELSE substring(text, 1, 180) END AS caption
+            FROM documents
+        ), k AS (
+            SELECT image_id, w, h,
+                   md5(trim(lower(caption))) AS caption_key
+            FROM img
+        )
+        SELECT image_id, caption_key,
+               count(*) OVER (PARTITION BY caption_key) AS group_n,
+               (row_number() OVER (PARTITION BY caption_key
+                                   ORDER BY w*h DESC, image_id ASC) = 1)
+                   AS is_rep
+        FROM k
     """
 
     # adaptive revisit: the exact integer backoff algebra replayed

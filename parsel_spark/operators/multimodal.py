@@ -379,3 +379,37 @@ def aspect_bucket_stats(
             F.sum("__px").cast("long").alias("total_pixels"),
         )
     )
+
+
+def caption_dedup(
+    images: DataFrame,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Caption-level image dedup (the LAION-style curation step AFTER
+    pixel-level phash dedup): images sharing a normalized caption
+    (trim + lowercase, md5 group key) are one training pair — keep the
+    highest-resolution copy (integer-area argmax, ``id_col`` ASC
+    tiebreak so the winner is total-ordered and engine-replayable).
+
+    Returns every input row plus ``(caption_key, group_n, is_rep)`` —
+    callers filter ``is_rep`` for the deduped set or inspect group
+    sizes for stats.  ONE hash exchange on the 16-byte key + an
+    in-partition window; the image ``bytes`` column (if present) rides
+    untouched and never shuffles wider than its group."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.trim(F.lower(F.col(caption_col))))
+    with_key = images.withColumn("caption_key", key)
+    w = Window.partitionBy("caption_key")
+    order = Window.partitionBy("caption_key").orderBy(
+        (F.col(w_col) * F.col(h_col)).desc(), F.col(id_col).asc()
+    )
+    return (
+        with_key.withColumn("group_n", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(order))
+        .withColumn("is_rep", F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -235,3 +235,35 @@ class TestAspectBuckets:
 
         with pytest.raises(ValueError):
             aspect_bucket("w", "h", ladder=[])
+
+
+class TestCaptionDedup:
+    def test_groups_and_reps(self, spark) -> None:
+        """Normalized-caption groups keep the largest-area member;
+        case/whitespace variants merge; unique captions self-rep."""
+        from parsel_spark.operators.multimodal import caption_dedup
+
+        rows = [
+            ("a", 100, 100, "A Cat"),
+            ("b", 200, 200, "  a cat "),   # same group, bigger -> rep
+            ("c", 150, 150, "a cat"),
+            ("d", 10, 10, "a dog"),        # unique -> rep
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, w long, h long, caption string"
+        )
+        out = {r["image_id"]: r for r in caption_dedup(df).collect()}
+        assert out["a"]["group_n"] == 3 and not out["a"]["is_rep"]
+        assert out["b"]["is_rep"]
+        assert not out["c"]["is_rep"]
+        assert out["d"]["group_n"] == 1 and out["d"]["is_rep"]
+
+    def test_tie_breaks_on_id(self, spark) -> None:
+        from parsel_spark.operators.multimodal import caption_dedup
+
+        rows = [("y", 50, 50, "t"), ("x", 50, 50, "t")]
+        df = spark.createDataFrame(
+            rows, "image_id string, w long, h long, caption string"
+        )
+        out = {r["image_id"]: r["is_rep"] for r in caption_dedup(df).collect()}
+        assert out == {"x": True, "y": False}
