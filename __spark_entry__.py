@@ -1867,6 +1867,25 @@ def _synth_image_caption_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (decontam.semantic_decontaminate, LSH
+    scale path): eval set = every 25th embedding, so those rows are
+    guaranteed planted positives (self-similarity 1.0 in their own
+    bucket) while the rest are flagged only if a genuine
+    above-threshold neighbor shares their bucket.  Same deterministic
+    hyperplane family as the kNN/near-dup rows; the oracle embeds the
+    planes as literals and replays bucket → candidate join → rounded
+    max-cosine → threshold in full."""
+    from parsel_spark.operators.decontam import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    eval_set = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+    return semantic_decontaminate(
+        emb, eval_set, threshold=0.30, method="lsh",
+        n_planes=6, dim=64, seed=42, round_to=4,
+    )
+
+
 def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-level image dedup (multimodal.caption_dedup): the
     planted repeated captions (every 19th doc ' img ', every 23rd
@@ -2036,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_gram_coverage": q_doc_char_gram_coverage,
         "crawl_recrawl_due": q_crawl_recrawl_due,
         "img_caption_dedup": q_img_caption_dedup,
+        "emb_semantic_decontam": q_emb_semantic_decontam,
     }
 
 
@@ -3228,6 +3248,33 @@ def oracle_sql() -> dict[str, str]:
     # multi-probe: the query bucket plus its hamming-1 neighbors (one
     # bucket-bit away = just across one hyperplane) — replays the Spark
     # plan's bit_count(xor) <= 1 probe-set predicate
+    # semantic decontam: bucket both sides, candidates per bucket,
+    # rounded max-cosine vs the eval subset (vec_id % 25)
+    sql["emb_semantic_decontam"] = f"""
+        WITH planes(p, vec) AS (
+            VALUES {plane_rows}
+        ), b AS (
+            SELECT e.vec_id, e.embedding,
+                   sum(CASE WHEN {_dot("e.embedding", "p.vec")} > 0
+                            THEN (1 << p.p) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding
+        ), ev AS (
+            SELECT * FROM b WHERE vec_id % 25 = 0
+        ), cand AS (
+            SELECT t.vec_id,
+                   max(round({_dot("t.embedding", "e.embedding")}
+                             / ({_norm("t.embedding")}
+                                * {_norm("e.embedding")}), 4) + 0.0)
+                       AS max_sim
+            FROM b t JOIN ev e ON t.bucket = e.bucket
+            GROUP BY t.vec_id
+        )
+        SELECT em.vec_id, c.max_sim,
+               coalesce(c.max_sim >= 0.30, false) AS contaminated
+        FROM embeddings em LEFT JOIN cand c ON em.vec_id = c.vec_id
+    """
+
     sql["emb_knn_lsh"] = f"""
         WITH planes(p, vec) AS (
             VALUES {plane_rows}

@@ -135,3 +135,62 @@ def decontaminate(
         .otherwise(frac >= threshold)
         .alias("contaminated"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space
+    complement of the n-gram :func:`decontaminate` (paraphrased
+    benchmark leakage that shares no 8-gram still sits next to the
+    eval item in embedding space; every public contamination audit
+    runs both checks).  Flags each training row whose max cosine
+    similarity against any eval embedding reaches ``threshold``.
+
+    ``method='lsh'`` (DEFAULT — the 100 TB path): both sides hash into
+    random-hyperplane buckets (the same family as
+    ``embedding_near_dup_pairs``), candidates join per bucket, exact
+    cosine verifies candidates only — never train × eval all-pairs.
+    ``method='broadcast'``: exact max-sim against the broadcast eval
+    set (guaranteed recall; right while the eval set fits an executor,
+    which benchmark suites do).
+
+    Returns one row PER TRAIN ROW: ``(id_col, max_sim, contaminated)``
+    — ``max_sim`` is the best similarity among candidates (NULL when
+    LSH produced no candidate; such rows are not contaminated).
+    Cosine is rounded to ``round_to`` BEFORE the max so both engines
+    aggregate identical values."""
+    from .similarity import cosine, hyperplanes, lsh_bucket
+
+    if method not in ("lsh", "broadcast"):
+        raise ValueError(f"method must be 'lsh' or 'broadcast', got {method}")
+    ev = eval_embeddings.select(
+        F.col(id_col).alias("__ev_id"), F.col("embedding").alias("__ev_emb")
+    )
+    if method == "lsh":
+        planes = hyperplanes(dim, n_planes, seed)
+        t = train.withColumn("block", lsh_bucket(F.col("embedding"), planes))
+        e = F.broadcast(
+            ev.withColumn("block", lsh_bucket(F.col("__ev_emb"), planes))
+        )
+        cand = t.join(e, "block")
+    else:
+        cand = train.crossJoin(F.broadcast(ev))
+    sim = F.round(cosine("embedding", "__ev_emb"), round_to) + F.lit(0.0)
+    best = cand.groupBy(id_col).agg(F.max(sim).alias("max_sim"))
+    out = train.select(id_col).join(best, id_col, "left")
+    return out.select(
+        id_col,
+        "max_sim",
+        F.coalesce(F.col("max_sim") >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
