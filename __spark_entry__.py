@@ -1276,6 +1276,49 @@ def q_crawl_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
+    d=0.85) over a deterministic host graph synthesized from documents:
+    each doc emits 3 out-links 'h{doc_id%40}' -> 'h{(7*doc_id +
+    doc_id div 7 + 11k) % 40}' (k=0..2; the div term varies dst WITHIN
+    a src so hosts get real fan-out), every 11th doc also links to
+    'sink' which has NO out-edges — the dangling-mass branch is
+    provably exercised.  Edges are distinct (simple graph).  The oracle
+    replays the ENTIRE power method via ``pagerank_oracle_cte`` — the
+    same unrolled algebra string the unit tests pin against DuckDB —
+    so N, out-degrees, dangling mass and all 3 rounds are value-checked.
+    Ranks rounded to 7 dp in both engines (summation-order ulps only).
+    At 100 TB this composes with extract_links -> host(url) edge
+    rollup; see linkgraph.py's scale-shape notes."""
+    from parsel_spark.operators.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    src = F.concat(F.lit("h"), F.pmod(doc_id, F.lit(40)))
+    dsts = F.array(
+        *[
+            F.concat(
+                F.lit("h"),
+                F.pmod(
+                    doc_id * 7 + F.expr("doc_id div 7") + 11 * k, F.lit(40)
+                ),
+            )
+            for k in (0, 1, 2)
+        ]
+    )
+    fanout = docs.select(
+        src.alias("src"), F.explode(dsts).alias("dst")
+    )
+    sink = docs.where(F.pmod(doc_id, F.lit(11)) == 0).select(
+        src.alias("src"), F.lit("sink").alias("dst")
+    )
+    edges = fanout.unionByName(sink).distinct()
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 7).alias("pagerank")
+    )
+
+
 def q_doc_char_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained rare-gram gibberish signal
     (textstats.char_gram_coverage, n=3, min_df=2): every 10th doc gets
@@ -2056,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_recrawl_due": q_crawl_recrawl_due,
         "img_caption_dedup": q_img_caption_dedup,
         "emb_semantic_decontam": q_emb_semantic_decontam,
+        "crawl_host_pagerank": q_crawl_host_pagerank,
     }
 
 
@@ -3891,6 +3935,27 @@ def oracle_sql() -> dict[str, str]:
                (ok_dims AND ok_aspect AND ok_caption_len
                 AND caption_words >= 2) AS keep
         FROM gated
+    """
+
+    # host-level PageRank: the ENTIRE power method (N, out-degrees,
+    # dangling mass, 3 unrolled rounds) replayed via the same algebra
+    # string the unit tests pin (linkgraph.pagerank_oracle_cte)
+    from parsel_spark.operators.linkgraph import pagerank_oracle_cte
+
+    _pr_edges = """
+        SELECT DISTINCT src, dst FROM (
+            SELECT 'h' || (doc_id % 40) AS src,
+                   'h' || ((doc_id * 7 + doc_id // 7 + 11 * js.j) % 40)
+                       AS dst
+            FROM documents, (VALUES (0), (1), (2)) js(j)
+            UNION ALL
+            SELECT 'h' || (doc_id % 40) AS src, 'sink' AS dst
+            FROM documents WHERE doc_id % 11 = 0
+        )
+    """
+    sql["crawl_host_pagerank"] = f"""
+        SELECT node AS host, round(rank, 7) AS pagerank
+        FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
     """
 
     return sql
