@@ -1276,6 +1276,39 @@ def q_crawl_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl CDC (frontier.snapshot_delta): snapshot v1 =
+    docs except every 17th (those become 'new' in v2), snapshot v2 =
+    docs except every 13th ('gone'), with every 7th doc's text suffixed
+    'v2' before digesting ('changed'); everything else 'unchanged' with
+    the revisit counter (doc_id%6) incremented.  Digest = md5(text) in
+    both engines; the oracle replays the FULL OUTER JOIN + status/
+    counter algebra verbatim.  All four statuses provably occur."""
+    from parsel_spark.operators.frontier import snapshot_delta
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+        F.lit(".test/p/"), doc_id,
+    )
+    old = docs.where(F.pmod(doc_id, F.lit(17)) != 0).select(
+        url.alias("url"),
+        F.md5(F.col("text")).alias("digest"),
+        F.pmod(doc_id, F.lit(6)).cast("int").alias("unchanged_count"),
+    )
+    new = docs.where(F.pmod(doc_id, F.lit(13)) != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(
+                F.pmod(doc_id, F.lit(7)) == 0,
+                F.concat(F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return snapshot_delta(old, new)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2100,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_caption_dedup": q_img_caption_dedup,
         "emb_semantic_decontam": q_emb_semantic_decontam,
         "crawl_host_pagerank": q_crawl_host_pagerank,
+        "crawl_snapshot_delta": q_crawl_snapshot_delta,
     }
 
 
@@ -3956,6 +3990,40 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # incremental-crawl CDC: full-outer-join + status/counter algebra
+    # replayed verbatim over the same two synthesized snapshots
+    sql["crawl_snapshot_delta"] = f"""
+        WITH o AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   md5(text) AS digest,
+                   (doc_id % 6)::INT AS unchanged_count
+            FROM documents WHERE doc_id % 17 <> 0
+        ), nw AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || 'v2'
+                            ELSE text END) AS digest
+            FROM documents WHERE doc_id % 13 <> 0
+        ), j AS (
+            SELECT o.url AS ourl, o.digest AS old_digest,
+                   o.unchanged_count, nw.url AS nurl,
+                   nw.digest AS new_digest
+            FROM o FULL OUTER JOIN nw ON o.url = nw.url
+        )
+        SELECT coalesce(ourl, nurl) AS url, old_digest, new_digest,
+               CASE WHEN ourl IS NULL THEN 'new'
+                    WHEN nurl IS NULL THEN 'gone'
+                    WHEN old_digest <> new_digest THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               (CASE WHEN ourl IS NULL THEN 0
+                     WHEN nurl IS NULL THEN NULL
+                     WHEN old_digest <> new_digest THEN 0
+                     ELSE unchanged_count + 1 END)::INT
+                   AS next_unchanged_count
+        FROM j
     """
 
     return sql

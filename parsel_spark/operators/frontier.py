@@ -791,3 +791,59 @@ def recrawl_due(
             "overdue_s"
         ),
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental-crawl CDC between two corpus snapshots: classify
+    every URL as ``new`` / ``changed`` / ``unchanged`` / ``gone`` by
+    full-outer-joining the previous snapshot's ``(url, digest)`` view
+    against the fresh capture's (digest = any stable content hash; the
+    WARC/CDX layer's payload md5 — ``warc.cdx_index`` — is the natural
+    feed).  Output per URL: ``old_digest``, ``new_digest``, ``status``,
+    and ``next_unchanged_count`` — the revisit-state update that plugs
+    STRAIGHT into :func:`recrawl_due` (changed/new reset the backoff
+    to 0, unchanged increments, gone yields NULL for purge) when the
+    old side carries ``unchanged_count`` (absent ⇒ treated as 0).
+
+    Scale shape: ONE equi-join on the URL key — with both snapshots
+    stored as url-bucketed tables (``sources/ingest.py``) the join is
+    exchange-free; otherwise it is the single unavoidable hash
+    exchange.  Pure column algebra after the join, no Python, no
+    driver data.  This is the standard incremental-ingest delta
+    (Iceberg/Hudi-style CDC reduced to engine-portable algebra)."""
+    have_count = "unchanged_count" in old.columns
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.col(digest_col).alias("old_digest"),
+        (
+            F.col("unchanged_count") if have_count else F.lit(0)
+        ).cast("int").alias("__old_count"),
+    )
+    n = new.select(
+        F.col(url_col).alias("__new_url"),
+        F.col(digest_col).alias("new_digest"),
+    )
+    joined = o.join(n, o["url"] == n["__new_url"], "full_outer")
+    status = (
+        F.when(F.col("url").isNull(), F.lit("new"))
+        .when(F.col("__new_url").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    next_count = (
+        F.when(status == "unchanged", F.col("__old_count") + 1)
+        .when(status.isin("new", "changed"), F.lit(0))
+        .cast("int")
+    )
+    return joined.select(
+        F.coalesce("url", "__new_url").alias(url_col),
+        "old_digest",
+        "new_digest",
+        status.alias("status"),
+        next_count.alias("next_unchanged_count"),
+    )

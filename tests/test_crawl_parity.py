@@ -447,3 +447,69 @@ def test_recrawl_due_bad_intervals_raise(spark) -> None:
         recrawl_due(df, now_ts=10, min_interval_s=0)
     with _pytest.raises(ValueError):
         recrawl_due(df, now_ts=10, min_interval_s=100, max_interval_s=50)
+
+
+def test_snapshot_delta_statuses(spark) -> None:
+    """new/changed/unchanged/gone classification + revisit-state update."""
+    from parsel_spark.operators.frontier import snapshot_delta
+
+    old = spark.createDataFrame(
+        [
+            ("u1", "d1", 3),   # same digest in new -> unchanged, count 4
+            ("u2", "d2", 5),   # new digest -> changed, count 0
+            ("u3", "d3", 1),   # absent from new -> gone, count NULL
+        ],
+        "url string, digest string, unchanged_count int",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")],
+        "url string, digest string",
+    )
+    got = {
+        r["url"]: (r["status"], r["next_unchanged_count"])
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {
+        "u1": ("unchanged", 4),
+        "u2": ("changed", 0),
+        "u3": ("gone", None),
+        "u4": ("new", 0),
+    }
+
+
+def test_snapshot_delta_without_count_col(spark) -> None:
+    from parsel_spark.operators.frontier import snapshot_delta
+
+    old = spark.createDataFrame([("u1", "d1")], "url string, digest string")
+    new = spark.createDataFrame([("u1", "d1")], "url string, digest string")
+    row = snapshot_delta(old, new).collect()[0]
+    assert row["status"] == "unchanged"
+    assert row["next_unchanged_count"] == 1
+
+
+def test_snapshot_delta_feeds_recrawl_due(spark) -> None:
+    """Composition: the delta's next_unchanged_count drives the backoff."""
+    from parsel_spark.operators.frontier import recrawl_due, snapshot_delta
+
+    old = spark.createDataFrame(
+        [("u1", "d1", 2), ("u2", "d2", 2)],
+        "url string, digest string, unchanged_count int",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX")], "url string, digest string"
+    )
+    delta = snapshot_delta(old, new).where("status <> 'gone'")
+    state = delta.selectExpr(
+        "url",
+        "CAST(1000 AS BIGINT) AS last_fetch_ts",
+        "CAST(NULL AS BIGINT) AS last_change_ts",
+        "next_unchanged_count AS unchanged_count",
+    )
+    due = {
+        r["url"]: r["interval_s"]
+        for r in recrawl_due(
+            state, now_ts=1500, min_interval_s=100, max_interval_s=10000
+        ).collect()
+    }
+    # unchanged u1 backed off to 100*2^3; changed u2 reset to 100*2^0
+    assert due == {"u1": 800, "u2": 100}
