@@ -1962,6 +1962,24 @@ def q_emb_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup, Abbas et al. 2023 lineage):
+    within-cluster semantic near-duplicate pruning over the SAME
+    catalog-persisted IVF coarse quantizer the ANN probe path uses
+    (one ingest-time index, two consumers).  A vector is dropped when
+    any lower-id vector in its k-means cell has rounded cosine >= 0.4
+    (16 of 500 at sf0.01 — the synthetic corpus genuinely exercises
+    the drop branch).  The oracle replays the ENTIRE computation:
+    both Lloyd iterations (decimal-exact centroid sums), the final
+    argmin assignment, the within-cell pair join, and the
+    dominated-by-lower-id rule."""
+    from parsel_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, _ = _ivf_index_for(spark, sf_dir)
+    return semantic_dedup(emb, assigned, threshold=0.4, round_to=4)
+
+
 def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-level image dedup (multimodal.caption_dedup): the
     planted repeated captions (every 19th doc ' img ', every 23rd
@@ -2134,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_decontam": q_emb_semantic_decontam,
         "crawl_host_pagerank": q_crawl_host_pagerank,
         "crawl_snapshot_delta": q_crawl_snapshot_delta,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     }
 
 
@@ -3990,6 +4009,44 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # SemDeDup: full IVF replay (the emb_knn_ivf CTE chain) + the
+    # within-cell dominated-by-lower-id rule — every step value-checked
+    sql["emb_semantic_dedup"] = f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> round(x::DOUBLE, 6))
+                       AS centroid
+            FROM e WHERE vec_id < 16
+        ),{_ivf_iteration(0)},{_ivf_iteration(1)},
+        afinal AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_d2("e.embedding", "c.centroid")} ASC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM e CROSS JOIN c2v c
+            ) WHERE rn = 1
+        ), dom AS (
+            SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+            FROM e a JOIN afinal aa ON a.vec_id = aa.vec_id
+                 JOIN afinal ab ON aa.cid = ab.cid
+                 JOIN e b ON b.vec_id = ab.vec_id
+            WHERE a.vec_id < b.vec_id
+              AND round({_dot("a.embedding", "b.embedding")}
+                        / ({_norm("a.embedding")}
+                           * {_norm("b.embedding")}), 4)
+                  + 0.0 >= 0.4
+            GROUP BY b.vec_id
+        )
+        SELECT e.vec_id, afinal.cid, dom.dup_of,
+               dom.dup_of IS NULL AS keep
+        FROM e JOIN afinal ON e.vec_id = afinal.vec_id
+             LEFT JOIN dom ON e.vec_id = dom.id_b
     """
 
     # incremental-crawl CDC: full-outer-join + status/counter algebra

@@ -463,3 +463,61 @@ def knn_quantized(
         )
     )
     return scored.orderBy(F.desc("qscore"), F.asc("vec_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup within coarse k-means clusters
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Semantic deduplication inside IVF/k-means clusters — the public
+    SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv 2023): embedding
+    near-duplicates are overwhelmingly CO-CLUSTERED, so pairwise cosine
+    is computed only within each coarse cluster, never globally.
+
+    ``assigned`` is the persisted coarse-quantizer assignment
+    ``(vec_id, cid)`` (``build_ivf_index`` / ``load_ivf_index`` — the
+    same ingest-time index the ANN probe path uses; one index, two
+    consumers).  A vector is DROPPED when any LOWER-id vector in its
+    cluster has rounded cosine ≥ ``threshold`` with it
+    (dominated-by-any-lower-id: one embarrassingly-parallel pass with a
+    deterministic outcome, vs the paper's sequential kept-set sweep
+    whose outcome depends on scan order and cannot fan out).  Output:
+    ``(vec_id, cid, dup_of, keep)`` where ``dup_of`` = smallest
+    dominating id (NULL ⇒ kept).
+
+    Scale shape: both sides of the within-cluster self-join carry ONE
+    hash(cid) exchange (ReusedExchange on the self-join); pair volume
+    is Σ |cluster|² /2 — bounded by the quantizer's cluster sizes, the
+    SemDeDup contract (n_centroids scales with N; ~sqrt(N) keeps
+    clusters flat).  No Python in the join path; the groupBy(id_b) min
+    is map-side combined."""
+    e = (
+        embeddings.join(assigned, "vec_id")
+        .select("vec_id", "cid", "embedding")
+        .repartition(F.col("cid"))
+    )
+    pairs = e.alias("a").join(
+        e.alias("b"),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    dominating = pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        (sim + F.lit(0.0)).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    dup_of = dominating.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return e.join(dup_of, e["vec_id"] == dup_of["id_b"], "left").select(
+        "vec_id",
+        "cid",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )

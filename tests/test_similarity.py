@@ -115,3 +115,100 @@ class TestSemanticDecontam:
         )
         with _pytest.raises(ValueError):
             semantic_decontaminate(df, df, method="exact")
+
+
+class TestSemanticDedup:
+    def _fixture(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        def v(*pairs):
+            out = [0.0] * 8
+            for i, x in pairs:
+                out[i] = float(x)
+            return out
+
+        emb = spark.createDataFrame(
+            [
+                (0, v((0, 1.0))),            # cluster 0 anchor
+                (1, v((0, 2.0))),            # same direction -> dup of 0
+                (2, v((1, 1.0))),            # orthogonal -> kept
+                (3, v((2, 1.0))),            # cluster 1 anchor
+                (4, v((2, 1.0), (3, 0.01))), # near 3 -> dup of 3
+                (5, v((0, 1.0))),            # identical to 0 but OTHER cluster
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        assigned = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+            "vec_id long, cid int",
+        )
+        return emb, assigned
+
+    def test_dominated_by_lower_id_within_cluster(self, spark) -> None:
+        from parsel_spark.operators.similarity import semantic_dedup
+
+        emb, assigned = self._fixture(spark)
+        got = {
+            r["vec_id"]: (r["keep"], r["dup_of"])
+            for r in semantic_dedup(emb, assigned, threshold=0.97).collect()
+        }
+        assert got[0] == (True, None)
+        assert got[1] == (False, 0)
+        assert got[2] == (True, None)
+        assert got[3] == (True, None)
+        assert got[4] == (False, 3)
+
+    def test_cross_cluster_duplicate_not_caught(self, spark) -> None:
+        """The documented recall boundary: candidates come only from the
+        quantizer cell — an identical vector in ANOTHER cell survives."""
+        from parsel_spark.operators.similarity import semantic_dedup
+
+        emb, assigned = self._fixture(spark)
+        got = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup(emb, assigned, threshold=0.97).collect()
+        }
+        assert got[5] is True
+
+    def test_partitioning_invariance(self, spark) -> None:
+        from parsel_spark.operators.similarity import semantic_dedup
+
+        emb, assigned = self._fixture(spark)
+        a = sorted(
+            map(tuple, semantic_dedup(emb, assigned, 0.97).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    emb.repartition(1), assigned.repartition(7), 0.97
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_composes_with_ivf_index(self, spark) -> None:
+        """End-to-end with the real coarse quantizer: planted duplicate
+        pairs co-cluster (identical vectors share a nearest centroid by
+        construction) and dedup drops the higher id of each."""
+        from parsel_spark.operators.similarity import ivf_index, semantic_dedup
+
+        rows = []
+        for i in range(24):
+            base = [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]
+            rows.append((i, base))
+        # plant exact twins of 3 vectors at high ids
+        for j, src in enumerate((1, 5, 9)):
+            rows.append((100 + j, rows[src][1]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        assigned, _ = ivf_index(emb, n_centroids=4, iters=1)
+        got = {
+            r["vec_id"]: (r["keep"], r["dup_of"])
+            for r in semantic_dedup(emb, assigned, threshold=0.9999).collect()
+        }
+        assert got[100] == (False, 1)
+        assert got[101] == (False, 5)
+        assert got[102] == (False, 9)
+        assert got[1][0] and got[5][0] and got[9][0]
