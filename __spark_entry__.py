@@ -352,6 +352,20 @@ def q_doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_greedy(docs, token_budget=256, n_shards=16, seed=5)
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (packing.chunk_windows, window=24,
+    stride=16 — 8 boundary tokens repeat): the long-document half of
+    sequence prep.  Corpus token counts span 10..99, so single-window
+    docs, multi-window docs, and short final windows all occur
+    naturally.  The oracle replays tokenization, the stride lattice
+    (generate_series), bounds, and the reconstructed window text
+    (1-based-inclusive list_slice) value-for-value."""
+    from parsel_spark.operators.packing import chunk_windows
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_windows(docs, window=24, stride=16)
+
+
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: emails / IPv4s / phone runs → typed placeholders,
     entirely JVM-side regexp_replace.  PII is PLANTED deterministically
@@ -2153,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_pagerank": q_crawl_host_pagerank,
         "crawl_snapshot_delta": q_crawl_snapshot_delta,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_chunk_windows": q_doc_chunk_windows,
     }
 
 
@@ -4009,6 +4024,32 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # sliding-window chunking: tokenization, stride lattice, bounds and
+    # reconstructed window text replayed (list_slice is 1-based
+    # inclusive-inclusive, hence start_tok+1 .. end_tok)
+    sql["doc_chunk_windows"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), ' +') AS toks,
+                   len(string_split_regex(trim(text), ' +')) AS n_tokens
+            FROM documents
+        ), w AS (
+            SELECT doc_id, toks, n_tokens, s.start_tok,
+                   (s.start_tok / 16)::INT AS window_id,
+                   least(s.start_tok + 24, n_tokens) AS end_tok
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(
+                    0, greatest(n_tokens - 1, 0), 16)) AS start_tok
+            ) s
+        )
+        SELECT doc_id, window_id, start_tok, end_tok,
+               end_tok - start_tok AS n_window_tokens,
+               array_to_string(
+                   list_slice(toks, start_tok + 1, end_tok), ' '
+               ) AS window_text
+        FROM w
     """
 
     # SemDeDup: full IVF replay (the emb_knn_ivf CTE chain) + the

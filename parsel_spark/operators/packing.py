@@ -136,3 +136,63 @@ def pack_sequences_greedy(
         return pdf[[id_col, "shard", "n_tokens", "seq_id", "offset"]]
 
     return with_shard.groupBy("shard").applyInPandas(fold, schema=out_schema)
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — the long-document half of sequence
+    preparation: where :func:`pack_sequences` CONCATENATES short docs up
+    to the budget, this SPLITS long docs into overlapping context
+    windows (``stride < window`` repeats ``window - stride`` boundary
+    tokens so no next-token prediction loses its left context — the
+    public GPT-2/RoBERTa data-prep recipe).
+
+    Output, one row per window: ``(id, window_id, start_tok, end_tok,
+    n_window_tokens, window_text)`` over positional whitespace tokens
+    (``dedup.seq_tokens_col``; whitespace runs normalize to single
+    spaces — the documented lossy part).  Window starts are 0, stride,
+    2*stride, ... strictly below the doc's token count; the final
+    window may be short (standard practice), and every doc emits at
+    least one window.  ``stride > window`` (gap sampling) is allowed
+    but leaves tokens uncovered.
+
+    Scale shape: pure map-side JVM algebra (split + sequence +
+    posexplode + slice) — NO shuffle, no Python; output rows inflate
+    the corpus by ~n_tokens/stride, which is the caller's knob."""
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"need window >= 1 and stride >= 1, got {window}, {stride}"
+        )
+    from .dedup import seq_tokens_col
+
+    base = docs.select(
+        F.col(id_col), seq_tokens_col(text_col).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = base.select(
+        id_col,
+        "toks",
+        "n_tokens",
+        F.posexplode(starts).alias("window_id", "start_tok"),
+    )
+    end = F.least(F.col("start_tok") + window, F.col("n_tokens"))
+    return ex.select(
+        id_col,
+        "window_id",
+        "start_tok",
+        end.alias("end_tok"),
+        (end - F.col("start_tok")).alias("n_window_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks", F.col("start_tok") + 1, end - F.col("start_tok")
+            ),
+        ).alias("window_text"),
+    )

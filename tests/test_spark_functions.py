@@ -740,3 +740,62 @@ class TestCharGramCoverage:
             assert got[i]["n_grams"] == 2
             assert got[i]["n_common"] == 2
             assert got[i]["coverage"] == 1.0
+
+
+class TestChunkWindows:
+    def test_overlapping_windows(self, spark) -> None:
+        from parsel_spark.operators.packing import chunk_windows
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_windows(df, window=4, stride=3).collect(),
+            key=lambda r: r["window_id"],
+        )
+        got = [
+            (r["window_id"], r["start_tok"], r["end_tok"], r["window_text"])
+            for r in rows
+        ]
+        assert got == [
+            (0, 0, 4, "t0 t1 t2 t3"),
+            (1, 3, 7, "t3 t4 t5 t6"),
+            (2, 6, 10, "t6 t7 t8 t9"),
+            (3, 9, 10, "t9"),
+        ]
+        assert all(r["n_window_tokens"] == r["end_tok"] - r["start_tok"]
+                   for r in rows)
+
+    def test_short_doc_single_window(self, spark) -> None:
+        from parsel_spark.operators.packing import chunk_windows
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        rows = chunk_windows(df, window=10, stride=8).collect()
+        assert len(rows) == 1
+        assert rows[0]["window_text"] == "a b c"
+        assert rows[0]["n_window_tokens"] == 3
+
+    def test_gap_stride_allowed(self, spark) -> None:
+        from parsel_spark.operators.packing import chunk_windows
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_windows(df, window=2, stride=5).collect(),
+            key=lambda r: r["window_id"],
+        )
+        assert [(r["start_tok"], r["end_tok"]) for r in rows] == [
+            (0, 2), (5, 7)
+        ]
+
+    def test_bad_args_raise(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.operators.packing import chunk_windows
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_windows(df, window=0, stride=1)
+        with _pytest.raises(ValueError):
+            chunk_windows(df, window=4, stride=0)
