@@ -366,6 +366,46 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(docs, window=24, stride=16)
 
 
+def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
+    2020 §2.2) over planted multi-line pages: every doc gets a kept
+    content line (terminal '.'), a nav line with no terminal punct
+    (provably dropped), every 4th a JavaScript-mention line (dropped
+    despite its '.'), every 31st LOSES its second content line (fails
+    the 2-sentence floor), every 23rd a '{' code line (page poisoned),
+    every 29th a lorem-ipsum line (page poisoned).  The oracle replays
+    line split, the filter lambda, rejoin, sentence counting and all
+    three page gates in ANSI SQL."""
+    from parsel_spark.functions.textstats import c4_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 100), F.lit(".")),
+        F.lit("Home About Contact"),
+        F.when(
+            F.pmod(doc_id, F.lit(4)) == 0,
+            F.lit("Please enable JavaScript in your browser."),
+        ),
+        F.when(
+            F.pmod(doc_id, F.lit(31)) != 0,
+            F.concat(F.substring("text", 101, 80), F.lit("?")),
+        ),
+        F.when(
+            F.pmod(doc_id, F.lit(23)) == 0,
+            F.lit("function f() { return 1; }"),
+        ),
+        F.when(
+            F.pmod(doc_id, F.lit(29)) == 0,
+            F.lit("Lorem ipsum dolor sit amet."),
+        ),
+    )
+    return c4_quality_flags(
+        docs.select("doc_id", page.alias("text")), min_sentences=2
+    )
+
+
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: emails / IPv4s / phone runs → typed placeholders,
     entirely JVM-side regexp_replace.  PII is PLANTED deterministically
@@ -2168,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_delta": q_crawl_snapshot_delta,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_chunk_windows": q_doc_chunk_windows,
+        "doc_c4_filter": q_doc_c4_filter,
     }
 
 
@@ -4024,6 +4065,51 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # C4 cleaning rules: line filter lambda, rejoin, sentence count and
+    # the three page gates replayed over the same planted pages
+    sql["doc_c4_filter"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       substr(text, 1, 100) || '.',
+                       'Home About Contact',
+                       CASE WHEN doc_id % 4 = 0 THEN
+                           'Please enable JavaScript in your browser.' END,
+                       CASE WHEN doc_id % 31 <> 0 THEN
+                           substr(text, 101, 80) || '?' END,
+                       CASE WHEN doc_id % 23 = 0 THEN
+                           'function f() { return 1; }' END,
+                       CASE WHEN doc_id % 29 = 0 THEN
+                           'Lorem ipsum dolor sit amet.' END
+                   ) AS text
+            FROM documents
+        ), k AS (
+            SELECT doc_id, text,
+                   list_filter(
+                       string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND NOT contains(lower(l), 'javascript')
+                   ) AS kept
+            FROM p
+        ), c AS (
+            SELECT doc_id, text, kept,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   len(regexp_extract_all(
+                       array_to_string(kept, chr(10)), '[.!?]'))::INT
+                       AS n_sentences
+            FROM k
+        )
+        SELECT doc_id, clean_text,
+               len(kept)::INT AS n_lines_kept,
+               n_sentences,
+               contains(text, '{') AS has_brace,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               (n_sentences >= 2
+                AND NOT contains(text, '{')
+                AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+        FROM c
     """
 
     # sliding-window chunking: tokenization, stride lattice, bounds and

@@ -293,3 +293,55 @@ def char_gram_coverage(
             F.col("n_common").cast("double") / F.col("n_grams"), 9
         ).alias("coverage"),
     )
+
+
+def c4_quality_flags(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 5,
+):
+    """The public C4 cleaning recipe (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", JMLR 2020, §2.2) as map-only JVM column algebra — the
+    line-level companion to the document-level :func:`gopher_quality_flags`:
+
+    * LINE rule: keep only lines whose trimmed text ends in a terminal
+      punctuation mark (``. ! ?`` or a closing double quote) and that
+      do not mention "javascript" (case-insensitive) — nav menus,
+      cookie banners and JS-disabled warnings fall out here;
+    * PAGE rules: drop pages containing ``{`` (leaked source code) or
+      the phrase "lorem ipsum" (template filler), and pages whose KEPT
+      lines carry fewer than ``min_sentences`` sentence-terminal marks.
+
+    Output per doc: ``clean_text`` (kept lines rejoined with newlines),
+    ``n_lines_kept``, ``n_sentences``, ``has_brace``, ``has_lorem``,
+    ``keep``.  Pure split/filter/join higher-order functions + regexp
+    counts — no shuffle, no Python; pushes down to the 100 TB scan.
+    (C4's fifth rule — three-sentence-span dedup — is the separate
+    ``dedup.repeated_ngram_spans`` operator.)"""
+    if min_sentences < 1:
+        raise ValueError(f"min_sentences must be >= 1, got {min_sentences}")
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit("[.!?]")).cast("int")
+    has_brace = text.contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    keep = (
+        (n_sentences >= min_sentences) & ~has_brace & ~has_lorem
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+    )

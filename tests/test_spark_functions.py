@@ -799,3 +799,50 @@ class TestChunkWindows:
             chunk_windows(df, window=0, stride=1)
         with _pytest.raises(ValueError):
             chunk_windows(df, window=4, stride=0)
+
+
+class TestC4QualityFlags:
+    def _run(self, spark, text, min_sentences=2):
+        from parsel_spark.functions.textstats import c4_quality_flags
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return c4_quality_flags(df, min_sentences=min_sentences).collect()[0]
+
+    def test_line_rules(self, spark) -> None:
+        text = "\n".join(
+            [
+                "A good first sentence.",
+                "Home About Contact",          # no terminal punct
+                "Please enable JavaScript to continue.",  # js mention
+                "Does it keep questions?",
+                'He said "stop."',
+            ]
+        )
+        row = self._run(spark, text)
+        assert row["clean_text"] == (
+            'A good first sentence.\nDoes it keep questions?\nHe said "stop."'
+        )
+        assert row["n_lines_kept"] == 3
+        assert row["n_sentences"] == 3
+        assert row["keep"] is True
+
+    def test_brace_and_lorem_poison_page(self, spark) -> None:
+        row = self._run(spark, "Fine sentence one.\nvar x = { a: 1 };")
+        assert row["has_brace"] is True and row["keep"] is False
+        row = self._run(spark, "Lorem Ipsum dolor sit amet.\nMore text here.")
+        assert row["has_lorem"] is True and row["keep"] is False
+
+    def test_sentence_floor(self, spark) -> None:
+        row = self._run(spark, "Only one sentence here.", min_sentences=2)
+        assert row["n_sentences"] == 1 and row["keep"] is False
+        row = self._run(spark, "One here. Two here.", min_sentences=2)
+        assert row["n_sentences"] == 2 and row["keep"] is True
+
+    def test_bad_min_sentences(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.textstats import c4_quality_flags
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            c4_quality_flags(df, min_sentences=0)
