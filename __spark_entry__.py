@@ -1494,6 +1494,38 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-digest revisit dedup (warc.revisit_dedup, the Heritrix/
+    Common-Crawl identical-payload-digest convention) over a
+    closed-form CDX: every 5th doc's payload is the SAME boilerplate
+    page (one shared digest ⇒ 1 response + the rest revisits), the
+    others unique.  warc_file/record_offset are synthesized
+    deterministically ('part-{doc_id%8}', doc_id*1000) so the
+    smallest-(file,offset) original and every refers_to address are
+    exactly replayable — the real-file path (layout-dependent offsets)
+    is pinned by the seek-and-read pytest instead."""
+    from parsel_spark.sources.warc import revisit_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    payload = F.when(
+        F.pmod(doc_id, F.lit(5)) == 0,
+        F.lit("<html><body>boilerplate</body></html>"),
+    ).otherwise(F.concat(F.lit("<html><body>page-"), doc_id,
+                         F.lit("</body></html>")))
+    cdx = docs.select(
+        F.concat(F.lit("test,docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+                 F.lit(")/page/"), doc_id).alias("urlkey"),
+        F.concat(F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+                 F.lit(".test/page/"), doc_id).alias("url"),
+        F.md5(payload).alias("digest"),
+        F.length(payload).cast("long").alias("length"),
+        F.concat(F.lit("part-"), F.pmod(doc_id, F.lit(8))).alias("warc_file"),
+        (doc_id * 1000).cast("long").alias("record_offset"),
+    )
+    return revisit_dedup(cdx)
+
+
 def q_doc_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style per-host contribution cap
     (sampling.cap_per_group): at most 10 docs per synthesized host
@@ -2209,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_chunk_windows": q_doc_chunk_windows,
         "doc_c4_filter": q_doc_c4_filter,
+        "warc_revisit_dedup": q_warc_revisit_dedup,
     }
 
 
@@ -4065,6 +4098,50 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # revisit dedup: same synthesized CDX, same digest-window algebra
+    sql["warc_revisit_dedup"] = f"""
+        WITH cdx AS (
+            SELECT 'test,docs-' || (doc_id % {N_DOC_HOSTS}) || ')/page/'
+                       || doc_id AS urlkey,
+                   'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/page/' || doc_id AS url,
+                   md5(CASE WHEN doc_id % 5 = 0
+                            THEN '<html><body>boilerplate</body></html>'
+                            ELSE '<html><body>page-' || doc_id
+                                 || '</body></html>' END) AS digest,
+                   strlen(CASE WHEN doc_id % 5 = 0
+                               THEN '<html><body>boilerplate</body></html>'
+                               ELSE '<html><body>page-' || doc_id
+                                    || '</body></html>' END)::BIGINT
+                       AS length,
+                   'part-' || (doc_id % 8) AS warc_file,
+                   (doc_id * 1000)::BIGINT AS record_offset
+            FROM documents
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY digest
+                       ORDER BY warc_file, record_offset, urlkey
+                   ) AS rn,
+                   first_value(warc_file) OVER (
+                       PARTITION BY digest
+                       ORDER BY warc_file, record_offset, urlkey
+                   ) AS orig_file,
+                   first_value(record_offset) OVER (
+                       PARTITION BY digest
+                       ORDER BY warc_file, record_offset, urlkey
+                   ) AS orig_offset
+            FROM cdx
+        )
+        SELECT urlkey, url, digest, length, warc_file, record_offset,
+               CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                   AS record_type,
+               CASE WHEN rn > 1 THEN orig_file END AS refers_to_file,
+               CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
+               CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
+        FROM r
     """
 
     # C4 cleaning rules: line filter lambda, rejoin, sentence count and

@@ -235,3 +235,57 @@ def cdx_index(records: DataFrame) -> DataFrame:
         "warc_file",
         "record_offset",
     )
+
+
+def revisit_dedup(cdx: DataFrame) -> DataFrame:
+    """Payload-digest revisit deduplication — the public Heritrix /
+    Common-Crawl storage convention (ISO 28500 §6.7 ``revisit`` record
+    type with the ``identical-payload-digest`` profile): when a
+    capture's payload digest has been stored before, the archive keeps
+    a ``revisit`` record pointing at the original capture instead of
+    the payload bytes.
+
+    Input: a :func:`cdx_index`-shaped capture table.  Output adds
+
+    * ``record_type`` — ``'response'`` for the FIRST capture of each
+      digest, ``'revisit'`` for every later one;
+    * ``refers_to_file`` / ``refers_to_offset`` — the original
+      capture's re-fetch address (NULL on originals);
+    * ``stored_length`` — ``length`` for originals, 0 for revisits:
+      summing it is the archive-bytes-after-dedup metric.
+
+    "First" is deterministic: smallest ``(warc_file, record_offset,
+    urlkey)`` per digest — capture order in file order, no wall clock.
+
+    Scale shape: ONE hash(digest) window exchange carrying only the
+    index columns (the payload bytes never shuffle — this runs over
+    the CDX, not the WARC).  At 10^10 captures the digest key is
+    uniform by construction (md5), so no skew handling is needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy(
+        "warc_file", "record_offset", "urlkey"
+    )
+    ranked = cdx.select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        F.first("warc_file").over(w).alias("__orig_file"),
+        F.first("record_offset").over(w).alias("__orig_offset"),
+    )
+    is_orig = F.col("__rn") == 1
+    return ranked.select(
+        "urlkey",
+        "url",
+        "digest",
+        "length",
+        "warc_file",
+        "record_offset",
+        F.when(is_orig, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(~is_orig, F.col("__orig_file")).alias("refers_to_file"),
+        F.when(~is_orig, F.col("__orig_offset")).alias("refers_to_offset"),
+        F.when(is_orig, F.col("length"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("stored_length"),
+    )

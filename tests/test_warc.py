@@ -221,3 +221,70 @@ def test_cdx_index_digest_and_address(spark, tmp_path) -> None:
             chunk = fh.read(400)
         assert chunk.startswith(b"WARC/")
         assert f"WARC-Target-URI: {url}".encode() in chunk
+
+
+def test_revisit_dedup_synthetic_cdx(spark) -> None:
+    """Digest-sharing captures: first (file,offset) is the response,
+    later ones become revisit records pointing at it; stored_length
+    sums to the deduped archive size."""
+    from parsel_spark.sources.warc import revisit_dedup
+
+    cdx = spark.createDataFrame(
+        [
+            ("k1", "http://a/1", "d1", 100, "part-0", 0),
+            ("k2", "http://a/2", "d1", 100, "part-0", 500),
+            ("k3", "http://b/3", "d1", 100, "part-1", 0),
+            ("k4", "http://b/4", "d2", 70, "part-1", 900),
+        ],
+        "urlkey string, url string, digest string, length long, "
+        "warc_file string, record_offset long",
+    )
+    rows = {r["urlkey"]: r for r in revisit_dedup(cdx).collect()}
+    assert rows["k1"]["record_type"] == "response"
+    assert rows["k1"]["refers_to_file"] is None
+    assert rows["k1"]["stored_length"] == 100
+    for k in ("k2", "k3"):
+        assert rows[k]["record_type"] == "revisit"
+        assert rows[k]["refers_to_file"] == "part-0"
+        assert rows[k]["refers_to_offset"] == 0
+        assert rows[k]["stored_length"] == 0
+    assert rows["k4"]["record_type"] == "response"
+    assert sum(r["stored_length"] for r in rows.values()) == 170
+
+
+def test_revisit_dedup_over_real_warc_files(spark, tmp_path) -> None:
+    """Composition: write pages (3 sharing a payload) -> scan -> CDX ->
+    revisit dedup; the original's re-fetch address must seek to a real
+    response record."""
+    import glob
+    import os as _os
+
+    from parsel_spark.sources.warc import (
+        cdx_index,
+        read_warc,
+        revisit_dedup,
+        warc_record_col,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"http://h.test/p/{i}",
+          "<html>same</html>" if i % 2 == 0 else f"<html>{i}</html>")
+         for i in range(6)],
+        "url string, html string",
+    )
+    out = str(tmp_path / "warc")
+    pages.select(warc_record_col().alias("value")).coalesce(1).write.text(out)
+    deduped = revisit_dedup(cdx_index(read_warc(spark, out))).collect()
+    by_type = {}
+    for r in deduped:
+        by_type.setdefault(r["record_type"], []).append(r)
+    assert len(by_type["revisit"]) == 2          # 3 identical payloads
+    assert len(by_type["response"]) == 4
+    orig = {(r["warc_file"], r["record_offset"]) for r in by_type["response"]}
+    for r in by_type["revisit"]:
+        assert (r["refers_to_file"], r["refers_to_offset"]) in orig
+        path = [p for p in glob.glob(_os.path.join(out, "*"))
+                if p.endswith(r["refers_to_file"].split("/")[-1])]
+        with open(path[0], "rb") as fh:
+            fh.seek(r["refers_to_offset"])
+            assert fh.read(5) == b"WARC/"
