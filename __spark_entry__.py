@@ -1363,6 +1363,49 @@ def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta(old, new)
 
 
+def q_crawl_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard rules through the relational
+    robots_filter: deny ['/*.php$' (anchored), '/private*', '/d/4*'],
+    allow ['/private/ok*'] (longest-match override).  Five synthesized
+    path families exercise every rule: anchored-.php hits, /private
+    blocks, /private/ok overrides, /public passes, and /d/{doc_id}
+    pages are denied exactly when the id starts with '4' — a genuinely
+    wildcard-dependent outcome.  The oracle replays the LIKE
+    translation (robots.robots_pattern_like) with raw-rule-length
+    specificity in ANSI SQL."""
+    from parsel_spark.operators.frontier import robots_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    m = F.pmod(doc_id, F.lit(5))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/index"), doc_id, F.lit(".php")))
+        .when(m == 1, F.concat(F.lit("/private/x"), doc_id))
+        .when(m == 2, F.concat(F.lit("/private/ok"), doc_id))
+        .when(m == 3, F.concat(F.lit("/public/"), doc_id))
+        .otherwise(F.concat(F.lit("/d/"), doc_id))
+    )
+    links = docs.select(
+        F.concat(F.lit("http://rules.test"), path).alias("url"),
+        doc_id.alias("url_hash"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (
+                "rules.test",
+                ["/private/ok*"],
+                ["/*.php$", "/private*", "/d/4*"],
+                1.0,
+                8,
+            )
+        ],
+        "host string, allow_prefixes array<string>, "
+        "deny_prefixes array<string>, crawl_delay double, "
+        "max_fetch_per_wave int",
+    )
+    return robots_filter(links, rules)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2242,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": q_doc_chunk_windows,
         "doc_c4_filter": q_doc_c4_filter,
         "warc_revisit_dedup": q_warc_revisit_dedup,
+        "crawl_robots_wildcard": q_crawl_robots_wildcard,
     }
 
 
@@ -4098,6 +4142,38 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_host_pagerank"] = f"""
         SELECT node AS host, round(rank, 7) AS pagerank
         FROM ({pagerank_oracle_cte(_pr_edges, iters=3, damping=0.85)})
+    """
+
+    # RFC 9309 wildcard robots: the LIKE translation with raw-rule
+    # octet-length specificity, allow-wins ties, replayed per rule
+    sql["crawl_robots_wildcard"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 0 THEN '/index' || doc_id || '.php'
+                       WHEN 1 THEN '/private/x' || doc_id
+                       WHEN 2 THEN '/private/ok' || doc_id
+                       WHEN 3 THEN '/public/' || doc_id
+                       ELSE '/d/' || doc_id END AS path
+            FROM documents
+        ), g AS (
+            SELECT doc_id, path,
+                   greatest(
+                       CASE WHEN path LIKE '/%.php' ESCAPE '\\'
+                            THEN 7 ELSE 0 END,
+                       CASE WHEN path LIKE '/private%' ESCAPE '\\'
+                            THEN 9 ELSE 0 END,
+                       CASE WHEN path LIKE '/d/4%' ESCAPE '\\'
+                            THEN 5 ELSE 0 END) AS deny_len,
+                   CASE WHEN path LIKE '/private/ok%' ESCAPE '\\'
+                        THEN 12 ELSE 0 END AS allow_len
+            FROM p
+        )
+        SELECT 'http://rules.test' || path AS url,
+               doc_id AS url_hash,
+               'rules.test' AS host
+        FROM g
+        WHERE deny_len = 0 OR allow_len >= deny_len
     """
 
     # revisit dedup: same synthesized CDX, same digest-window algebra

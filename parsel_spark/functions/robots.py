@@ -128,6 +128,45 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> dict:
     }
 
 
+def robots_pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path-pattern match — crawlers MUST support two
+    metacharacters: ``*`` matches any run of characters and a TRAILING
+    ``$`` anchors the pattern to the end of the path (elsewhere ``$``
+    is literal); without the anchor the pattern is a prefix match.
+    Pure-python twin of :func:`robots_pattern_like` — the udf/cogroup
+    crawl modes and the single-process oracle all call this, the
+    relational mode runs the LIKE translation; a parity test pins the
+    two on every metachar shape."""
+    import re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in core.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
+
+
+def robots_pattern_like(path: Column, pattern: Column) -> Column:
+    """JVM twin of :func:`robots_pattern_matches`: translate the RFC
+    9309 pattern to ANSI ``LIKE`` (with ``ESCAPE '\\'``) entirely in
+    column algebra — ``%``/``_`` escaped, ``*`` → ``%``, trailing
+    ``$`` stripped and the implicit trailing ``%`` suppressed.  LIKE's
+    greedy ``%`` backtracking is equivalent to the regex ``.*`` the
+    python twin uses, so the two modes agree on every input; both
+    engines (Spark and DuckDB) evaluate the same expression."""
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, F.substr(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    like_pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, like_pat).otherwise(
+        F.concat(like_pat, F.lit("%"))
+    )
+    return F.like(path, like_pat, F.lit("\\"))
+
+
 def robots_rules(text_col: Column | str, agent: str = "*") -> Column:
     """Vectorized robots.txt → rules struct (one parse per host row)."""
 

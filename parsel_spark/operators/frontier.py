@@ -233,13 +233,20 @@ def robots_filter(
     columns through (e.g. ``maybe_seen`` when the bloom probe ran
     first).  Entirely map-side — safe at any point in the wave pipeline.
 
-    RFC 9309 longest-match semantics: the longest matching prefix wins,
-    so a more specific ``Allow`` overrides a broader ``Disallow``
+    RFC 9309 longest-match semantics: the longest matching rule wins
+    (specificity = octets of the raw rule, ``*``/``$`` included), so a
+    more specific ``Allow`` overrides a broader ``Disallow``; rule
+    paths support the §2.2.3 ``*`` wildcard and trailing ``$`` anchor
+    via the LIKE translation (``robots.robots_pattern_like`` — the udf
+    and cogroup modes run the python twin; a parity test pins them)
     (oracle twin: ``plans/oracle.py _robots_allowed``)."""
+    from ..functions.robots import robots_pattern_like
 
     def longest_match(col: str):
         return F.aggregate(
-            F.filter(col, lambda p: F.col("path").startswith(p)),
+            F.filter(
+                col, lambda p: robots_pattern_like(F.col("path"), p)
+            ),
             F.lit(0),
             lambda acc, p: F.greatest(acc, F.length(p)),
         )
@@ -290,16 +297,24 @@ def robots_allowed_py(
     host: str, path: str, rules_map: dict
 ) -> bool:
     """Python twin of ``robots_filter``'s RFC 9309 longest-match (and of
-    the oracle's ``_robots_allowed``): the longest matching prefix wins,
-    so a more specific ``Allow`` overrides a broader ``Disallow``."""
+    the oracle's ``_robots_allowed``): the longest matching rule wins,
+    so a more specific ``Allow`` overrides a broader ``Disallow``.
+    Rule paths support the §2.2.3 ``*``/trailing-``$`` metacharacters
+    (``robots.robots_pattern_matches``)."""
+    from ..functions.robots import robots_pattern_matches
+
     rules = rules_map.get(host)
     if rules is None:
         return True
     deny, allow = rules
-    deny_len = max((len(p) for p in deny if path.startswith(p)), default=0)
+    deny_len = max(
+        (len(p) for p in deny if robots_pattern_matches(p, path)), default=0
+    )
     if deny_len == 0:
         return True
-    allow_len = max((len(p) for p in allow if path.startswith(p)), default=0)
+    allow_len = max(
+        (len(p) for p in allow if robots_pattern_matches(p, path)), default=0
+    )
     return allow_len >= deny_len
 
 

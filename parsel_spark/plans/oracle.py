@@ -64,22 +64,33 @@ class OracleCrawler:
         return self._html_cache[page_id]
 
     def _robots_allowed(self, url: str) -> bool:
-        # RFC 9309 longest-match: the longest matching prefix wins, so a
-        # more specific Allow overrides a broader Disallow (engine twin:
+        # RFC 9309 longest-match: the longest matching rule wins, so a
+        # more specific Allow overrides a broader Disallow; rule paths
+        # carry the §2.2.3 */$ metacharacters (engine twin:
         # operators/frontier.py robots_filter)
+        from ..functions.robots import robots_pattern_matches
+
         parts = urlsplit(url)
         rules = self.robots.get(parts.hostname or "")
         if rules is None:
             return True
         path = parts.path or "/"
         deny_len = max(
-            (len(p) for p in rules["deny_prefixes"] if path.startswith(p)),
+            (
+                len(p)
+                for p in rules["deny_prefixes"]
+                if robots_pattern_matches(p, path)
+            ),
             default=0,
         )
         if deny_len == 0:
             return True
         allow_len = max(
-            (len(p) for p in rules.get("allow_prefixes") or [] if path.startswith(p)),
+            (
+                len(p)
+                for p in rules.get("allow_prefixes") or []
+                if robots_pattern_matches(p, path)
+            ),
             default=0,
         )
         return allow_len >= deny_len

@@ -244,3 +244,124 @@ class TestSitemapDirectives:
             ).collect()
         }
         assert got == {"h1": ["http://h1.test/s.xml"], "h2": [], "h3": []}
+
+
+class TestWildcardPatterns:
+    """RFC 9309 §2.2.3: '*' matches any run, trailing '$' anchors."""
+
+    CASES = [
+        ("/fish*", "/fish", True),
+        ("/fish*", "/fishheads/yummy.html", True),
+        ("/fish*", "/catfish", False),           # still prefix-rooted
+        ("/*.php", "/index.php", True),
+        ("/*.php", "/folder/any.php.file.html", True),  # unanchored
+        ("/*.php", "/index.html", False),
+        ("/*.php$", "/index.php", True),
+        ("/*.php$", "/index.php?query", False),  # anchored: path ends .php
+        ("/*.php$", "/index.phps", False),
+        ("/fish$", "/fish", True),
+        ("/fish$", "/fishing", False),
+        ("/a$b", "/a$b/c", True),                # non-trailing '$' literal
+        ("/a*b*c", "/a-x-b-y-c-z", True),
+        ("/p_q%r", "/p_q%r/s", True),            # LIKE metachars literal
+        ("/p_q%r", "/pXq%r/s", False),
+        ("$", "", True),
+    ]
+
+    def test_python_matcher(self) -> None:
+        from parsel_spark.functions.robots import robots_pattern_matches
+
+        for pattern, path, want in self.CASES:
+            assert robots_pattern_matches(pattern, path) is want, (
+                pattern,
+                path,
+            )
+
+    def test_jvm_matcher_parity(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.robots import robots_pattern_like
+
+        df = spark.createDataFrame(
+            [(p, q) for p, q, _ in self.CASES],
+            "pattern string, path string",
+        )
+        got = df.select(
+            "pattern",
+            "path",
+            robots_pattern_like(F.col("path"), F.col("pattern")).alias("m"),
+        ).collect()
+        want = {(p, q): w for p, q, w in self.CASES}
+        for row in got:
+            assert row["m"] is want[(row["pattern"], row["path"])], (
+                row["pattern"],
+                row["path"],
+            )
+
+    def test_duckdb_like_translation_parity(self) -> None:
+        """The SAME LIKE translation evaluates identically in DuckDB —
+        the relational algebra is engine-portable."""
+        import duckdb
+
+        from parsel_spark.functions.robots import robots_pattern_matches
+
+        for pattern, path, want in self.CASES:
+            anchored = pattern.endswith("$")
+            core = pattern[:-1] if anchored else pattern
+            esc = (
+                core.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("*", "%")
+            )
+            like_pat = esc if anchored else esc + "%"
+            (got,) = duckdb.sql(
+                "SELECT ? LIKE ? ESCAPE '\\'", params=[path, like_pat]
+            ).fetchone()
+            assert got is want, (pattern, path)
+            assert got is robots_pattern_matches(pattern, path)
+
+    def test_wildcards_in_both_frontier_modes(self, spark) -> None:
+        """join mode (LIKE translation) and udf mode (regex twin) must
+        agree on wildcard/anchored rules, incl. the allow-wins
+        longest-match interplay."""
+        from urllib.parse import urlsplit
+
+        from pyspark.sql import functions as F
+
+        from parsel_spark.operators.frontier import (
+            robots_allowed_py,
+            robots_filter,
+        )
+
+        deny = ["/*.php$", "/private*"]
+        allow = ["/private/ok*"]
+        table = spark.createDataFrame(
+            [("a.test", deny, allow, 1.0, 8)],
+            "host string, deny_prefixes array<string>, "
+            "allow_prefixes array<string>, crawl_delay double, "
+            "max_fetch_per_wave int",
+        )
+        urls = [
+            "http://a.test/index.php",        # denied (anchored wildcard)
+            "http://a.test/index.php?x=1",    # denied too: path is /index.php
+            "http://a.test/index.php/extra",  # allowed: anchor misses
+            "http://a.test/private/no",       # denied
+            "http://a.test/private/okay",     # allowed override (longer)
+            "http://a.test/public/a.html",    # allowed
+        ]
+        links = spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).select("url", F.xxhash64("url").alias("url_hash"))
+        jvm = {r["url"] for r in robots_filter(links, table).collect()}
+        assert jvm == {
+            "http://a.test/index.php/extra",
+            "http://a.test/private/okay",
+            "http://a.test/public/a.html",
+        }
+        rules_map = {"a.test": (tuple(deny), tuple(allow))}
+        for url in urls:
+            parts = urlsplit(url)
+            assert robots_allowed_py(
+                parts.hostname, parts.path or "/", rules_map
+            ) == (url in jvm), url
