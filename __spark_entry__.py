@@ -366,6 +366,17 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(docs, window=24, stride=16)
 
 
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (textstats.vocab_topk, k=100): top words by
+    occurrence with document frequency — the word-count table tokenizer
+    training starts from.  Deterministic ordering (count DESC, word
+    ASC); the oracle replays explode, both aggregates and the ranked
+    cut."""
+    from parsel_spark.functions.textstats import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
     2020 §2.2) over planted multi-line pages: every doc gets a kept
@@ -1330,6 +1341,41 @@ def q_crawl_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed centrality feedback path: REAL link extraction
+    (the fused parse+select+resolve+canonicalize UDF over the planted
+    corpus — same pipeline as crawl_extract_links) → host-level edge
+    rollup → 3-round PageRank → frontier priority (dense ordering by
+    rounded rank DESC, host ASC — ordering on the ROUNDED value keeps
+    the cross-engine sort deterministic).  The oracle composes the
+    closed-form target set (_oracle_doc_targets — link extraction's
+    own ground truth) with the unrolled power-method replay.  At scale
+    the final row_number is one sort of the |hosts| priority table —
+    ingest-cadence work, same shape as host_quality_priority."""
+    from pyspark.sql import Window
+
+    from parsel_spark.functions.udfs import extract_canonical_links
+    from parsel_spark.operators.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _doc_pages(docs)
+    links = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("src"),
+        F.explode(extract_canonical_links("html", "url")).alias("target"),
+    )
+    edges = links.select(
+        "src", F.parse_url("target", F.lit("HOST")).alias("dst")
+    ).distinct()
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    rank_r = F.round("rank", 7)
+    w = Window.orderBy(rank_r.desc(), F.col("node").asc())
+    return ranks.select(
+        F.col("node").alias("host"),
+        rank_r.alias("pagerank"),
+        F.row_number().over(w).alias("priority"),
+    )
+
+
 def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl CDC (frontier.snapshot_delta): snapshot v1 =
     docs except every 17th (those become 'new' in v2), snapshot v2 =
@@ -2286,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": q_doc_c4_filter,
         "warc_revisit_dedup": q_warc_revisit_dedup,
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
+        "crawl_pagerank_priority": q_crawl_pagerank_priority,
+        "doc_vocab_topk": q_doc_vocab_topk,
     }
 
 
@@ -4220,6 +4268,27 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
 
+    # vocab induction: explode + two aggregates + ranked cut
+    sql["doc_vocab_topk"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +'))
+                       AS word
+            FROM documents
+        ), c AS (
+            SELECT word, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY word
+        ), r AS (
+            SELECT word, n_occurrences, n_docs,
+                   row_number() OVER (
+                       ORDER BY n_occurrences DESC, word ASC
+                   ) AS rank
+            FROM c
+        )
+        SELECT word, n_occurrences, n_docs, rank FROM r WHERE rank <= 100
+    """
+
     # C4 cleaning rules: line filter lambda, rejoin, sentence count and
     # the three page gates replayed over the same planted pages
     sql["doc_c4_filter"] = """
@@ -4327,6 +4396,25 @@ def oracle_sql() -> dict[str, str]:
                dom.dup_of IS NULL AS keep
         FROM e JOIN afinal ON e.vec_id = afinal.vec_id
              LEFT JOIN dom ON e.vec_id = dom.id_b
+    """
+
+    # composed centrality feedback: link extraction's own ground truth
+    # (the planted target set) -> host edges -> unrolled power method
+    # -> priority ordering on the rounded rank
+    _prio_edges = f"""
+        SELECT DISTINCT 'docs-' || (d.doc_id % {N_DOC_HOSTS}) || '.test'
+                   AS src,
+               'docs-' || (((d.doc_id * 7 + js.j * 11 + 1) % n.n)
+                   % {N_DOC_HOSTS}) || '.test' AS dst
+        FROM documents d, (VALUES (0), (1), (2)) js(j),
+             (SELECT count(*) AS n FROM documents) n
+    """
+    sql["crawl_pagerank_priority"] = f"""
+        SELECT node AS host, round(rank, 7) AS pagerank,
+               row_number() OVER (
+                   ORDER BY round(rank, 7) DESC, node ASC
+               ) AS priority
+        FROM ({pagerank_oracle_cte(_prio_edges, iters=3, damping=0.85)})
     """
 
     # incremental-crawl CDC: full-outer-join + status/counter algebra

@@ -345,3 +345,50 @@ def c4_quality_flags(
         has_lorem.alias("has_lorem"),
         keep.alias("keep"),
     )
+
+
+def vocab_topk(
+    docs,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus vocabulary induction — the first step of tokenizer
+    training (word-level counts feeding BPE/WordPiece merges) and the
+    standard corpus-health report: the top-``k`` lowercase whitespace
+    words by total occurrence count, with document frequency alongside.
+
+    Output: ``(word, n_occurrences, n_docs, rank)`` for rank <= k,
+    ordered deterministically (count DESC, word ASC tiebreak).
+
+    Scale shape: occurrence counting is ONE map-side-combined
+    groupBy(word) — partial aggregation collapses each partition to its
+    local vocabulary before the exchange, so shuffle volume is bounded
+    by |vocab| per partition, not corpus tokens; the distinct-doc count
+    rides the same aggregate (count distinct ⇒ one expand, still
+    word-keyed).  The global top-k is a TakeOrdered over |vocab| rows —
+    no full sort materializes."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), " +")
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__doc").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        counts.select(
+            "word",
+            "n_occurrences",
+            "n_docs",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )

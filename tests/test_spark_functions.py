@@ -846,3 +846,30 @@ class TestC4QualityFlags:
         df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             c4_quality_flags(df, min_sentences=0)
+
+
+class TestVocabTopk:
+    def test_counts_and_rank(self, spark) -> None:
+        from parsel_spark.functions.textstats import vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "the cat and the hat"), (2, "THE cat sat")],
+            "doc_id long, text string",
+        )
+        rows = {r["word"]: r for r in vocab_topk(df, k=3).collect()}
+        assert rows["the"]["n_occurrences"] == 3
+        assert rows["the"]["n_docs"] == 2
+        assert rows["the"]["rank"] == 1
+        assert rows["cat"]["n_occurrences"] == 2
+        assert rows["cat"]["rank"] == 2
+        # tie between 'and'/'hat'/'sat' (1 each) -> word ASC tiebreak
+        assert rows["and"]["rank"] == 3 and len(rows) == 3
+
+    def test_bad_k(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.textstats import vocab_topk
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            vocab_topk(df, k=0)
