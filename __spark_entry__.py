@@ -2186,6 +2186,23 @@ def q_img_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch assembly after aspect bucketing (multimodal.bucket_batches,
+    batch_size=8, seed=3): each batch comes from ONE aspect bucket,
+    members ordered by the md5 unit hash (deterministic shuffle),
+    trailing partial batches dropped — the SDXL-lineage step that turns
+    the bucketed corpus into uniform training batches.  The oracle
+    replays the integer-exact ladder argmin AND the per-bucket
+    row_number/count window cut."""
+    from parsel_spark.operators.multimodal import aspect_bucket, bucket_batches
+
+    imgs = _synth_image_caption_table(spark, sf_dir)
+    bucketed = imgs.select(
+        "image_id", aspect_bucket("w", "h").alias("bucket")
+    )
+    return bucket_batches(bucketed, batch_size=8, seed=3)
+
+
 def q_img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-lineage image-text pair curation gate
     (multimodal.caption_pair_quality_flags) over the input_hint-shaped
@@ -2334,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_wildcard": q_crawl_robots_wildcard,
         "crawl_pagerank_priority": q_crawl_pagerank_priority,
         "doc_vocab_topk": q_doc_vocab_topk,
+        "img_bucket_batches": q_img_bucket_batches,
     }
 
 
@@ -4266,6 +4284,53 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # batch assembly: ladder argmin + unit-hash-ordered window cut
+    sql["img_bucket_batches"] = """
+        WITH img AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   (doc_id*40503 + 17) % 2048 + 16 AS w,
+                   (doc_id*69069 + 5) % 2048 + 16 AS h
+            FROM documents
+        ), d AS (
+            SELECT image_id, w, h,
+                   abs(w*1  - h*1 ) * 144 AS d_sq,
+                   abs(w*3  - h*4 ) * 48  AS d_l43,
+                   abs(w*4  - h*3 ) * 36  AS d_p34,
+                   abs(w*9  - h*16) * 16  AS d_w169,
+                   abs(w*16 - h*9 ) * 9   AS d_t916,
+                   abs(w*2  - h*3 ) * 72  AS d_l32,
+                   abs(w*3  - h*2 ) * 48  AS d_p23
+            FROM img
+        ), b AS (
+            SELECT image_id,
+                   CASE WHEN d_sq = m THEN 'square_1_1'
+                        WHEN d_l43 = m THEN 'landscape_4_3'
+                        WHEN d_p34 = m THEN 'portrait_3_4'
+                        WHEN d_w169 = m THEN 'wide_16_9'
+                        WHEN d_t916 = m THEN 'tall_9_16'
+                        WHEN d_l32 = m THEN 'landscape_3_2'
+                        ELSE 'portrait_2_3' END AS bucket
+            FROM (SELECT *, least(d_sq, d_l43, d_p34, d_w169, d_t916,
+                                  d_l32, d_p23) AS m
+                  FROM d)
+        ), r AS (
+            SELECT image_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY ('0x' || substr(md5(image_id || '#3'),
+                                 1, 15))::BIGINT::DOUBLE
+                                / 1152921504606846976.0,
+                                image_id
+                   ) - 1 AS pos,
+                   count(*) OVER (PARTITION BY bucket) AS n
+            FROM b
+        )
+        SELECT image_id, bucket,
+               (pos // 8)::BIGINT AS batch_id,
+               (pos % 8)::INT AS slot
+        FROM r WHERE pos < n - n % 8
     """
 
     # vocab induction: explode + two aggregates + ranked cut

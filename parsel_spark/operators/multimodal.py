@@ -413,3 +413,57 @@ def caption_dedup(
         .withColumn("is_rep", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def bucket_batches(
+    images: DataFrame,
+    batch_size: int,
+    bucket_col: str = "bucket",
+    id_col: str = "image_id",
+    seed: int = 0,
+    drop_partial: bool = True,
+) -> DataFrame:
+    """Training-batch assembly for aspect-bucketed image corpora — the
+    step after :func:`aspect_bucket` in the public SDXL-lineage recipe:
+    every batch must come from ONE bucket (uniform tensor shape), so
+    rows are ordered inside each bucket by the engine-portable md5 unit
+    hash (deterministic shuffle — rerun-stable, no RNG state) and cut
+    into consecutive ``batch_size`` groups.
+
+    Output: ``(id, bucket, batch_id, slot)`` — ``batch_id`` counts from
+    0 within each bucket, ``slot`` is the position within the batch.
+    With ``drop_partial`` (default) the trailing short batch of each
+    bucket is dropped (uniform batches only — standard practice); pass
+    ``False`` to keep it.
+
+    Scale shape: ONE hash(bucket) exchange feeds both the row_number
+    and the per-bucket count (same window partitioning, no second
+    shuffle).  Buckets are few (the ladder) and huge — batch packing
+    inside each is embarrassingly parallel after the sort; at 10^9
+    pairs, range-partition each bucket by the unit hash and make
+    batch_id = range offset if a single per-bucket sort is too big."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from pyspark.sql import Window
+
+    from ..functions.sampling import unit_hash
+
+    u = unit_hash(id_col, seed)
+    w = Window.partitionBy(bucket_col).orderBy(u, F.col(id_col))
+    wc = Window.partitionBy(bucket_col)
+    ranked = images.select(
+        F.col(id_col),
+        F.col(bucket_col),
+        (F.row_number().over(w) - 1).alias("__pos"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    if drop_partial:
+        ranked = ranked.where(
+            F.col("__pos") < F.col("__n") - F.pmod("__n", F.lit(batch_size))
+        )
+    return ranked.select(
+        id_col,
+        bucket_col,
+        F.expr(f"__pos div {int(batch_size)}").cast("long").alias("batch_id"),
+        F.pmod("__pos", F.lit(batch_size)).cast("int").alias("slot"),
+    )

@@ -267,3 +267,45 @@ class TestCaptionDedup:
         )
         out = {r["image_id"]: r["is_rep"] for r in caption_dedup(df).collect()}
         assert out == {"x": True, "y": False}
+
+
+class TestBucketBatches:
+    def _images(self, spark, n=23, buckets=("a", "b")):
+        rows = [(f"img{i:03d}", buckets[i % len(buckets)]) for i in range(n)]
+        return spark.createDataFrame(rows, "image_id string, bucket string")
+
+    def test_uniform_batches_partial_dropped(self, spark) -> None:
+        from parsel_spark.operators.multimodal import bucket_batches
+
+        out = bucket_batches(self._images(spark), batch_size=4).collect()
+        # bucket a: 12 rows -> 3 full batches; bucket b: 11 -> 2 full (8)
+        per = {}
+        for r in out:
+            per.setdefault((r["bucket"], r["batch_id"]), []).append(r["slot"])
+        assert len(out) == 12 + 8
+        for (_b, _id), slots in per.items():
+            assert sorted(slots) == [0, 1, 2, 3]
+
+    def test_keep_partial(self, spark) -> None:
+        from parsel_spark.operators.multimodal import bucket_batches
+
+        out = bucket_batches(
+            self._images(spark), batch_size=4, drop_partial=False
+        ).collect()
+        assert len(out) == 23
+
+    def test_deterministic_across_partitioning(self, spark) -> None:
+        from parsel_spark.operators.multimodal import bucket_batches
+
+        df = self._images(spark)
+        a = sorted(map(tuple, bucket_batches(df, 4).collect()))
+        b = sorted(map(tuple, bucket_batches(df.repartition(7), 4).collect()))
+        assert a == b
+
+    def test_bad_batch_size(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.operators.multimodal import bucket_batches
+
+        with _pytest.raises(ValueError):
+            bucket_batches(self._images(spark), batch_size=0)
