@@ -1452,6 +1452,45 @@ def q_crawl_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(links, rules)
 
 
+def q_crawl_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical capture collapsing (udfs.extract_rel_canonical →
+    urlfilter.canonical_collapse, RFC 6596): docs form groups of 5
+    whose members declare the group leader as canonical — planted in a
+    TRAP form (upper-case host/scheme) so the row proves resolve +
+    RFC-3986 canonicalization runs inside the extractor; leaders and
+    every 13th doc carry no canonical link (self-identity).  kept_url
+    must be the authoritative capture where one exists.  The oracle
+    states group identity, capture counts and the keep rule in closed
+    form."""
+    from parsel_spark.functions.udfs import extract_rel_canonical
+    from parsel_spark.functions.urlfilter import canonical_collapse
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    leader = doc_id - F.pmod(doc_id, F.lit(5))
+    url = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+        F.lit(".test/p/"), doc_id,
+    )
+    link = F.when(
+        (F.pmod(doc_id, F.lit(5)) != 0) & (F.pmod(doc_id, F.lit(13)) != 0),
+        F.concat(
+            F.lit('<link rel="canonical" href="HTTP://DOCS-'),
+            F.pmod(leader, F.lit(N_DOC_HOSTS)),
+            F.lit(".TEST/p/"), leader, F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), link,
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    extracted = pages.select(
+        "url", extract_rel_canonical("html", "url").alias("canonical")
+    )
+    return canonical_collapse(extracted)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2352,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pagerank_priority": q_crawl_pagerank_priority,
         "doc_vocab_topk": q_doc_vocab_topk,
         "img_bucket_batches": q_img_bucket_batches,
+        "crawl_canonical_collapse": q_crawl_canonical_collapse,
     }
 
 
@@ -4284,6 +4324,29 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # rel=canonical collapse: closed-form group identity + keep rule
+    sql["crawl_canonical_collapse"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   doc_id - doc_id % 5 AS leader
+            FROM documents
+        ), c AS (
+            SELECT url,
+                   CASE WHEN doc_id % 5 = 0 OR doc_id % 13 = 0 THEN url
+                        ELSE 'http://docs-' || (leader % {N_DOC_HOSTS})
+                             || '.test/p/' || leader END AS canonical_url
+            FROM base
+        )
+        SELECT canonical_url, count(*) AS n_captures,
+               coalesce(
+                   min(CASE WHEN url = canonical_url THEN url END),
+                   min(url)
+               ) AS kept_url
+        FROM c GROUP BY canonical_url
     """
 
     # batch assembly: ladder argmin + unit-hash-ordered window cut

@@ -459,3 +459,41 @@ def extract_anchors(column: Column | str) -> Column:
         return pd.Series(out)
 
     return _udf(column)
+
+
+def extract_rel_canonical(
+    html_column: Column | str, base_url_column: Column | str
+) -> Column:
+    """``<link rel="canonical" href=...>`` target per page (the public
+    rel-canonical convention, RFC 6596): the content-level URL identity
+    signal crawlers use to collapse parameterized / mirrored captures
+    of the same logical page.  FIRST such link wins (the convention on
+    malformed multi-canonical pages); the href resolves against the
+    page URL and runs RFC-3986 canonicalization — same fused
+    one-Python-hop shape as the link extractor.  NULL when absent or
+    unresolvable; multi-token ``rel`` values match per-token,
+    case-insensitively (``rel="Canonical alternate"`` counts)."""
+    from .canonical import resolve_url
+
+    @pandas_udf(T.StringType())
+    def _udf(payloads: pd.Series, bases: pd.Series) -> pd.Series:
+        out = []
+        for payload, base in zip(payloads, bases):
+            sel = _make_selector(payload, None)
+            target = None
+            if sel is not None:
+                try:
+                    for link in sel.xpath("//link[@href]"):
+                        if "canonical" in _rel_tokens(
+                            link.attrib.get("rel") or ""
+                        ):
+                            target = resolve_url(
+                                base, link.attrib["href"]
+                            )
+                            break
+                except Exception:
+                    target = None
+            out.append(target)
+        return pd.Series(out, dtype=object)
+
+    return _udf(html_column, base_url_column)

@@ -208,3 +208,42 @@ def strip_tracking_params(url_col: Column | str) -> Column:
         .when(newq == "", base)
         .otherwise(F.concat(base, F.lit("?"), newq))
     )
+
+
+def canonical_collapse(
+    pages: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Collapse crawled captures by CONTENT-level URL identity — the
+    rel-canonical convention (RFC 6596): parameterized/mirrored
+    captures that declare the same ``<link rel=canonical>`` target are
+    one logical page.  Input carries the page URL and the extracted
+    canonical target (``udfs.extract_rel_canonical``; NULL ⇒ the page
+    is its own canonical).  Output one row per logical page:
+    ``(canonical_url, n_captures, kept_url)`` — ``kept_url`` prefers
+    the capture that IS the canonical target (the authoritative
+    version), else the smallest capture URL (deterministic).
+
+    Scale shape: ONE map-side-combined groupBy on the canonical key;
+    composes before ``snapshot_delta``/``revisit_dedup`` so storage
+    and recrawl run on logical pages, not capture variants."""
+    tgt = F.coalesce(F.col(canonical_col), F.col(url_col))
+    g = pages.select(
+        tgt.alias("canonical_url"), F.col(url_col).alias("__u")
+    )
+    return (
+        g.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min(
+                F.when(F.col("__u") == F.col("canonical_url"), F.col("__u"))
+            ).alias("__self"),
+            F.min("__u").alias("__min"),
+        )
+        .select(
+            "canonical_url",
+            "n_captures",
+            F.coalesce("__self", "__min").alias("kept_url"),
+        )
+    )

@@ -187,3 +187,66 @@ class TestStripTrackingParams:
                df.select("url", strip_tracking_params("url").alias("c"))
                .collect()}
         assert got == cases
+
+
+class TestRelCanonical:
+    def test_extractor_first_wins_resolved_and_canonicalized(
+        self, spark
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.udfs import extract_rel_canonical
+
+        rows = [
+            # trap form: upper host + dot segments -> canonicalized
+            ("http://a.test/p/1",
+             '<html><head><link rel="canonical" '
+             'href="HTTP://A.TEST/x/../real/1"></head><body>x</body></html>'),
+            # first of two wins; multi-token rel matches
+            ("http://a.test/p/2",
+             '<html><head>'
+             '<link rel="Canonical alternate" href="/first">'
+             '<link rel="canonical" href="/second"></head></html>'),
+            # relative href resolves against the page url
+            ("http://a.test/dir/page", '<link rel="canonical" href="c">'),
+            # no canonical -> NULL
+            ("http://a.test/p/4", "<html><body>none</body></html>"),
+            # stylesheet rel does NOT match
+            ("http://a.test/p/5", '<link rel="stylesheet" href="/css">'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select(
+                "url",
+                extract_rel_canonical("html", "url").alias("c"),
+            ).collect()
+        }
+        assert got["http://a.test/p/1"] == "http://a.test/real/1"
+        assert got["http://a.test/p/2"] == "http://a.test/first"
+        assert got["http://a.test/dir/page"] == "http://a.test/dir/c"
+        assert got["http://a.test/p/4"] is None
+        assert got["http://a.test/p/5"] is None
+
+    def test_collapse_prefers_authoritative_capture(self, spark) -> None:
+        from parsel_spark.functions.urlfilter import canonical_collapse
+
+        pages = spark.createDataFrame(
+            [
+                ("http://a.test/real", None),            # the canonical itself
+                ("http://a.test/real?utm=1", "http://a.test/real"),
+                ("http://a.test/mirror", "http://a.test/real"),
+                ("http://a.test/solo", None),
+                # group with NO authoritative capture -> min url kept
+                ("http://a.test/v2", "http://a.test/gone"),
+                ("http://a.test/v1", "http://a.test/gone"),
+            ],
+            "url string, canonical string",
+        )
+        got = {
+            r["canonical_url"]: (r["n_captures"], r["kept_url"])
+            for r in canonical_collapse(pages).collect()
+        }
+        assert got["http://a.test/real"] == (3, "http://a.test/real")
+        assert got["http://a.test/solo"] == (1, "http://a.test/solo")
+        assert got["http://a.test/gone"] == (2, "http://a.test/v1")
