@@ -682,16 +682,41 @@ def exact_new_filter(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def new_frontier_rows(new_urls: DataFrame, wave: int) -> DataFrame:
+def new_frontier_rows(
+    new_urls: DataFrame, wave: int, host_priority: DataFrame | None = None
+) -> DataFrame:
     """Frontier rows for wave ``wave+1``: priority = 1/(wave+2); seq =
     url_hash — a pure function of the URL, so no global ranking shuffle
-    is needed for deterministic ordering."""
-    priority = NEW_PRIORITY_BASE / float(wave + 2)
-    return new_urls.select(
+    is needed for deterministic ordering.
+
+    ``host_priority`` (optional): a ``(host, priority_rank)`` dim table
+    — ``host_quality_priority`` or the PageRank priority rollup, rank 1
+    = best — broadcast-joined in so better-ranked hosts' links carry a
+    monotone boost ``1 / (2·(wave+2)·rank)``.  Dequeue order is (wave,
+    priority DESC, ...), and every new row of a wave shares the same
+    base, so the boost reorders ONLY within the discovery wave (the
+    deterministic tiebreak chain below priority is untouched); hosts
+    absent from the table keep the plain base.  Default None: plan and
+    ordering byte-identical to the reference parity corpus."""
+    priority: Column = F.lit(NEW_PRIORITY_BASE / float(wave + 2))
+    rows = new_urls
+    if host_priority is not None:
+        hp = host_priority.select(
+            F.col("host").alias("__hp_host"),
+            F.col("priority_rank").cast("double").alias("__hp_rank"),
+        )
+        rows = rows.join(
+            F.broadcast(hp), rows["host"] == hp["__hp_host"], "left"
+        )
+        boost = F.lit(NEW_PRIORITY_BASE / (2.0 * float(wave + 2))) / F.col(
+            "__hp_rank"
+        )
+        priority = priority + F.coalesce(boost, F.lit(0.0))
+    return rows.select(
         "url",
         "url_hash",
         "host",
-        F.lit(priority).alias("priority"),
+        priority.alias("priority"),
         F.col("url_hash").alias("seq"),
         F.lit(wave + 1).alias("discovered_wave"),
     )

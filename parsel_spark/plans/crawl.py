@@ -81,6 +81,7 @@ class CrawlRun:
         robots_rules: dict | None = None,
         seen_check: str = "cogroup",
         respect_nofollow: bool = False,
+        host_priority: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -116,6 +117,12 @@ class CrawlRun:
         # nofollow + rel=nofollow tokens) — same fused UDF, off by
         # default so the reference-ordering parity corpus is unchanged
         self.respect_nofollow = respect_nofollow
+        # optional (host, priority_rank) dim table — quality/centrality
+        # feedback (host_quality_priority / the PageRank rollup) boosts
+        # better-ranked hosts WITHIN each discovery wave via one
+        # broadcast join in new_frontier_rows; None (default) keeps the
+        # reference-ordering parity plan byte-identical
+        self.host_priority = host_priority
         # pages_prepared=True: caller already bucketed the corpus
         # hash(url, frontier_partitions) (CrawlRun.prepare_pages) and
         # cached it — on a real cluster this is the corpus table's
@@ -525,7 +532,9 @@ class CrawlRun:
         # depth is constant by construction — truncating the union again
         # would just re-write the full frontier a second time per wave
         new_frontier = remaining.unionByName(
-            fr.new_frontier_rows(new_urls_rdd, wave)
+            fr.new_frontier_rows(
+                new_urls_rdd, wave, host_priority=self.host_priority
+            )
         )
         # one small explicit exchange re-asserts hash(host) (a full-outer
         # join's output partitioning is not propagated), so next wave's

@@ -513,3 +513,66 @@ def test_snapshot_delta_feeds_recrawl_due(spark) -> None:
     }
     # unchanged u1 backed off to 100*2^3; changed u2 reset to 100*2^0
     assert due == {"u1": 800, "u2": 100}
+
+
+def test_host_priority_boost_reorders_within_wave(spark, tmp_path) -> None:
+    """CrawlRun(host_priority=...): a (host, priority_rank) feedback
+    table (quality or PageRank rollup) makes better-ranked hosts'
+    links dequeue FIRST within their discovery wave; the crawled SET
+    is unchanged, and omitting the table keeps the default ordering."""
+    from parsel_spark.plans.crawl import CrawlRun
+    from parsel_spark.sources.snapshots import SnapshotCatalog
+
+    def page(url, host, html):
+        return (url, None, 0, 0, "png", "", 0, url, host, html)
+
+    links = "".join(
+        f'<a href="http://{h}/p{i}">x</a>'
+        for h in ("a.test", "b.test") for i in range(2)
+    )
+    rows = [page("http://c.test/s", "c.test", f"<html><body>{links}</body></html>")]
+    for h in ("a.test", "b.test"):
+        for i in range(2):
+            rows.append(
+                page(f"http://{h}/p{i}", h, "<html><body>leaf</body></html>")
+            )
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long, url string, host string, "
+              "html string")
+    pages = spark.createDataFrame(rows, schema)
+    robots = spark.createDataFrame(
+        [(h, ["/"], [], 1.0, 10) for h in ("a.test", "b.test", "c.test")],
+        "host string, allow_prefixes array<string>, "
+        "deny_prefixes array<string>, crawl_delay double, "
+        "max_fetch_per_wave int",
+    )
+    seeds = spark.createDataFrame(
+        [("http://c.test/s", 1.0, 0)], "url string, priority double, seq long"
+    )
+    hp = spark.createDataFrame(
+        [("b.test", 1), ("a.test", 2)], "host string, priority_rank long"
+    )
+
+    boosted = CrawlRun(
+        spark, SnapshotCatalog(str(tmp_path / "hp")), pages, robots,
+        num_shards=4, host_priority=hp,
+    )
+    boosted.initialize(seeds)
+    boosted.run(3)
+    default = CrawlRun(
+        spark, SnapshotCatalog(str(tmp_path / "plain")), pages, robots,
+        num_shards=4,
+    )
+    default.initialize(seeds)
+    default.run(3)
+
+    assert boosted.seen_set() == default.seen_set()
+    wave2_boosted = [u for w, u in boosted.crawl_order() if w == 2]
+    # all four discovered links dequeue in wave 2; with the boost every
+    # b.test url must come before every a.test url
+    assert len(wave2_boosted) == 4
+    assert [u.split("/")[2] for u in wave2_boosted[:2]] == ["b.test"] * 2
+    assert [u.split("/")[2] for u in wave2_boosted[2:]] == ["a.test"] * 2
+    # and the boost genuinely changed something vs the default tiebreak
+    wave2_default = [u for w, u in default.crawl_order() if w == 2]
+    assert sorted(wave2_default) == sorted(wave2_boosted)
