@@ -377,6 +377,21 @@ def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
 
 
+def q_doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: language-ID → per-language corpus rollup (the
+    CCNet/mC4-style per-language dataset card): lang_id_df tags every
+    doc, source_mixture rolls up docs / BPE tokens / token share per
+    predicted language.  The oracle chains the full lang-ID CTE with
+    the rollup algebra — two independently-proven operators, one
+    value-checked composition."""
+    from parsel_spark.functions.sampling import source_mixture
+    from parsel_spark.functions.textstats import lang_id_df
+
+    docs = _read(spark, sf_dir, "documents")
+    tagged = lang_id_df(docs, keep=["doc_id", "text"])
+    return source_mixture(tagged, source_col="pred_lang")
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
     2020 §2.2) over planted multi-line pages: every doc gets a kept
@@ -2392,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": q_doc_vocab_topk,
         "img_bucket_batches": q_img_bucket_batches,
         "crawl_canonical_collapse": q_crawl_canonical_collapse,
+        "doc_lang_mixture": q_doc_lang_mixture,
     }
 
 
@@ -4324,6 +4340,43 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # language mixture: the full lang-ID CTE chained into the rollup
+    sql["doc_lang_mixture"] = f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id, text, {hit_cols},
+                   greatest(
+                       len(list_filter(toks, x -> x IN {lang_hits['en']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['de']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['fr']})),
+                       len(list_filter(toks, x -> x IN {lang_hits['es']}))
+                   ) AS best
+            FROM t
+        ), l AS (
+            SELECT text,
+                   CASE
+                     WHEN h_de > 0 AND h_de = best THEN 'de'
+                     WHEN h_en > 0 AND h_en = best THEN 'en'
+                     WHEN h_es > 0 AND h_es = best THEN 'es'
+                     WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+                     ELSE 'und'
+                   END AS source
+            FROM h
+        ), g AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text, '{bpe_pat}')))::BIGINT
+                       AS total_tokens
+            FROM l GROUP BY source
+        ),
+        a AS (SELECT sum(total_tokens) AS all_tokens FROM g)
+        SELECT source, n_docs, total_tokens,
+               round(total_tokens / a.all_tokens::DOUBLE, 6) AS token_share
+        FROM g, a
     """
 
     # rel=canonical collapse: closed-form group identity + keep rule

@@ -137,6 +137,12 @@ def robots_pattern_matches(pattern: str, path: str) -> bool:
     crawl modes and the single-process oracle all call this, the
     relational mode runs the LIKE translation; a parity test pins the
     two on every metachar shape."""
+    # hot-path fast exit: real-world rules are overwhelmingly plain
+    # prefixes — the crawl loop calls this per candidate URL, so the
+    # metachar-free case must stay a startswith, not a regex build
+    # (re's internal pattern cache bounds the slow path regardless)
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
     import re
 
     anchored = pattern.endswith("$")

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.robots import robots_pattern_matches
 from .bloom import (
     DEFAULT_BITS_PER_SHARD,
     DEFAULT_NUM_HASHES,
@@ -300,9 +301,8 @@ def robots_allowed_py(
     the oracle's ``_robots_allowed``): the longest matching rule wins,
     so a more specific ``Allow`` overrides a broader ``Disallow``.
     Rule paths support the §2.2.3 ``*``/trailing-``$`` metacharacters
-    (``robots.robots_pattern_matches``)."""
-    from ..functions.robots import robots_pattern_matches
-
+    (``robots.robots_pattern_matches``; imported at module level — this
+    runs per candidate URL inside the wave cogroup)."""
     rules = rules_map.get(host)
     if rules is None:
         return True
