@@ -392,6 +392,18 @@ def q_doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture(tagged, source_col="pred_lang")
 
 
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution (textstats.corpus_length_stats):
+    count/min/max/mean/stddev + EXACT interpolated p50/p90/p99 over
+    BPE-ish token counts — the dataset-card numbers packing and
+    chunking parameters start from.  The oracle proves Spark's
+    percentile interpolation and stddev_samp are bit-identical to
+    DuckDB's quantile_cont/stddev_samp."""
+    from parsel_spark.functions.textstats import corpus_length_stats
+
+    return corpus_length_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
     2020 §2.2) over planted multi-line pages: every doc gets a kept
@@ -1506,6 +1518,59 @@ def q_crawl_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_collapse(extracted)
 
 
+def q_stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest CDC (frontier.snapshot_delta_stream): the SAME
+    v1/v2 snapshot synthesis as crawl_snapshot_delta, but fresh
+    captures arrive as a STREAM and classify against the static
+    previous snapshot via a stream-static left join — new / changed /
+    unchanged with the same revisit-counter update ('gone' stays with
+    the batch full-outer op by design: a stream cannot observe
+    absence).  One oracle (the batch algebra restricted to the
+    new-capture side), two execution models."""
+    import tempfile
+
+    from parsel_spark.operators.frontier import snapshot_delta_stream
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)),
+        F.lit(".test/p/"), doc_id,
+    )
+    old = docs.where(F.pmod(doc_id, F.lit(17)) != 0).select(
+        url.alias("url"),
+        F.md5(F.col("text")).alias("digest"),
+        F.pmod(doc_id, F.lit(6)).cast("int").alias("unchanged_count"),
+    )
+    new = docs.where(F.pmod(doc_id, F.lit(13)) != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(
+                F.pmod(doc_id, F.lit(7)) == 0,
+                F.concat(F.col("text"), F.lit("v2")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_cdc_")
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    new.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("url string, digest string").parquet(
+        in_dir
+    )
+    delta = snapshot_delta_stream(stream, old)
+    query = (
+        delta.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2408,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_bucket_batches": q_img_bucket_batches,
         "crawl_canonical_collapse": q_crawl_canonical_collapse,
         "doc_lang_mixture": q_doc_lang_mixture,
+        "stream_snapshot_delta": q_stream_snapshot_delta,
+        "doc_length_stats": q_doc_length_stats,
     }
 
 
@@ -4340,6 +4407,54 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # length distribution: exact interpolated quantiles + stddev —
+    # two engines, one closed-form definition
+    sql["doc_length_stats"] = f"""
+        WITH t AS (
+            SELECT len(regexp_extract_all(text, '{bpe_pat}'))::BIGINT AS t
+            FROM documents
+        ), q AS (
+            SELECT count(*) AS n_docs, min(t) AS min_tokens,
+                   max(t) AS max_tokens,
+                   round(avg(t), 6) AS mean_tokens,
+                   round(stddev_samp(t), 6) AS std_tokens,
+                   quantile_cont(t, [0.5, 0.9, 0.99]) AS p
+            FROM t
+        )
+        SELECT n_docs, min_tokens, max_tokens, mean_tokens, std_tokens,
+               round(p[1], 6) AS p50_tokens,
+               round(p[2], 6) AS p90_tokens,
+               round(p[3], 6) AS p99_tokens
+        FROM q
+    """
+
+    # streaming CDC: the batch snapshot algebra restricted to the
+    # new-capture side (stream-static left join — no 'gone')
+    sql["stream_snapshot_delta"] = f"""
+        WITH o AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   md5(text) AS digest,
+                   (doc_id % 6)::INT AS unchanged_count
+            FROM documents WHERE doc_id % 17 <> 0
+        ), nw AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || 'v2'
+                            ELSE text END) AS digest
+            FROM documents WHERE doc_id % 13 <> 0
+        )
+        SELECT nw.url, o.digest AS old_digest, nw.digest AS new_digest,
+               CASE WHEN o.url IS NULL THEN 'new'
+                    WHEN o.digest <> nw.digest THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               (CASE WHEN o.url IS NULL THEN 0
+                     WHEN o.digest <> nw.digest THEN 0
+                     ELSE o.unchanged_count + 1 END)::INT
+                   AS next_unchanged_count
+        FROM nw LEFT JOIN o ON nw.url = o.url
     """
 
     # language mixture: the full lang-ID CTE chained into the rollup

@@ -392,3 +392,43 @@ def vocab_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def corpus_length_stats(
+    docs,
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+):
+    """Corpus-health length distribution — the summary every dataset
+    card reports and every packing/chunking parameter choice starts
+    from: count, min/max, mean, sample stddev and EXACT interpolated
+    p50/p90/p99 over per-doc token counts (BPE-ish counter by default).
+
+    Exact percentile is deliberately safe here at any corpus size:
+    Spark's ``percentile`` aggregate keeps a (value → count) map, and
+    token counts are small integers, so the state is bounded by the
+    longest document, not the corpus (for continuous-valued columns
+    use ``approx_percentile`` instead — documented tradeoff).  The
+    interpolation (quantile_cont) and stddev_samp definitions are
+    bit-identical across Spark and DuckDB — the oracle proves it."""
+    if tokens_col is None:
+        tokens_col = bpe_token_count(text_col).cast("long")
+    base = docs.select(tokens_col.alias("__t"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__t").alias("min_tokens"),
+        F.max("__t").alias("max_tokens"),
+        F.round(F.avg("__t"), 6).alias("mean_tokens"),
+        F.round(F.stddev_samp("__t"), 6).alias("std_tokens"),
+        F.expr("percentile(__t, array(0.5D, 0.9D, 0.99D))").alias("__p"),
+    )
+    return agg.select(
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "mean_tokens",
+        "std_tokens",
+        F.round(F.col("__p")[0], 6).alias("p50_tokens"),
+        F.round(F.col("__p")[1], 6).alias("p90_tokens"),
+        F.round(F.col("__p")[2], 6).alias("p99_tokens"),
+    )
