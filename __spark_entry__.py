@@ -2274,6 +2274,19 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, assigned, threshold=0.4, round_to=4)
 
 
+def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction (similarity.top_component, 3 power
+    rounds): the PCA-for-ANN preprocessing primitive.  Determinism
+    machinery: sequential-fold projections, DECIMAL(30,15)
+    order-independent accumulation (the ivf_index trick), per-round
+    renormalize+round.  The oracle unrolls all 3 rounds in ANSI SQL —
+    projections, Gram-vector products, norms and roundings all
+    value-checked."""
+    from parsel_spark.operators.similarity import top_component
+
+    return top_component(_read(spark, sf_dir, "embeddings"), iters=3)
+
+
 def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-level image dedup (multimodal.caption_dedup): the
     planted repeated captions (every 19th doc ' img ', every 23rd
@@ -2475,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_mixture": q_doc_lang_mixture,
         "stream_snapshot_delta": q_stream_snapshot_delta,
         "doc_length_stats": q_doc_length_stats,
+        "emb_top_component": q_emb_top_component,
     }
 
 
@@ -4408,6 +4422,44 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
     """
+
+    # power iteration: 3 unrolled rounds — sequential-fold projections,
+    # DECIMAL(30,15) order-independent sums, per-round round+normalize
+    _x0 = "[" + ", ".join(
+        "1.0" if i == 0 else "0.0" for i in range(64)
+    ) + "]"
+    _pw_parts = [f"x0 AS (SELECT {_x0}::DOUBLE[] AS x)"]
+    for _k in range(1, 4):
+        _pw_parts.append(f"""p{_k} AS (
+            SELECT e.embedding,
+                   list_reduce(list_concat([0.0], list_transform(range(64),
+                       i -> e.embedding[i+1]::DOUBLE * x.x[i+1])),
+                       (acc, v) -> acc + v) AS proj
+            FROM embeddings e, x{_k - 1} x)""")
+        _pw_parts.append(f"""s{_k} AS (
+            SELECT u.dim, sum((u.v * p.proj)::DECIMAL(30,15))::DOUBLE AS m
+            FROM p{_k} p, LATERAL (
+                SELECT generate_subscripts(p.embedding, 1) - 1 AS dim,
+                       unnest(p.embedding)::DOUBLE AS v) u
+            GROUP BY u.dim)""")
+        _pw_parts.append(
+            f"g{_k} AS (SELECT list(m ORDER BY dim) AS y FROM s{_k})"
+        )
+        _pw_parts.append(f"""x{_k} AS (
+            SELECT list_transform(y, v -> round(v / sqrt(
+                list_reduce(list_concat([0.0],
+                    list_transform(y, w -> w * w)),
+                    (acc, v2) -> acc + v2)), 9)) AS x
+            FROM g{_k})""")
+    sql["emb_top_component"] = (
+        "WITH " + ",\n".join(_pw_parts)
+        + """
+        SELECT u.dim, u.c AS component
+        FROM x3, LATERAL (
+            SELECT generate_subscripts(x3.x, 1) - 1 AS dim,
+                   unnest(x3.x) AS c) u
+    """
+    )
 
     # length distribution: exact interpolated quantiles + stddev —
     # two engines, one closed-form definition

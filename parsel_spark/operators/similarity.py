@@ -521,3 +521,95 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via power iteration (PCA-for-ANN primitive)
+# ---------------------------------------------------------------------------
+
+def top_component(
+    embeddings: DataFrame,
+    iters: int = 3,
+    dim: int = 64,
+    round_to: int = 9,
+) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding cloud
+    by FIXED-round power iteration — the public dimensionality-
+    reduction primitive ANN indexes run before quantization (PCA /
+    OPQ-lineage rotation, e.g. the faiss preprocessing stage): x ←
+    normalize(Σ_v v·(v·x)), i.e. repeated multiplication by the Gram
+    matrix without ever materializing it.
+
+    Cross-engine determinism (the oracle replays every round):
+
+    * per-vector projections ``v·x`` use the SAME left-to-right IEEE
+      fold both engines run (the `_dist2`/dot discipline);
+    * the d-dimensional accumulation Σ (value · proj) sums as
+      DECIMAL(30,15) — exact and order-independent, so Spark's partial
+      aggregation cannot perturb low bits (the ``ivf_index`` centroid
+      trick);
+    * each round renormalizes with a sequential-fold norm and ROUNDS
+      to ``round_to`` — both engines re-enter the next round with
+      bit-identical state.
+
+    Start vector = e_0 (deterministic; a cloud exactly orthogonal to
+    e_0 is a measure-zero pathology the caller can break by rotating).
+    Output: ``(dim, component)``, one row per dimension.
+
+    Scale shape: each round is one broadcast of the 1-row direction,
+    one map-side projection pass, and ONE groupBy(dim) over (dim,
+    partial-sum) pairs — shuffle volume d × partitions, independent of
+    corpus size.  State is pinned per round (eager localCheckpoint on
+    a 1-row frame)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = embeddings.sparkSession
+    x = spark.range(1).select(
+        F.array(
+            *[F.lit(1.0 if i == 0 else 0.0) for i in range(dim)]
+        ).alias("x")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        projected = embeddings.crossJoin(F.broadcast(x)).select(
+            "embedding",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "x", lambda e, w: e.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("proj"),
+        )
+        sums = (
+            projected.select(
+                F.posexplode("embedding").alias("d", "value"), "proj"
+            )
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    (F.col("value").cast("double") * F.col("proj")).cast(
+                        "decimal(30,15)"
+                    )
+                ).alias("s")
+            )
+        )
+        gathered = (
+            sums.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("p"))
+            .select(
+                F.transform(
+                    "p", lambda st: st["s"].cast("double")
+                ).alias("y")
+            )
+        )
+        norm2 = F.aggregate(
+            F.transform("y", lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        x = gathered.select(
+            F.transform(
+                "y", lambda v: F.round(v / F.sqrt(norm2), round_to)
+            ).alias("x")
+        ).localCheckpoint(eager=True)
+    return x.select(F.posexplode("x").alias("dim", "component"))

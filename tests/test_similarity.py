@@ -212,3 +212,60 @@ class TestSemanticDedup:
         assert got[101] == (False, 5)
         assert got[102] == (False, 9)
         assert got[1][0] and got[5][0] and got[9][0]
+
+
+class TestTopComponent:
+    def test_matches_numpy_leading_eigenvector(self, spark) -> None:
+        import numpy as np
+
+        from parsel_spark.operators.similarity import top_component
+
+        rng = [
+            [float(3 * (i % 5 - 2) + (1 if i % 2 else -1)),
+             float(4 * (i % 5 - 2) - (1 if i % 3 else 0))] + [0.0] * 6
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["dim"]: r["component"]
+            for r in top_component(df, iters=8, dim=8).collect()
+        }
+        x = np.array([got[d] for d in range(8)])
+        m = np.array(rng, dtype=np.float64)
+        w, v = np.linalg.eigh(m.T @ m)
+        lead = v[:, -1]
+        if np.dot(lead, x) < 0:
+            lead = -lead
+        assert np.allclose(x, lead, atol=1e-4), (x, lead)
+        assert abs(np.linalg.norm(x) - 1.0) < 1e-6
+
+    def test_deterministic_across_partitioning(self, spark) -> None:
+        from parsel_spark.operators.similarity import top_component
+
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, top_component(df, iters=3, dim=8).collect()))
+        b = sorted(
+            map(
+                tuple,
+                top_component(df.repartition(7), iters=3, dim=8).collect(),
+            )
+        )
+        assert a == b
+
+    def test_bad_iters(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.operators.similarity import top_component
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            top_component(df, iters=0)
