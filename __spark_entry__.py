@@ -1403,6 +1403,69 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap change-signal composition: per-host urlset XML with
+    <lastmod> (day = doc_id%28+1) → extract_sitemap_entries (real XML
+    parse through the vectorized UDF) → epoch conversion by pure
+    string algebra (substring of the ISO date — no timezone anywhere)
+    → recrawl_due with last_fetch pinned at day 15: entries modified
+    AFTER the fetch force due (change-after-fetch branch), earlier ones
+    fall to the exponential backoff (count = doc_id%10 against
+    min=1d/max=32d at now=40d — due-by-elapsed iff 2^count ≤ 25 days).
+    unchanged_count is re-derived from the EXTRACTED loc (regexp on the
+    trailing id), so the whole row proves the XML roundtrip carries
+    identity through.  The oracle replays the closed-form loc/lastmod
+    values and the full integer revisit algebra."""
+    from parsel_spark.functions.udfs import extract_sitemap_entries
+    from parsel_spark.operators.frontier import recrawl_due
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    host = F.concat(
+        F.lit("docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)), F.lit(".test")
+    )
+    day = F.lpad((F.pmod(doc_id, F.lit(28)) + 1).cast("string"), 2, "0")
+    entry = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit("/p/"), doc_id,
+        F.lit("</loc><lastmod>2024-01-"), day,
+        F.lit("</lastmod></url>"),
+    )
+    per_host = (
+        docs.select(host.alias("host"), F.struct(doc_id, entry.alias("e")).alias("s"))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list("s")).alias("p"))
+        .select(
+            "host",
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                      'sitemap/0.9">'),
+                F.array_join(F.transform("p", lambda s: s["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    entries = per_host.select(
+        F.explode(extract_sitemap_entries("xml")).alias("e")
+    )
+    state = entries.select(
+        F.col("e.loc").alias("url"),
+        F.lit(15 * 86400).cast("long").alias("last_fetch_ts"),
+        (F.substring("e.lastmod", 9, 2).cast("long") * 86400).alias(
+            "last_change_ts"
+        ),
+        F.pmod(
+            F.regexp_extract(F.col("e.loc"), "([0-9]+)$", 1).cast("long"),
+            F.lit(10),
+        ).cast("int").alias("unchanged_count"),
+    )
+    return recrawl_due(
+        state,
+        now_ts=40 * 86400,
+        min_interval_s=86400,
+        max_interval_s=32 * 86400,
+    )
+
+
 def q_crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl CDC (frontier.snapshot_delta): snapshot v1 =
     docs except every 17th (those become 'new' in v2), snapshot v2 =
@@ -2489,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_snapshot_delta": q_stream_snapshot_delta,
         "doc_length_stats": q_doc_length_stats,
         "emb_top_component": q_emb_top_component,
+        "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
     }
 
 
@@ -4421,6 +4485,36 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # sitemap lastmod -> revisit: closed-form loc/lastmod + the exact
+    # integer revisit algebra (max_exp = bit_length(32) = 6)
+    sql["crawl_sitemap_lastmod"] = f"""
+        WITH s AS (
+            SELECT 'http://docs-' || (doc_id % {N_DOC_HOSTS})
+                       || '.test/p/' || doc_id AS url,
+                   (15 * 86400)::BIGINT AS last_fetch_ts,
+                   (((doc_id % 28) + 1) * 86400)::BIGINT AS last_change_ts,
+                   (doc_id % 10)::INT AS unchanged_count
+            FROM documents
+        ), u AS (
+            SELECT *,
+                   least(86400 * (1::BIGINT
+                       << least(unchanged_count, 6)), 32 * 86400)
+                       AS interval_s
+            FROM s
+        )
+        SELECT url, last_fetch_ts, last_change_ts, unchanged_count,
+               interval_s,
+               (last_change_ts > last_fetch_ts
+                OR (40 * 86400 - last_fetch_ts >= interval_s)) AS due,
+               CASE WHEN NOT (last_change_ts > last_fetch_ts
+                        OR (40 * 86400 - last_fetch_ts >= interval_s))
+                    THEN 0
+                    ELSE greatest(40 * 86400 - last_fetch_ts - interval_s,
+                                  0)
+               END AS overdue_s
+        FROM u
     """
 
     # power iteration: 3 unrolled rounds — sequential-fold projections,

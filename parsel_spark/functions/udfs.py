@@ -497,3 +497,68 @@ def extract_rel_canonical(
         return pd.Series(out, dtype=object)
 
     return _udf(html_column, base_url_column)
+
+
+def extract_sitemap_entries(column: Column | str) -> Column:
+    """Full sitemaps.org ``<url>`` entries — ``ARRAY<STRUCT<loc,
+    lastmod, changefreq, priority>>`` per sitemap document, document
+    order, one XXE-safe XML parse per row (same namespace tolerance as
+    :func:`extract_sitemap`).  ``lastmod`` is the protocol's change
+    signal: parse it to epoch seconds and feed
+    ``frontier.recrawl_due``'s ``last_change_ts`` so changed pages jump
+    the backoff queue; ``changefreq``/``priority`` are advisory
+    ordering hints.  Missing children yield NULL fields; entries
+    without a ``<loc>`` are skipped (spec-invalid)."""
+
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("loc", T.StringType()),
+                T.StructField("lastmod", T.StringType()),
+                T.StructField("changefreq", T.StringType()),
+                T.StructField("priority", T.DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _udf(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            sel = _make_selector(payload, "xml")
+            entries = []
+            if sel is not None:
+                try:
+                    for node in sel.xpath(
+                        "//*[local-name()='urlset']/*[local-name()='url']"
+                    ):
+                        def child(name: str):
+                            vals = node.xpath(
+                                f"./*[local-name()='{name}']/text()"
+                            ).getall()
+                            return vals[0].strip() if vals else None
+
+                        loc = child("loc")
+                        if not loc:
+                            continue
+                        prio = child("priority")
+                        try:
+                            prio_f = (
+                                float(prio) if prio is not None else None
+                            )
+                        except ValueError:
+                            prio_f = None
+                        entries.append(
+                            {
+                                "loc": loc,
+                                "lastmod": child("lastmod"),
+                                "changefreq": child("changefreq"),
+                                "priority": prio_f,
+                            }
+                        )
+                except Exception:
+                    entries = []
+            out.append(entries)
+        return pd.Series(out, dtype=object)
+
+    return _udf(column)

@@ -873,3 +873,54 @@ class TestVocabTopk:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             vocab_topk(df, k=0)
+
+
+class TestSitemapEntries:
+    XML = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a.test/p1</loc>"
+        "<lastmod>2024-06-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc> http://a.test/p2 </loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"          # no loc: skip
+        "<url><loc>http://a.test/p3</loc>"
+        "<priority>not-a-number</priority></url>"
+        "</urlset>"
+    )
+
+    def test_entries_full_and_partial(self, spark) -> None:
+        from parsel_spark.functions.udfs import extract_sitemap_entries
+
+        df = spark.createDataFrame([(self.XML,)], "xml string")
+        (row,) = df.select(
+            extract_sitemap_entries("xml").alias("e")
+        ).collect()
+        e = row["e"]
+        assert len(e) == 3
+        assert e[0]["loc"] == "http://a.test/p1"
+        assert e[0]["lastmod"] == "2024-06-01"
+        assert e[0]["changefreq"] == "daily"
+        assert e[0]["priority"] == 0.8
+        assert e[1]["loc"] == "http://a.test/p2"
+        assert e[1]["lastmod"] is None
+        assert e[2]["priority"] is None  # malformed priority -> NULL
+
+    def test_namespace_absent_and_reprefixed(self, spark) -> None:
+        from parsel_spark.functions.udfs import extract_sitemap_entries
+
+        plain = "<urlset><url><loc>http://b.test/x</loc></url></urlset>"
+        pref = (
+            '<s:urlset xmlns:s="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<s:url><s:loc>http://c.test/y</s:loc>"
+            "<s:lastmod>2023-12-31</s:lastmod></s:url></s:urlset>"
+        )
+        df = spark.createDataFrame([(plain,), (pref,)], "xml string")
+        rows = [
+            r["e"]
+            for r in df.select(
+                extract_sitemap_entries("xml").alias("e")
+            ).collect()
+        ]
+        locs = {e[0]["loc"] for e in rows}
+        assert locs == {"http://b.test/x", "http://c.test/y"}
