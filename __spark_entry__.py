@@ -747,6 +747,44 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (linkgraph.anchor_rollup) over
+    the REAL anchor extraction of the crawl_anchor_text corpus: per
+    link target, inlink/source counts and the deterministic-mode top
+    anchor text (count DESC, text ASC).  The oracle restates the
+    planted anchors in closed form and replays both aggregates and
+    the mode window."""
+    from parsel_spark.functions.udfs import extract_anchors
+    from parsel_spark.operators.linkgraph import anchor_rollup
+
+    docs = _read(spark, sf_dir, "documents")
+    n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    with_n = docs.crossJoin(F.broadcast(n_df))
+    doc_id = F.col("doc_id")
+    anchors = []
+    for j in range(3):
+        target = F.pmod(doc_id * 7 + j * 11 + 1, F.col("__n"))
+        anchors.append(
+            F.concat(
+                F.lit('<a href="'), _doc_url(target),
+                F.lit(f'">anchor <b>{j}</b> of '), doc_id, F.lit("</a>"),
+            )
+        )
+    html = F.concat(
+        F.lit("<html><body>"), anchors[0], anchors[1], anchors[2],
+        F.lit("</body></html>"),
+    )
+    pages = with_n.select("doc_id", html.alias("html"))
+    pairs = pages.select(
+        "doc_id", F.explode(extract_anchors("html")).alias("a")
+    ).select(
+        "doc_id",
+        F.col("a.href").alias("href"),
+        F.col("a.text").alias("anchor_text"),
+    )
+    return anchor_rollup(pairs)
+
+
 def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-DOC repetition signal (Gopher-style quality rule): the
     most frequent 2-gram's occurrence count and token fraction per doc.
@@ -2553,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "emb_top_component": q_emb_top_component,
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
+        "crawl_anchor_rollup": q_crawl_anchor_rollup,
     }
 
 
@@ -4485,6 +4524,39 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # anchor rollup: planted anchors restated closed-form; aggregates
+    # + deterministic-mode window replayed
+    sql["crawl_anchor_rollup"] = f"""
+        WITH a AS (
+            SELECT d.doc_id AS src,
+                   'http://docs-'
+                       || (((d.doc_id * 7 + js.j * 11 + 1) % n.n)
+                           % {N_DOC_HOSTS})
+                       || '.test/d/'
+                       || ((d.doc_id * 7 + js.j * 11 + 1) % n.n) AS href,
+                   'anchor ' || js.j || ' of ' || d.doc_id AS anchor_text
+            FROM documents d, (VALUES (0), (1), (2)) js(j),
+                 (SELECT count(*) AS n FROM documents) n
+        ), g AS (
+            SELECT href, anchor_text, count(*) AS c
+            FROM a GROUP BY href, anchor_text
+        ), t AS (
+            SELECT href, anchor_text,
+                   row_number() OVER (
+                       PARTITION BY href
+                       ORDER BY c DESC, anchor_text ASC
+                   ) AS rn
+            FROM g
+        ), s AS (
+            SELECT href, count(*) AS n_inlinks,
+                   count(DISTINCT src) AS n_sources
+            FROM a GROUP BY href
+        )
+        SELECT s.href, s.n_inlinks, s.n_sources,
+               t.anchor_text AS top_anchor_text
+        FROM s JOIN t ON s.href = t.href AND t.rn = 1
     """
 
     # sitemap lastmod -> revisit: closed-form loc/lastmod + the exact

@@ -185,3 +185,46 @@ def pagerank_oracle_cte(
             f"FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def anchor_rollup(
+    anchors: DataFrame,
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    src_col: str = "doc_id",
+) -> DataFrame:
+    """Inbound anchor-text aggregation per link target — the classic
+    link-graph text signal (anchor corpora describe the TARGET page
+    better than its own content; public lineage: search-engine anchor
+    indexing, link-text retrieval corpora).  Input: one row per anchor
+    occurrence (source doc, target href, anchor text — the
+    ``extract_anchors`` output exploded).  Output per target:
+    ``(href, n_inlinks, n_sources, top_anchor_text)`` where the top
+    text is the most frequent (count DESC, text ASC tiebreak —
+    deterministic mode).
+
+    Scale shape: ONE hash(href, text) aggregate (map-side combined)
+    feeds the per-href window; the totals rollup reuses the same
+    hash(href) partitioning AQE derives from it.  Anchor text never
+    shuffles more than once."""
+    from pyspark.sql import Window
+
+    per_text = anchors.groupBy(
+        F.col(href_col).alias("href"), F.col(text_col).alias("text")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("href").orderBy(
+        F.col("c").desc(), F.col("text").asc()
+    )
+    top = per_text.select(
+        "href", "text", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") == 1)
+    totals = anchors.groupBy(F.col(href_col).alias("href")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct(F.col(src_col)).alias("n_sources"),
+    )
+    return totals.join(top, "href").select(
+        "href",
+        "n_inlinks",
+        "n_sources",
+        F.col("text").alias("top_anchor_text"),
+    )

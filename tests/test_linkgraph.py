@@ -110,3 +110,35 @@ class TestPagerank:
             pagerank(df, damping=1.0)
         with pytest.raises(ValueError):
             pagerank_oracle_cte("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+class TestAnchorRollup:
+    def test_mode_and_counts(self, spark) -> None:
+        from parsel_spark.operators.linkgraph import anchor_rollup
+
+        anchors = spark.createDataFrame(
+            [
+                (1, "http://t/a", "click here"),
+                (2, "http://t/a", "Acme homepage"),
+                (3, "http://t/a", "Acme homepage"),
+                (3, "http://t/a", "Acme homepage"),  # same src twice
+                (4, "http://t/b", "b-page"),
+            ],
+            "doc_id long, href string, anchor_text string",
+        )
+        got = {
+            r["href"]: (r["n_inlinks"], r["n_sources"], r["top_anchor_text"])
+            for r in anchor_rollup(anchors).collect()
+        }
+        assert got["http://t/a"] == (4, 3, "Acme homepage")
+        assert got["http://t/b"] == (1, 1, "b-page")
+
+    def test_tie_breaks_lexicographically(self, spark) -> None:
+        from parsel_spark.operators.linkgraph import anchor_rollup
+
+        anchors = spark.createDataFrame(
+            [(1, "http://t/x", "zeta"), (2, "http://t/x", "alpha")],
+            "doc_id long, href string, anchor_text string",
+        )
+        (row,) = anchor_rollup(anchors).collect()
+        assert row["top_anchor_text"] == "alpha"
