@@ -2388,6 +2388,39 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_component(_read(spark, sf_dir, "embeddings"), iters=3)
 
 
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: power-iteration component → per-vector projection
+    coordinate (the dimension-reduction step an ANN index runs before
+    quantization — project once at ingest, bucket/sort by the coord).
+    The learned direction is broadcast-cross-joined (1 row) and the
+    projection is the SAME sequential fold as everywhere else; the
+    oracle chains the full 3-round power replay into the per-vector
+    dot.  Coordinates rounded to 6."""
+    from parsel_spark.operators.similarity import top_component
+
+    emb = _read(spark, sf_dir, "embeddings")
+    comp = (
+        top_component(emb, iters=3)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "component"))).alias("p"))
+        .select(F.transform("p", lambda s: s["component"]).alias("c"))
+    )
+    projected = emb.crossJoin(F.broadcast(comp)).select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "c", lambda e, w: e.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("coord"),
+    )
+    return projected
+
+
 def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-level image dedup (multimodal.caption_dedup): the
     planted repeated captions (every 19th doc ' img ', every 23rd
@@ -2592,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_top_component": q_emb_top_component,
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
         "crawl_anchor_rollup": q_crawl_anchor_rollup,
+        "emb_pca_project": q_emb_pca_project,
     }
 
 
@@ -4624,6 +4658,19 @@ def oracle_sql() -> dict[str, str]:
         FROM x3, LATERAL (
             SELECT generate_subscripts(x3.x, 1) - 1 AS dim,
                    unnest(x3.x) AS c) u
+    """
+    )
+
+    # projection composition: the same 3-round chain + per-vector dot
+    sql["emb_pca_project"] = (
+        "WITH " + ",\n".join(_pw_parts)
+        + """
+        SELECT e.vec_id,
+               round(list_reduce(list_concat([0.0], list_transform(
+                   range(64),
+                   i -> e.embedding[i+1]::DOUBLE * x3.x[i+1])),
+                   (acc, v) -> acc + v), 6) AS coord
+        FROM embeddings e, x3
     """
     )
 
