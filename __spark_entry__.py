@@ -785,6 +785,43 @@ def q_crawl_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_rollup(pairs)
 
 
+def q_doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint dedup clusters (MOSS lineage — Schleimer
+    et al., SIGMOD 2003 — reduced to the min-gram fingerprint the
+    doc_fingerprint row already proves): every ODD doc is re-synthesized
+    as its predecessor's text plus a 3-token tail, so {even, odd} pairs
+    share their minimum 8-gram hash whenever no boundary window hashes
+    lower — a deterministic md5 fact the oracle recomputes, never
+    assumes.  Output: each doc with its fingerprint, the min-doc
+    cluster representative and the cluster size (ONE hash(fingerprint)
+    window).  The cheap first-pass dedup before minhash/simhash."""
+    from pyspark.sql import Window
+
+    from parsel_spark.functions.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("__prev"),
+    )
+    synth = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+            & F.col("__prev").isNotNull(),
+            F.concat(F.col("__prev"), F.lit(" zz tail zz")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fp = synth.select("doc_id", fingerprint().alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("fp_cluster"),
+        F.count(F.lit(1)).over(w).alias("n_group"),
+    )
+
+
 def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-DOC repetition signal (Gopher-style quality rule): the
     most frequent 2-gram's occurrence count and token fraction per doc.
@@ -2626,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
         "crawl_anchor_rollup": q_crawl_anchor_rollup,
         "emb_pca_project": q_emb_pca_project,
+        "doc_fingerprint_clusters": q_doc_fingerprint_clusters,
     }
 
 
@@ -4558,6 +4596,34 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn > 1 THEN orig_offset END AS refers_to_offset,
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
+    """
+
+    # winnowing clusters: planted near-copies, full min-gram recompute
+    # + one fingerprint window
+    sql["doc_fingerprint_clusters"] = """
+        WITH p AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 2 = 1 AND prev.text IS NOT NULL
+                        THEN prev.text || ' zz tail zz'
+                        ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN documents prev ON prev.doc_id = d.doc_id - 1
+        ), t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM p
+        ), f AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 8 THEN
+                       list_min([md5(array_to_string(toks[i+1:i+8], ' '))
+                                 FOR i IN generate_series(0, len(toks)-8)])
+                   ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+            FROM t
+        )
+        SELECT doc_id, fingerprint,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS fp_cluster,
+               count(*) OVER (PARTITION BY fingerprint) AS n_group
+        FROM f
     """
 
     # anchor rollup: planted anchors restated closed-form; aggregates
