@@ -1709,6 +1709,28 @@ def q_stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_crawl_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog frontier-cardinality sketch (sketches.hll_cardinality,
+    b=10): URLs synthesized with heavy duplication (url = doc_url(doc_id
+    % 300) — 300 true distincts across the corpus rows) so the sketch
+    provably collapses duplicates.  The oracle replays the ENTIRE
+    sketch — 60-bit md5, bucket split, integer bit-length rho,
+    register max, the EXACT integer harmonic sum and the small-range
+    correction — via the same shared algebra string the unit tests pin
+    (`hll_oracle_sql`)."""
+    from parsel_spark.operators.sketches import hll_cardinality
+
+    docs = _read(spark, sf_dir, "documents")
+    target = F.pmod(F.col("doc_id"), F.lit(300))
+    urls = docs.select(
+        F.concat(
+            F.lit("http://docs-"), F.pmod(target, F.lit(N_DOC_HOSTS)),
+            F.lit(".test/p/"), target,
+        ).alias("url")
+    )
+    return hll_cardinality(urls, "url", b=10)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2664,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_anchor_rollup": q_crawl_anchor_rollup,
         "emb_pca_project": q_emb_pca_project,
         "doc_fingerprint_clusters": q_doc_fingerprint_clusters,
+        "crawl_url_cardinality": q_crawl_url_cardinality,
     }
 
 
@@ -4597,6 +4620,17 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN rn = 1 THEN length ELSE 0 END AS stored_length
         FROM r
     """
+
+    # HLL cardinality: the full sketch replay via the shared algebra
+    from parsel_spark.operators.sketches import hll_oracle_sql
+
+    sql["crawl_url_cardinality"] = hll_oracle_sql(
+        f"""SELECT 'http://docs-' || ((doc_id % 300) % {N_DOC_HOSTS})
+                || '.test/p/' || (doc_id % 300) AS url
+            FROM documents""",
+        "url",
+        b=10,
+    )
 
     # winnowing clusters: planted near-copies, full min-gram recompute
     # + one fingerprint window

@@ -1,0 +1,56 @@
+"""HyperLogLog cardinality sketch (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parsel_spark.operators.sketches import hll_cardinality, hll_oracle_sql
+
+
+class TestHllCardinality:
+    def test_accuracy_at_5000(self, spark) -> None:
+        df = spark.createDataFrame(
+            [(f"http://h{i % 97}.test/p/{i}",) for i in range(5000)],
+            "url string",
+        )
+        (row,) = hll_cardinality(df, "url").collect()
+        assert row["m"] == 1024
+        # typical rel-error 1.04/sqrt(1024) ~ 3.2%; allow 4 sigma
+        assert abs(row["est_distinct"] - 5000) / 5000 < 0.13
+
+    def test_duplicates_do_not_inflate(self, spark) -> None:
+        rows = [(f"u{i}",) for i in range(300)] * 5
+        df = spark.createDataFrame(rows, "url string")
+        (row,) = hll_cardinality(df, "url").collect()
+        assert abs(row["est_distinct"] - 300) / 300 < 0.15
+
+    def test_small_range_correction(self, spark) -> None:
+        df = spark.createDataFrame([(f"x{i}",) for i in range(10)], "url string")
+        (row,) = hll_cardinality(df, "url").collect()
+        # linear-counting branch: near-exact at tiny n
+        assert abs(row["est_distinct"] - 10) < 2
+
+    def test_oracle_parity(self, spark) -> None:
+        import duckdb
+
+        vals = [f"item-{i * 3}" for i in range(1200)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        (srow,) = hll_cardinality(df, "v").collect()
+        src = "SELECT 'item-' || (i * 3) AS v FROM range(1200) t(i)"
+        (drow,) = duckdb.sql(hll_oracle_sql(src, "v")).fetchall()
+        assert (srow["m"], srow["n_nonzero"], srow["est_distinct"]) == drow
+
+    def test_partitioning_invariance(self, spark) -> None:
+        df = spark.createDataFrame(
+            [(f"u{i}",) for i in range(800)], "url string"
+        )
+        a = hll_cardinality(df, "url").collect()[0]
+        b = hll_cardinality(df.repartition(13), "url").collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_bad_b(self, spark) -> None:
+        df = spark.createDataFrame([("x",)], "url string")
+        with pytest.raises(ValueError):
+            hll_cardinality(df, "url", b=3)
+        with pytest.raises(ValueError):
+            hll_oracle_sql("SELECT 1 AS v", "v", b=20)
