@@ -1731,6 +1731,39 @@ def q_crawl_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(urls, "url", b=10)
 
 
+def q_crawl_host_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter monitor (sketches.cm_sketch/cm_estimate,
+    d=4 w=256): host visits synthesized Zipf-ish (50% 'big-a', 30%
+    'big-b', the rest spread over 50 cold hosts) — the per-host
+    frequency surveillance a frontier runs without a full host
+    shuffle.  Output joins the sketch estimate against the EXACT
+    count; ``one_sided`` (est >= exact, the count-min guarantee) must
+    hold for every host and the oracle replays hashes, counters, the
+    min-query and the exact counts."""
+    from parsel_spark.operators.sketches import cm_estimate, cm_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    m10 = F.pmod(F.col("doc_id"), F.lit(10))
+    host = (
+        F.when(m10 < 5, F.lit("big-a"))
+        .when(m10 < 8, F.lit("big-b"))
+        .otherwise(F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(50))))
+    )
+    visits = docs.select(host.alias("host"))
+    state = cm_sketch(visits, "host", d=4, w=256)
+    keys = visits.distinct()
+    est = cm_estimate(state, keys, "host", d=4, w=256)
+    exact = visits.groupBy("host").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return exact.join(est, "host").select(
+        "host",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("one_sided"),
+    )
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2687,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": q_emb_pca_project,
         "doc_fingerprint_clusters": q_doc_fingerprint_clusters,
         "crawl_url_cardinality": q_crawl_url_cardinality,
+        "crawl_host_frequency": q_crawl_host_frequency,
     }
 
 
@@ -4631,6 +4665,39 @@ def oracle_sql() -> dict[str, str]:
         "url",
         b=10,
     )
+
+    # count-min: hashes, counters, min-query and exact counts replayed
+    sql["crawl_host_frequency"] = """
+        WITH v AS (
+            SELECT CASE WHEN doc_id % 10 < 5 THEN 'big-a'
+                        WHEN doc_id % 10 < 8 THEN 'big-b'
+                        ELSE 'h' || (doc_id % 50) END AS host
+            FROM documents
+        ), rs(r) AS (VALUES (0), (1), (2), (3)),
+        st AS (
+            SELECT rs.r,
+                   ('0x' || substr(md5(v.host || '#cm' || rs.r), 1, 15))
+                       ::BIGINT % 256 AS slot,
+                   count(*) AS cnt
+            FROM v, rs GROUP BY 1, 2
+        ), k AS (SELECT DISTINCT host FROM v),
+        kh AS (
+            SELECT k.host, rs.r,
+                   ('0x' || substr(md5(k.host || '#cm' || rs.r), 1, 15))
+                       ::BIGINT % 256 AS slot
+            FROM k, rs
+        ), est AS (
+            SELECT kh.host,
+                   min(coalesce(st.cnt, 0))::BIGINT AS est_count
+            FROM kh LEFT JOIN st ON kh.r = st.r AND kh.slot = st.slot
+            GROUP BY kh.host
+        ), ex AS (
+            SELECT host, count(*) AS exact_count FROM v GROUP BY host
+        )
+        SELECT ex.host, ex.exact_count, est.est_count,
+               est.est_count >= ex.exact_count AS one_sided
+        FROM ex JOIN est USING (host)
+    """
 
     # winnowing clusters: planted near-copies, full min-gram recompute
     # + one fingerprint window

@@ -41,61 +41,7 @@ def hll_cardinality(df: DataFrame, col: str, b: int = 10) -> DataFrame:
     Typical relative error ≈ 1.04/sqrt(2^b) (~3.2% at b=10).  Estimate
     rounded to 4 — the ln/alpha floats are computed from identical
     literals in both engines."""
-    if not 4 <= b <= 16:
-        raise ValueError(f"b must be in [4, 16], got {b}")
-    from .dedup import md5_hash60
-
-    m = 1 << b
-    p_bits = 60 - b
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    elif m == 64:
-        alpha = 0.709
-    elif m == 32:
-        alpha = 0.697
-    else:
-        alpha = 0.673
-    h = md5_hash60(F.col(col))
-    bucket = F.expr(f"__h div {1 << p_bits}")
-    rest = F.pmod(F.col("__h"), F.lit(1 << p_bits))
-    rho = (
-        F.lit(p_bits)
-        - F.when(rest > 0, F.length(F.bin(rest))).otherwise(F.lit(0))
-        + F.lit(1)
-    )
-    regs = (
-        df.select(h.alias("__h"))
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("M"))
-    )
-    # exact integer harmonic sum, scaled by 2^(P+1): present buckets
-    # contribute 2^(P+1-M), absent ones 2^(P+1)
-    scaled = regs.agg(
-        F.count(F.lit(1)).alias("n_nonzero"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {p_bits} + 1 - M)")
-        ).alias("s_present"),
-    )
-    n_nonzero = F.col("n_nonzero")
-    total = F.col("s_present") + (F.lit(m) - n_nonzero) * F.lit(
-        1 << (p_bits + 1)
-    )
-    raw = (
-        F.lit(alpha * m * m)
-        * F.lit(float(1 << (p_bits + 1)))
-        / total.cast("double")
-    )
-    zeros = F.lit(m) - n_nonzero
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
-    return scaled.select(
-        F.lit(m).alias("m"),
-        n_nonzero.cast("long").alias("n_nonzero"),
-        F.round(est, 4).alias("est_distinct"),
-    )
+    return hll_estimate_from_registers(hll_registers(df, col, b), b)
 
 
 def hll_oracle_sql(source_sql: str, expr: str, b: int = 10) -> str:
@@ -149,3 +95,166 @@ def hll_oracle_sql(source_sql: str, expr: str, b: int = 10) -> str:
                      4) AS est_distinct
         FROM agg
     """
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 10) -> DataFrame:
+    """The sketch STATE of :func:`hll_cardinality`: ``(bucket, M)``
+    register rows (≤ 2^b of them).  This is what a 100 TB pipeline
+    persists per partition/snapshot — registers of a union are the
+    elementwise max (:func:`hll_merge`), so per-shard sketches combine
+    without touching the data again."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    from .dedup import md5_hash60
+
+    p_bits = 60 - b
+    h = md5_hash60(F.col(col))
+    bucket = F.expr(f"__h div {1 << p_bits}")
+    rest = F.pmod(F.col("__h"), F.lit(1 << p_bits))
+    rho = (
+        F.lit(p_bits)
+        - F.when(rest > 0, F.length(F.bin(rest))).otherwise(F.lit(0))
+        + F.lit(1)
+    )
+    return (
+        df.select(h.alias("__h"))
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Union of sketches = elementwise register max — the property that
+    makes HLL the right cardinality monitor for a sharded frontier:
+    each shard/snapshot sketches independently, merges are tiny
+    (≤ 2^b rows each) and lossless w.r.t. the sketch."""
+    if not register_sets:
+        raise ValueError("need at least one register set")
+    merged = register_sets[0]
+    for regs in register_sets[1:]:
+        merged = merged.unionByName(regs)
+    return merged.groupBy("bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 10) -> DataFrame:
+    """Finish a (possibly merged) register set into the
+    ``(m, n_nonzero, est_distinct)`` row — same estimator as
+    :func:`hll_cardinality` (exact integer harmonic sum + small-range
+    correction)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    p_bits = 60 - b
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    scaled = regs.agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {p_bits} + 1 - M)")
+        ).alias("s_present"),
+    )
+    n_nonzero = F.col("n_nonzero")
+    total = F.col("s_present") + (F.lit(m) - n_nonzero) * F.lit(
+        1 << (p_bits + 1)
+    )
+    raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << (p_bits + 1)))
+        / total.cast("double")
+    )
+    zeros = F.lit(m) - n_nonzero
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return scaled.select(
+        F.lit(m).alias("m"),
+        n_nonzero.cast("long").alias("n_nonzero"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def cm_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan, J.Algorithms
+    2005) — the heavy-hitter / frequency monitor companion to the HLL:
+    ``(r, slot, cnt)`` counter rows for a depth-``d`` × width-``w``
+    matrix, hashes = the repo's 60-bit md5 family salted per row
+    (``#cm{r}``).  ONE pass: explode the d (row, slot) pairs map-side,
+    one map-side-combined groupBy over ≤ d·w groups.  Mergeable by
+    counter ADDITION (:func:`cm_merge`); estimates are one-sided
+    (``est >= true``), error ≤ e·N/w with prob 1−e^−d."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    from .dedup import md5_hash60
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    md5_hash60(F.concat(F.col(col), F.lit(f"#cm{r}"))),
+                    F.lit(w),
+                ).alias("slot"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.slot").alias("slot"))
+        .groupBy("r", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*states: DataFrame) -> DataFrame:
+    """Union of count-min sketches = elementwise counter addition."""
+    if not states:
+        raise ValueError("need at least one sketch state")
+    merged = states[0]
+    for st in states[1:]:
+        merged = merged.unionByName(st)
+    return merged.groupBy("r", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    state: DataFrame,
+    keys: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each key row: ``est_count`` = min
+    over the d counters the key hashes to (0 when a slot was never
+    touched).  The state is ≤ d·w rows and BROADCASTS; keys never
+    shuffle."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    from .dedup import md5_hash60
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    md5_hash60(F.concat(F.col(col), F.lit(f"#cm{r}"))),
+                    F.lit(w),
+                ).alias("slot"),
+            )
+            for r in range(d)
+        ]
+    )
+    ks = keys.select(F.col(col), F.explode(pairs).alias("p")).select(
+        col, F.col("p.r").alias("r"), F.col("p.slot").alias("slot")
+    )
+    joined = ks.join(F.broadcast(state), ["r", "slot"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count")
+    )

@@ -54,3 +54,82 @@ class TestHllCardinality:
             hll_cardinality(df, "url", b=3)
         with pytest.raises(ValueError):
             hll_oracle_sql("SELECT 1 AS v", "v", b=20)
+
+
+class TestHllMerge:
+    def test_union_equals_merged_registers(self, spark) -> None:
+        """The mergeable-sketch property: sketch(A ∪ B) ==
+        finish(merge(registers(A), registers(B))) — exactly, not
+        approximately (registers are deterministic state)."""
+        from parsel_spark.operators.sketches import (
+            hll_cardinality,
+            hll_estimate_from_registers,
+            hll_merge,
+            hll_registers,
+        )
+
+        a = spark.createDataFrame(
+            [(f"u{i}",) for i in range(400)], "url string"
+        )
+        b = spark.createDataFrame(
+            [(f"u{i}",) for i in range(200, 700)], "url string"
+        )
+        whole = a.unionByName(b)
+        direct = hll_cardinality(whole, "url").collect()[0]
+        merged = hll_estimate_from_registers(
+            hll_merge(hll_registers(a, "url"), hll_registers(b, "url"))
+        ).collect()[0]
+        assert tuple(direct) == tuple(merged)
+
+    def test_merge_requires_input(self) -> None:
+        from parsel_spark.operators.sketches import hll_merge
+
+        with pytest.raises(ValueError):
+            hll_merge()
+
+
+class TestCountMin:
+    def test_one_sided_and_tight_when_wide(self, spark) -> None:
+        from parsel_spark.operators.sketches import cm_estimate, cm_sketch
+
+        rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(50)]
+        df = spark.createDataFrame(rows, "host string")
+        state = cm_sketch(df, "host", d=4, w=2048)
+        keys = df.distinct()
+        got = {
+            r["host"]: r["est_count"]
+            for r in cm_estimate(state, keys, "host", d=4, w=2048).collect()
+        }
+        assert got["hot"] >= 500
+        # wide sketch, 51 keys: collisions across ALL 4 rows are
+        # overwhelmingly unlikely -> exact
+        assert got["hot"] == 500
+        assert all(got[f"cold{i}"] == 1 for i in range(50))
+
+    def test_merge_adds_counters(self, spark) -> None:
+        from parsel_spark.operators.sketches import (
+            cm_estimate,
+            cm_merge,
+            cm_sketch,
+        )
+
+        a = spark.createDataFrame([("x",)] * 3, "host string")
+        b = spark.createDataFrame([("x",)] * 4 + [("y",)], "host string")
+        merged = cm_merge(
+            cm_sketch(a, "host"), cm_sketch(b, "host")
+        )
+        keys = spark.createDataFrame([("x",), ("y",)], "host string")
+        got = {
+            r["host"]: r["est_count"]
+            for r in cm_estimate(merged, keys, "host").collect()
+        }
+        assert got == {"x": 7, "y": 1}
+
+    def test_bad_args(self, spark) -> None:
+        from parsel_spark.operators.sketches import cm_estimate, cm_sketch
+
+        df = spark.createDataFrame([("x",)], "host string")
+        with pytest.raises(ValueError):
+            cm_sketch(df, "host", d=0)
+        with pytest.raises(ValueError):
+            cm_estimate(df, df, "host", w=1)
