@@ -404,6 +404,33 @@ def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_length_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown corpus extraction (markdown.html_to_markdown):
+    planted pages with heading, bold, link (closed-form target URL),
+    and a 2-item list must render to the EXACT markdown string the
+    oracle states — heading marks, ``**``/link syntax, list lines and
+    the blank-line block joins all value-checked.  One parse + one DFS
+    per page, map-only (same fused UDF shape as the extractors)."""
+    from parsel_spark.functions.markdown import html_to_markdown
+
+    docs = _read(spark, sf_dir, "documents")
+    n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    with_n = docs.crossJoin(F.broadcast(n_df))
+    doc_id = F.col("doc_id")
+    target = F.pmod(doc_id * 7 + 1, F.col("__n"))
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), doc_id, F.lit("</h1>"),
+        F.lit("<p>Intro <b>bold"), doc_id,
+        F.lit('</b> and <a href="'), _doc_url(target),
+        F.lit('">link text</a>.</p>'),
+        F.lit("<ul><li>alpha "), doc_id,
+        F.lit("</li><li>beta</li></ul></body></html>"),
+    )
+    return with_n.select(
+        "doc_id", html_to_markdown(html).alias("markdown")
+    )
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
     2020 §2.2) over planted multi-line pages: every doc gets a kept
@@ -2721,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_clusters": q_doc_fingerprint_clusters,
         "crawl_url_cardinality": q_crawl_url_cardinality,
         "crawl_host_frequency": q_crawl_host_frequency,
+        "doc_html_markdown": q_doc_html_markdown,
     }
 
 
@@ -4665,6 +4693,20 @@ def oracle_sql() -> dict[str, str]:
         "url",
         b=10,
     )
+
+    # html->markdown: the exact rendered string stated in closed form
+    sql["doc_html_markdown"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id,
+               '# Doc ' || doc_id || chr(10) || chr(10)
+               || 'Intro **bold' || doc_id
+               || '** and [link text](http://docs-'
+               || (((doc_id * 7 + 1) % n.n) % {N_DOC_HOSTS})
+               || '.test/d/' || ((doc_id * 7 + 1) % n.n)
+               || ') .' || chr(10) || chr(10)
+               || '- alpha ' || doc_id || chr(10) || '- beta' AS markdown
+        FROM documents, n
+    """
 
     # count-min: hashes, counters, min-query and exact counts replayed
     sql["crawl_host_frequency"] = """
