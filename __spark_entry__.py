@@ -1791,6 +1791,70 @@ def q_crawl_host_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog: the same duplicated-URL synthesis as
+    crawl_url_cardinality arrives as a stream; the register table is a
+    streaming groupBy(bucket).max aggregation (complete mode into a
+    memory sink — registers are tiny sketch state, ≤ 2^b rows), and the
+    batch estimator finishes the final register snapshot.  One oracle
+    (the full batch sketch replay), two execution models — the
+    continuous frontier-size monitor."""
+    import time as _time
+
+    from parsel_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    target = F.pmod(F.col("doc_id"), F.lit(300))
+    urls = docs.select(
+        F.concat(
+            F.lit("http://docs-"), F.pmod(target, F.lit(N_DOC_HOSTS)),
+            F.lit(".test/p/"), target,
+        ).alias("url")
+    )
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_hll_")
+    in_dir = os.path.join(tmp, "in")
+    urls.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("url string").parquet(in_dir)
+    # the register computation is the same column algebra as
+    # hll_registers, inlined over the stream (b=10)
+    from parsel_spark.operators.dedup import md5_hash60
+
+    p_bits = 50
+    h = md5_hash60(F.col("url"))
+    regs_stream = (
+        stream.select(h.alias("__h"))
+        .select(
+            F.expr(f"__h div {1 << p_bits}").alias("bucket"),
+            (
+                F.lit(p_bits)
+                - F.when(
+                    F.pmod(F.col("__h"), F.lit(1 << p_bits)) > 0,
+                    F.length(
+                        F.bin(F.pmod(F.col("__h"), F.lit(1 << p_bits)))
+                    ),
+                ).otherwise(F.lit(0))
+                + F.lit(1)
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    name = f"hll_regs_{abs(hash(tmp)) % 10**9}"
+    query = (
+        regs_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    _time.sleep(0)
+    return hll_estimate_from_registers(spark.table(name), b=10)
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2749,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_cardinality": q_crawl_url_cardinality,
         "crawl_host_frequency": q_crawl_host_frequency,
         "doc_html_markdown": q_doc_html_markdown,
+        "stream_url_cardinality": q_stream_url_cardinality,
     }
 
 
@@ -4693,6 +4758,8 @@ def oracle_sql() -> dict[str, str]:
         "url",
         b=10,
     )
+    # streaming variant: identical sketch, streaming register agg
+    sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
 
     # html->markdown: the exact rendered string stated in closed form
     sql["doc_html_markdown"] = f"""
