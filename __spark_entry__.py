@@ -1799,12 +1799,9 @@ def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch estimator finishes the final register snapshot.  One oracle
     (the full batch sketch replay), two execution models — the
     continuous frontier-size monitor."""
-    import time as _time
-
-    from parsel_spark.operators.sketches import (
-        hll_estimate_from_registers,
-    )
     import tempfile
+
+    from parsel_spark.operators.sketches import hll_estimate_from_registers
 
     docs = _read(spark, sf_dir, "documents")
     target = F.pmod(F.col("doc_id"), F.lit(300))
@@ -1851,7 +1848,6 @@ def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    _time.sleep(0)
     return hll_estimate_from_registers(spark.table(name), b=10)
 
 

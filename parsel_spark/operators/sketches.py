@@ -18,8 +18,6 @@ from identical literals in both engines and rounded).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
 
