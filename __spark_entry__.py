@@ -2662,6 +2662,36 @@ def q_img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("image_id", "w", "h", *caption_pair_quality_flags())
 
 
+def q_img_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE IMAGE-AXIS CAPSTONE — the full input_hint→training-batches
+    pipeline in ONE chained plan: curation gate (dimension floor /
+    aspect ceiling / caption band) → caption-level dedup (keep the
+    best-resolution rep per normalized caption) → aspect-ratio ladder
+    assignment → uniform batch assembly (unit-hash order, partial
+    batches dropped).  Every stage is an independently-proven operator;
+    here the COMPOSITION is the checked value: the oracle chains gate
+    CTEs → dedup window → ladder argmin → batch cut and must agree on
+    the final (image_id, bucket, batch_id, slot) set exactly.  All
+    metadata-column algebra — at 10^10 pairs the bytes column never
+    leaves the scan until batch addresses exist."""
+    from parsel_spark.operators.multimodal import (
+        aspect_bucket,
+        bucket_batches,
+        caption_dedup,
+        caption_pair_quality_flags,
+    )
+
+    imgs = _synth_image_caption_table(spark, sf_dir)
+    gated = imgs.select(
+        "image_id", "w", "h", "caption", *caption_pair_quality_flags()
+    ).where("keep")
+    deduped = caption_dedup(gated).where("is_rep")
+    bucketed = deduped.select(
+        "image_id", aspect_bucket("w", "h").alias("bucket")
+    )
+    return bucket_batches(bucketed, batch_size=8, seed=11)
+
+
 def q_img_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMAGE dedup pipeline end-to-end: phash near-dup pairs
     (banded-LSH blocking) → connected components (dup_clusters) →
@@ -2810,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_frequency": q_crawl_host_frequency,
         "doc_html_markdown": q_doc_html_markdown,
         "stream_url_cardinality": q_stream_url_cardinality,
+        "img_training_batches": q_img_training_batches,
     }
 
 
@@ -4756,6 +4787,73 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # image capstone: gate -> caption dedup -> ladder -> batch cut,
+    # every stage's proven algebra chained into one replay
+    sql["img_training_batches"] = """
+        WITH img AS (
+            SELECT 'img-' || doc_id AS image_id,
+                   (doc_id*40503 + 17) % 2048 + 16 AS w,
+                   (doc_id*69069 + 5) % 2048 + 16 AS h,
+                   CASE WHEN doc_id % 19 = 0 THEN ' img '
+                        WHEN doc_id % 23 = 0 THEN 'photograph'
+                        ELSE substring(text, 1, 180) END AS caption
+            FROM documents
+        ), kept AS (
+            SELECT image_id, w, h, caption FROM img
+            WHERE (w >= 64 AND h >= 64)
+              AND greatest(w, h) <= 4 * least(w, h)
+              AND trim(caption) <> ''
+              AND length(trim(caption)) BETWEEN 5 AND 512
+              AND length(regexp_split_to_array(trim(caption), '\\s+')) >= 2
+        ), reps AS (
+            SELECT image_id, w, h FROM (
+                SELECT image_id, w, h,
+                       row_number() OVER (
+                           PARTITION BY md5(trim(lower(caption)))
+                           ORDER BY w*h DESC, image_id ASC
+                       ) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ), d AS (
+            SELECT image_id,
+                   abs(w*1  - h*1 ) * 144 AS d_sq,
+                   abs(w*3  - h*4 ) * 48  AS d_l43,
+                   abs(w*4  - h*3 ) * 36  AS d_p34,
+                   abs(w*9  - h*16) * 16  AS d_w169,
+                   abs(w*16 - h*9 ) * 9   AS d_t916,
+                   abs(w*2  - h*3 ) * 72  AS d_l32,
+                   abs(w*3  - h*2 ) * 48  AS d_p23
+            FROM reps
+        ), b AS (
+            SELECT image_id,
+                   CASE WHEN d_sq = m THEN 'square_1_1'
+                        WHEN d_l43 = m THEN 'landscape_4_3'
+                        WHEN d_p34 = m THEN 'portrait_3_4'
+                        WHEN d_w169 = m THEN 'wide_16_9'
+                        WHEN d_t916 = m THEN 'tall_9_16'
+                        WHEN d_l32 = m THEN 'landscape_3_2'
+                        ELSE 'portrait_2_3' END AS bucket
+            FROM (SELECT *, least(d_sq, d_l43, d_p34, d_w169, d_t916,
+                                  d_l32, d_p23) AS m
+                  FROM d)
+        ), r AS (
+            SELECT image_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY ('0x' || substr(md5(image_id || '#11'),
+                                 1, 15))::BIGINT::DOUBLE
+                                / 1152921504606846976.0,
+                                image_id
+                   ) - 1 AS pos,
+                   count(*) OVER (PARTITION BY bucket) AS n
+            FROM b
+        )
+        SELECT image_id, bucket,
+               (pos // 8)::BIGINT AS batch_id,
+               (pos % 8)::INT AS slot
+        FROM r WHERE pos < n - n % 8
+    """
 
     # html->markdown: the exact rendered string stated in closed form
     sql["doc_html_markdown"] = f"""
