@@ -897,6 +897,44 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TEXT-AXIS CAPSTONE — quality gate → exact dedup → per-host
+    cap → token manifest in ONE chained plan: the composed Gopher+
+    repetition gate keeps clean docs, the md5(text) winner window drops
+    exact copies, `cap_per_group` (cap=40, unit-hash winners, seed=9)
+    bounds each host's contribution, and the output is the corpus-build
+    manifest (doc_id, host, n_bpe_tokens) a packing stage consumes.
+    The oracle EMBEDS the doc_quality_filter oracle verbatim as its
+    gate CTE (single source of truth) and chains dedup window + cap
+    predicate + BPE count — the full pipeline is the checked value."""
+    from pyspark.sql import Window
+
+    from parsel_spark.functions.sampling import cap_per_group
+    from parsel_spark.functions.textstats import bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    gate = q_doc_quality_filter(spark, sf_dir).where("keep").select("doc_id")
+    host = F.concat(
+        F.lit("docs-"), F.pmod(F.col("doc_id"), F.lit(N_DOC_HOSTS)),
+        F.lit(".test"),
+    )
+    kept = docs.join(gate, "doc_id").select(
+        "doc_id", host.alias("host"), "text"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    reps = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    capped = cap_per_group(reps, "host", cap=40, id_col="doc_id", seed=9)
+    return capped.select(
+        "doc_id",
+        "host",
+        bpe_token_count().cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_crawl_host_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl ← corpus-quality FEEDBACK composition
     (frontier.host_quality_priority): every document's Gopher keep
@@ -2841,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_markdown": q_doc_html_markdown,
         "stream_url_cardinality": q_stream_url_cardinality,
         "img_training_batches": q_img_training_batches,
+        "doc_corpus_build": q_doc_corpus_build,
     }
 
 
@@ -4787,6 +4826,36 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # text capstone: the doc_quality_filter oracle embedded verbatim as
+    # the gate CTE, then dedup window + cap predicate + BPE manifest
+    sql["doc_corpus_build"] = f"""
+        WITH gate AS ({sql["doc_quality_filter"]}),
+        kept AS (
+            SELECT d.doc_id,
+                   'docs-' || (d.doc_id % {N_DOC_HOSTS}) || '.test' AS host,
+                   d.text
+            FROM documents d JOIN gate g ON d.doc_id = g.doc_id
+            WHERE g.keep
+        ), reps AS (
+            SELECT doc_id, host, text FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ), capped AS (
+            SELECT doc_id, host, text FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY {unit.format(seed=9)}, doc_id) AS rn
+                FROM reps
+            ) WHERE rn <= 40
+        )
+        SELECT doc_id, host,
+               len(regexp_extract_all(text, '{bpe_pat}'))::BIGINT
+                   AS n_bpe_tokens
+        FROM capped
+    """
 
     # image capstone: gate -> caption dedup -> ladder -> batch cut,
     # every stage's proven algebra chained into one replay
