@@ -217,6 +217,10 @@ def main() -> None:
             "doc_decontaminate",
             "doc_main_text",
             "doc_quality_filter",
+            "crawl_host_pagerank",
+            "emb_semantic_dedup",
+            "img_training_batches",
+            "doc_corpus_build",
             "q_pricing_summary",
             "q_revenue_by_nation",
             "q_top_orders_per_customer",
