@@ -903,6 +903,260 @@ def _date_leap_year(context: ExtensionContext, value: Any = None) -> bool:
     return False
 
 
+_DURATION_RE = _re.compile(
+    r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _parse_duration(text: str) -> tuple[int, float] | None:
+    """xs:duration → (months, seconds); None on malformed input (a bare
+    'P'/'PT' with no components is malformed per XML Schema)."""
+    match = _DURATION_RE.match(text.strip())
+    if not match:
+        return None
+    sign, y, mo, d, h, mi, s = match.groups()
+    if all(g is None for g in (y, mo, d, h, mi, s)):
+        return None
+    months = int(y or 0) * 12 + int(mo or 0)
+    seconds = (
+        int(d or 0) * 86400.0
+        + int(h or 0) * 3600.0
+        + int(mi or 0) * 60.0
+        + float(s or 0)
+    )
+    if sign:
+        months, seconds = -months, -seconds
+    return months, seconds
+
+
+def _format_duration(months: int, seconds: float) -> str:
+    """Canonical duration string; '' when signs are mixed (no canonical
+    form exists — libxslt's add-duration fails there too)."""
+    if months == 0 and seconds == 0:
+        return "PT0S"
+    if (months > 0 and seconds < 0) or (months < 0 and seconds > 0):
+        return ""
+    neg = months < 0 or seconds < 0
+    months, seconds = abs(months), abs(seconds)
+    years, months = divmod(months, 12)
+    days, rem = divmod(seconds, 86400.0)
+    hours, rem = divmod(rem, 3600.0)
+    minutes, secs = divmod(rem, 60.0)
+    out = "P"
+    if years:
+        out += f"{int(years)}Y"
+    if months:
+        out += f"{int(months)}M"
+    if days:
+        out += f"{int(days)}D"
+    time_part = ""
+    if hours:
+        time_part += f"{int(hours)}H"
+    if minutes:
+        time_part += f"{int(minutes)}M"
+    if secs:
+        if secs == int(secs):
+            time_part += f"{int(secs)}S"
+        else:
+            time_part += f"{secs}S"
+    if time_part:
+        out += "T" + time_part
+    return ("-" if neg else "") + out
+
+
+def _tz_offset_seconds(tz: str) -> int:
+    if not tz or tz == "Z":
+        return 0
+    sign = 1 if tz[0] == "+" else -1
+    hh, mm = tz[1:].split(":")
+    return sign * (int(hh) * 3600 + int(mm) * 60)
+
+
+def _parse_datetime_full(text: str):
+    """(datetime, had_time) in UTC for dateTime/date input, else None."""
+    import datetime as _dt
+
+    match = _DATE_TIME_RE.match(text)
+    if match:
+        y, mo, d = int(match.group(1)), int(match.group(2)), int(match.group(3))
+        h, mi = int(match.group(4)), int(match.group(5))
+        sec = float(match.group(6))
+        try:
+            base = _dt.datetime(y, mo, d, h, mi) + _dt.timedelta(seconds=sec)
+        except ValueError:
+            return None
+        return (
+            base - _dt.timedelta(seconds=_tz_offset_seconds(match.group(7))),
+            True,
+        )
+    match = _DATE_RE.match(text)
+    if match:
+        y, mo, d = int(match.group(1)), int(match.group(2)), int(match.group(3))
+        try:
+            base = _dt.datetime(y, mo, d)
+        except ValueError:
+            return None
+        return (
+            base - _dt.timedelta(seconds=_tz_offset_seconds(match.group(4))),
+            False,
+        )
+    return None
+
+
+def _date_seconds(context: ExtensionContext, value: Any = None) -> float:
+    """date:seconds(string?) — seconds since 1970-01-01T00:00:00Z for a
+    dateTime/date argument, or the total seconds of a duration (year/
+    month components cannot be converted → NaN, per spec)."""
+    import datetime as _dt
+
+    text = _date_arg(value)
+    parsed = _parse_datetime_full(text)
+    if parsed is not None:
+        epoch = _dt.datetime(1970, 1, 1)
+        return (parsed[0] - epoch).total_seconds()
+    dur = _parse_duration(text)
+    if dur is not None:
+        months, seconds = dur
+        if months:
+            return float("nan")
+        return seconds
+    return float("nan")
+
+
+def _date_duration(context: ExtensionContext, value: Any = None) -> str:
+    """date:duration(number?) — canonical duration for a second count
+    (default: date:seconds() of now, spec; tests pass explicit
+    values)."""
+    if value is None:
+        return ""
+    try:
+        seconds = _ev.to_number(value)
+    except Exception:
+        return ""
+    if seconds != seconds:  # NaN
+        return ""
+    return _format_duration(0, float(seconds))
+
+
+def _add_months_clamped(y: int, mo: int, d: int, months: int):
+    import calendar as _cal
+
+    total = (y * 12 + (mo - 1)) + months
+    ny, nmo = divmod(total, 12)
+    nmo += 1
+    return ny, nmo, min(d, _cal.monthrange(ny, nmo)[1])
+
+
+def _date_add(context: ExtensionContext, date_value: Any, dur_value: Any) -> str:
+    """date:add(date, duration) — XML Schema addition order (years/
+    months first with end-of-month clamping, then days/seconds);
+    result keeps the argument's precision."""
+    import datetime as _dt
+
+    text = _ev.to_string(date_value)
+    dur = _parse_duration(_ev.to_string(dur_value))
+    if dur is None:
+        return ""
+    months, seconds = dur
+    match = _GYEAR_RE.match(text)
+    if match and not _DATE_RE.match(text) and not _DATE_TIME_RE.match(text):
+        y = int(match.group(1))
+        ny, _, _ = _add_months_clamped(y, 1, 1, months)
+        if seconds:
+            return ""
+        return f"{ny:04d}"
+    match = _GYM_RE.match(text)
+    if match and not _DATE_RE.match(text):
+        y, mo = int(match.group(1)), int(match.group(2))
+        ny, nmo, _ = _add_months_clamped(y, mo, 1, months)
+        if seconds:
+            return ""
+        return f"{ny:04d}-{nmo:02d}"
+    for pattern, had_time in ((_DATE_TIME_RE, True), (_DATE_RE, False)):
+        match = pattern.match(text)
+        if not match:
+            continue
+        y, mo, d = int(match.group(1)), int(match.group(2)), int(match.group(3))
+        ny, nmo, nd = _add_months_clamped(y, mo, d, months)
+        try:
+            if had_time:
+                h, mi = int(match.group(4)), int(match.group(5))
+                sec = float(match.group(6))
+                base = _dt.datetime(ny, nmo, nd, h, mi) + _dt.timedelta(
+                    seconds=sec
+                )
+                tz = match.group(7)
+            else:
+                base = _dt.datetime(ny, nmo, nd)
+                tz = match.group(4)
+        except ValueError:
+            return ""
+        shifted = base + _dt.timedelta(seconds=seconds)
+        if had_time or seconds % 86400 != 0:
+            out = shifted.strftime("%Y-%m-%dT%H:%M:%S")
+            frac = shifted.microsecond
+            if frac:
+                out += f".{frac:06d}".rstrip("0")
+            return out + (tz or "")
+        return shifted.strftime("%Y-%m-%d") + (tz or "")
+    return ""
+
+
+def _date_difference(context: ExtensionContext, start: Any, end: Any) -> str:
+    """date:difference(start, end) — duration from start to end.  Both
+    at year/month precision → PnYnM form; otherwise exact day/time
+    duration from dateTime subtraction."""
+    s_text = _ev.to_string(start)
+    e_text = _ev.to_string(end)
+
+    def ym_only(text: str):
+        if _DATE_TIME_RE.match(text) or _DATE_RE.match(text):
+            return None
+        match = _GYM_RE.match(text)
+        if match:
+            return int(match.group(1)) * 12 + int(match.group(2)) - 1
+        match = _GYEAR_RE.match(text)
+        if match:
+            return int(match.group(1)) * 12
+        return None
+
+    s_months, e_months = ym_only(s_text), ym_only(e_text)
+    if s_months is not None and e_months is not None:
+        return _format_duration(e_months - s_months, 0)
+    s_parsed = _parse_datetime_full(s_text)
+    e_parsed = _parse_datetime_full(e_text)
+    if s_parsed is None or e_parsed is None:
+        return ""
+    delta = (e_parsed[0] - s_parsed[0]).total_seconds()
+    return _format_duration(0, delta)
+
+
+def _date_add_duration(context: ExtensionContext, d1: Any, d2: Any) -> str:
+    """date:add-duration(d1, d2) — componentwise sum; '' when either is
+    malformed or the sum has no canonical form (mixed signs)."""
+    a = _parse_duration(_ev.to_string(d1))
+    b = _parse_duration(_ev.to_string(d2))
+    if a is None or b is None:
+        return ""
+    return _format_duration(a[0] + b[0], a[1] + b[1])
+
+
+def _date_sum(context: ExtensionContext, nodes: Any) -> str:
+    """date:sum(node-set) — fold of add-duration over the node-set's
+    string values; '' if any element is malformed."""
+    if not isinstance(nodes, list):
+        return ""
+    months, seconds = 0, 0.0
+    for node in nodes:
+        dur = _parse_duration(_ev.string_value(node))
+        if dur is None:
+            return ""
+        months += dur[0]
+        seconds += dur[1]
+    return _format_duration(months, seconds)
+
+
 DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (None, "has-class"): has_class,
     (RE_NAMESPACE, "test"): _re_test,
@@ -951,6 +1205,12 @@ DEFAULT_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {
     (DATE_NAMESPACE, "day-in-year"): _date_day_in_year,
     (DATE_NAMESPACE, "week-in-year"): _date_week_in_year,
     (DATE_NAMESPACE, "leap-year"): _date_leap_year,
+    (DATE_NAMESPACE, "seconds"): _date_seconds,
+    (DATE_NAMESPACE, "duration"): _date_duration,
+    (DATE_NAMESPACE, "add"): _date_add,
+    (DATE_NAMESPACE, "difference"): _date_difference,
+    (DATE_NAMESPACE, "add-duration"): _date_add_duration,
+    (DATE_NAMESPACE, "sum"): _date_sum,
 }
 
 _USER_EXTENSIONS: dict[tuple[str | None, str], Callable[..., Any]] = {}

@@ -487,3 +487,94 @@ class TestExsltDates:
         assert _re2.match(
             r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{2}:\d{2}$", got
         ), got
+
+
+class TestExsltDateArithmetic:
+    """The date: arithmetic half (seconds/duration/add/difference/
+    add-duration/sum) — spec examples from exslt.org."""
+
+    NS = {"date": "http://exslt.org/dates-and-times"}
+
+    def x(self, query):
+        from parsel_spark.selector import Selector
+
+        return Selector(text="<root/>").xpath(query, namespaces=self.NS)
+
+    def test_seconds_of_dates_and_durations(self) -> None:
+        # floats surface through Selector.get() via str() —
+        # reference-parity convention (see the math:/count tests)
+        assert self.x("date:seconds('1970-01-01T00:00:30Z')").get() == "30.0"
+        assert self.x("date:seconds('1970-01-02')").get() == "86400.0"
+        # timezone applies
+        assert (
+            self.x("date:seconds('1970-01-01T01:00:00+01:00')").get() == "0.0"
+        )
+        assert self.x("date:seconds('PT1M30S')").get() == "90.0"
+        assert self.x("date:seconds('-P1D')").get() == "-86400.0"
+        # months are not convertible -> NaN
+        assert self.x("date:seconds('P1M')").get() == "nan"
+        assert self.x("date:seconds('junk')").get() == "nan"
+
+    def test_duration_from_seconds(self) -> None:
+        assert self.x("date:duration(86400)").get() == "P1D"
+        assert self.x("date:duration(90061)").get() == "P1DT1H1M1S"
+        assert self.x("date:duration(0)").get() == "PT0S"
+        assert self.x("date:duration(-3600)").get() == "-PT1H"
+
+    def test_add(self) -> None:
+        assert (
+            self.x("date:add('2000-01-12T12:13:14Z', 'P1D3')").get() == ""
+        )  # malformed duration
+        assert (
+            self.x("date:add('2000-01-12T12:13:14Z', 'PT33H')").get()
+            == "2000-01-13T21:13:14Z"
+        )
+        assert self.x("date:add('2000-01-12', 'P3D')").get() == "2000-01-15"
+        # end-of-month clamp (spec/XML Schema appendix E)
+        assert self.x("date:add('2000-01-31', 'P1M')").get() == "2000-02-29"
+        assert self.x("date:add('2001-01-31', 'P1M')").get() == "2001-02-28"
+        assert self.x("date:add('2000', 'P2Y')").get() == "2002"
+        assert self.x("date:add('2000-04', 'P11M')").get() == "2001-03"
+        # negative duration
+        assert self.x("date:add('2000-01-12', '-P2D')").get() == "2000-01-10"
+
+    def test_difference(self) -> None:
+        assert (
+            self.x("date:difference('2000-01-12', '2000-01-15')").get()
+            == "P3D"
+        )
+        assert (
+            self.x("date:difference('2000-01-15', '2000-01-12')").get()
+            == "-P3D"
+        )
+        assert (
+            self.x(
+                "date:difference('2000-01-12T10:00:00Z',"
+                " '2000-01-12T11:30:00Z')"
+            ).get()
+            == "PT1H30M"
+        )
+        # year/month precision pair -> PnYnM form
+        assert self.x("date:difference('1999', '2002')").get() == "P3Y"
+        assert (
+            self.x("date:difference('2000-03', '2001-05')").get() == "P1Y2M"
+        )
+        assert self.x("date:difference('x', '2000-01-01')").get() == ""
+
+    def test_add_duration_and_sum(self) -> None:
+        assert (
+            self.x("date:add-duration('P1DT12H', 'PT12H')").get() == "P2D"
+        )
+        assert self.x("date:add-duration('P1Y', 'P3M')").get() == "P1Y3M"
+        assert self.x("date:add-duration('P1D', 'junk')").get() == ""
+        # mixed-sign result has no canonical form
+        assert self.x("date:add-duration('P1M', '-P1D')").get() == ""
+        sel_xml = "<r><d>P1D</d><d>PT6H</d><d>PT18H</d></r>"
+        from parsel_spark.selector import Selector
+
+        sel = Selector(text=sel_xml, type="xml")
+        assert (
+            sel.xpath("date:sum(//d)", namespaces=self.NS).get() == "P2D"
+        )
+        bad = Selector(text="<r><d>P1D</d><d>zz</d></r>", type="xml")
+        assert bad.xpath("date:sum(//d)", namespaces=self.NS).get() == ""
