@@ -104,13 +104,16 @@ class _Parent(Node):
 class Document(_Parent):
     """The document root (XPath ``/``)."""
 
-    __slots__ = ("base", "order_dirty", "_counter")
+    __slots__ = ("base", "order_dirty", "_counter", "depth_limited")
 
     def __init__(self, base: str | None = None) -> None:
         super().__init__()
         self.base = base
         self.order_dirty = True
         self._counter = 0
+        # set by the parsers when a huge_tree=False depth limit
+        # truncated the input (libxml2-parity; Selector warns on it)
+        self.depth_limited = False
 
     @property
     def root_element(self) -> Element | None:

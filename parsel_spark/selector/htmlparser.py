@@ -58,7 +58,7 @@ AUTO_CLOSE["hr"] = frozenset({"p"})
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, max_depth: int | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.document = Document()
         self.html: Element | None = None
@@ -67,6 +67,11 @@ class _TreeBuilder(HTMLParser):
         self.body_closed = False
         self.html_closed = False
         self.stack: list[Element] = []
+        # libxml2-parity depth limit (huge_tree=False): once
+        # exceeded, parsing ABORTS — the rest of the input is
+        # dropped, like libxml2's recovery after its depth error
+        self.max_depth = max_depth
+        self.depth_limited = False
 
     # -- insertion helpers -----------------------------------------------
     def _ensure_html(self) -> Element:
@@ -116,6 +121,11 @@ class _TreeBuilder(HTMLParser):
 
     # -- token handlers ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self.depth_limited:
+            return
+        if self.max_depth is not None and len(self.stack) >= self.max_depth:
+            self.depth_limited = True
+            return
         if tag == "html":
             if self.html is None:
                 self._ensure_html()
@@ -185,6 +195,8 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(element)
 
     def handle_endtag(self, tag: str) -> None:
+        if self.depth_limited:
+            return
         if tag == "html":
             self.html_closed = True
             return
@@ -209,6 +221,8 @@ class _TreeBuilder(HTMLParser):
         # unmatched end tag: ignored (recovery)
 
     def handle_data(self, data: str) -> None:
+        if self.depth_limited:
+            return
         if not data:
             return
         point = self.stack[-1] if self.stack else None
@@ -234,23 +248,36 @@ class _TreeBuilder(HTMLParser):
         self._append_text(data)
 
     def handle_comment(self, data: str) -> None:
+        if self.depth_limited:
+            return
         parent = self.stack[-1] if self.stack else self._ensure_html()
         parent.append(Comment(data))
 
     def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...>
+        if self.depth_limited:
+            return
         return
 
     def unknown_decl(self, data: str) -> None:
+        if self.depth_limited:
+            return
         return
 
     def handle_pi(self, data: str) -> None:
+        if self.depth_limited:
+            return
         return
 
 
-def parse_html(text: str, base_url: str | None = None) -> Document:
-    """Parse ``text`` into a Document; never raises on bad markup."""
+def parse_html(
+    text: str, base_url: str | None = None, max_depth: int | None = None
+) -> Document:
+    """Parse ``text`` into a Document; never raises on bad markup.
+    ``max_depth`` (huge_tree=False parity): abort at the libxml2 depth
+    limit — content past the offending tag is dropped, like libxml2's
+    recovery after its depth error."""
     text = text.replace("\x00", "")
-    builder = _TreeBuilder()
+    builder = _TreeBuilder(max_depth=max_depth)
     if text.strip():
         try:
             builder.feed(text)
@@ -260,6 +287,7 @@ def parse_html(text: str, base_url: str | None = None) -> Document:
             pass
     builder._ensure_html()
     doc = builder.document
+    doc.depth_limited = builder.depth_limited
     doc.base = base_url
     root = doc.root_element
     if root is not None:

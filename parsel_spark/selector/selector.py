@@ -84,14 +84,31 @@ def create_root_node(
     encoding: str = "utf-8",
 ) -> Element:
     """Parse text/body into a root element; never raises on bad markup
-    (reference: parsel/selector.py:90-119)."""
+    (reference: parsel/selector.py:90-119).
+
+    ``huge_tree=False`` enforces the libxml2 256-node depth limit the
+    reference inherits (parsel/selector.py:103-115 + the deep-nesting
+    test, reference tests/test_selector.py:940-1009): parsing ABORTS at
+    the offending tag (content after it is lost — libxml2's recovery
+    behavior) and a warning mentioning ``huge_tree`` is emitted.  The
+    default ``True`` lifts the limit, like lxml >= 4.2."""
     if not text:
         text = body.replace(b"\x00", b"").strip().decode(encoding, errors="replace")
     text = text.strip().replace("\x00", "") or "<html/>"
+    max_depth = None if huge_tree else 256
     if type_ == "xml":
-        document = parse_xml(text, base_url=base_url)
+        document = parse_xml(text, base_url=base_url, max_depth=max_depth)
     else:
-        document = parse_html(text, base_url=base_url)
+        document = parse_html(text, base_url=base_url, max_depth=max_depth)
+    if getattr(document, "depth_limited", False):
+        import warnings
+
+        warnings.warn(
+            "Input data exceeds the depth limit; parsed content was "
+            "truncated. Pass huge_tree=True (the default) to lift the "
+            "limit (huge_tree support).",
+            stacklevel=2,
+        )
     root = document.root_element
     if root is None:
         fallback = Element("html")

@@ -70,9 +70,12 @@ def _split_name(name: str) -> tuple[str | None, str]:
 
 
 class _XMLBuilder:
-    def __init__(self) -> None:
+    def __init__(self, max_depth: int | None = None) -> None:
         self.document = Document()
         self.stack: list[Element] = []
+        # libxml2-parity depth limit (huge_tree=False)
+        self.max_depth = max_depth
+        self.depth_limited = False
         self.scope_stack: list[dict[str | None, str]] = [{"xml": XML_NAMESPACE}]
         self.root_done = False
 
@@ -117,6 +120,11 @@ class _XMLBuilder:
             parent.append(TextNode(data))
 
     def start(self, name: str, attrs: list[tuple[str, str]], selfclose: bool) -> None:
+        if self.depth_limited:
+            return
+        if self.max_depth is not None and len(self.stack) >= self.max_depth:
+            self.depth_limited = True
+            return
         if self.root_done and not self.stack:
             return  # extra content after the root element: dropped
         declarations: dict[str | None, str] = {}
@@ -186,15 +194,22 @@ class _XMLBuilder:
 
     def finish(self) -> Document:
         self.stack.clear()
+        self.document.depth_limited = self.depth_limited
         return self.document
 
 
-def parse_xml(text: str, base_url: str | None = None) -> Document:
-    """Parse ``text`` into a Document; recovers from malformed markup."""
+def parse_xml(
+    text: str, base_url: str | None = None, max_depth: int | None = None
+) -> Document:
+    """Parse ``text`` into a Document; recovers from malformed markup.
+    ``max_depth`` (huge_tree=False parity): abort at the libxml2 depth
+    limit — the rest of the input is dropped."""
     text = text.replace("\x00", "")
-    builder = _XMLBuilder()
+    builder = _XMLBuilder(max_depth=max_depth)
     pos = 0
     for match in _TOKEN_RE.finditer(text):
+        if builder.depth_limited:
+            break
         if match.start() > pos:
             builder._append_text_parts(text[pos : match.start()])
         pos = match.end()

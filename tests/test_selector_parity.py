@@ -463,14 +463,42 @@ class TestSelection:
             assert not hasattr(e.root, "getparent")
 
     def test_deep_nesting(self, sscls) -> None:
-        # adapted from ref tests/test_selector.py:940-1009: our parser has no
-        # 255-depth limit, so the huge_tree path is always on
+        # ref tests/test_selector.py:940-1009 — FULL parity: the default
+        # (huge_tree=True) lifts the limit; huge_tree=False enforces the
+        # libxml2 256-node depth limit, truncates the rest of the input
+        # (the trailing <td> is lost) and warns mentioning huge_tree
+        import warnings as _warnings
+
         lvl = 282
         content = "<html><body>" + "<span>" * lvl + "hello world" + "</span>" * lvl
         content += "<table><tr><td>some test</td></tr></table></body></html>"
+
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            sel = sscls(text=content, huge_tree=False)
+            assert any("huge_tree" in str(m.message) for m in w)
+        assert len(sel.css("span")) <= 256
+        assert len(sel.css("td")) == 0
+
         sel = sscls(text=content)
         assert len(sel.css("span")) == lvl
         assert len(sel.css("td")) == 1
+
+    def test_deep_nesting_xml(self, sscls) -> None:
+        # same limit through the XML parser
+        import warnings as _warnings
+
+        lvl = 300
+        content = "<r>" + "<a>" * lvl + "x" + "</a>" * lvl + "<tail/></r>"
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            sel = sscls(text=content, type="xml", huge_tree=False)
+            assert any("huge_tree" in str(m.message) for m in w)
+        assert len(sel.xpath("//a")) <= 256
+        assert len(sel.xpath("//tail")) == 0
+        sel = sscls(text=content, type="xml")
+        assert len(sel.xpath("//a")) == lvl
+        assert len(sel.xpath("//tail")) == 1
 
     def test_extending_selector(self) -> None:
         # ref tests/test_selector.py:858-874
