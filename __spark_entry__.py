@@ -431,6 +431,17 @@ def q_doc_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF keywords (textstats.tfidf_keywords, k=3):
+    corpus-wide stopwords score exactly 0 (ln 1) and rarities rank
+    first; deterministic (score DESC, word ASC) cut.  The oracle
+    replays tf, df, the ln(N/df) score and the ranked window — ln of
+    an integer ratio is the same IEEE double in both engines."""
+    from parsel_spark.functions.textstats import tfidf_keywords
+
+    return tfidf_keywords(_read(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textstats.c4_quality_flags, Raffel et al.
     2020 §2.2) over planted multi-line pages: every doc gets a kept
@@ -2880,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_cardinality": q_stream_url_cardinality,
         "img_training_batches": q_img_training_batches,
         "doc_corpus_build": q_doc_corpus_build,
+        "doc_tfidf_keywords": q_doc_tfidf_keywords,
     }
 
 
@@ -4826,6 +4838,32 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # tf-idf keywords: tf/df/ln score + ranked window replayed
+    sql["doc_tfidf_keywords"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +'))
+                       AS word
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM w GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+        ), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                   round(tf.tf * ln(n.n / df.df::DOUBLE), 9) AS score
+            FROM tf JOIN df USING (word), n
+        )
+        SELECT doc_id, word, tf, df, score, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, word ASC
+            ) AS rank
+            FROM s
+        ) WHERE rank <= 3
+    """
 
     # text capstone: the doc_quality_filter oracle embedded verbatim as
     # the gate CTE, then dedup window + cap predicate + BPE manifest

@@ -432,3 +432,64 @@ def corpus_length_stats(
         F.round(F.col("__p")[1], 6).alias("p90_tokens"),
         F.round(F.col("__p")[2], 6).alias("p99_tokens"),
     )
+
+
+def tfidf_keywords(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document TF-IDF keywords — the classic corpus-analysis /
+    retrieval signal (Sparck Jones 1972 lineage): for each doc the
+    top-``k`` lowercase words by ``tf · ln(N/df)`` (score DESC, word
+    ASC tiebreak — deterministic).  Words appearing in EVERY doc score
+    exactly 0 (ln 1) and still rank below rarer words.
+
+    Output: ``(id, word, tf, df, score, rank)`` with score rounded to
+    9 (ln of an integer ratio evaluates to the same IEEE double in
+    both engines — the HLL small-range correction relies on the same
+    fact).
+
+    Scale shape: tf = ONE map-side-combined groupBy(id, word); df = ONE
+    groupBy(word) whose result is |vocab|-sized and joins back
+    BROADCAST; the per-doc top-k window partitions by id — all three
+    shuffles carry (id/word, count) pairs only, never text."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), " +")
+        ).alias("word"),
+    )
+    tf = words.groupBy("__id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = words.groupBy("word").agg(
+        F.countDistinct("__id").alias("df")
+    )
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("__id").alias(id_col),
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n") / F.col("df").cast("double")),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

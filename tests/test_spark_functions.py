@@ -924,3 +924,53 @@ class TestSitemapEntries:
         ]
         locs = {e[0]["loc"] for e in rows}
         assert locs == {"http://b.test/x", "http://c.test/y"}
+
+
+class TestTfidfKeywords:
+    def test_rare_word_beats_common(self, spark) -> None:
+        import math as _math
+
+        from parsel_spark.functions.textstats import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat zebra zebra"),
+                (2, "the dog ran"),
+                (3, "the bird flew"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = [
+            r
+            for r in tfidf_keywords(df, k=1).collect()
+        ]
+        by_doc = {r["doc_id"]: r for r in rows}
+        # 'zebra': tf=2, df=1 -> 2*ln(3); beats everything in doc 1
+        assert by_doc[1]["word"] == "zebra"
+        assert _math.isclose(
+            by_doc[1]["score"], round(2 * _math.log(3.0), 9)
+        )
+        # 'the' appears in all docs -> score exactly 0, never a top word
+        assert all(r["word"] != "the" for r in rows)
+
+    def test_tie_breaks_and_k(self, spark) -> None:
+        from parsel_spark.functions.textstats import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [(1, "bb aa"), (2, "cc")], "doc_id long, text string"
+        )
+        rows = sorted(
+            (r["doc_id"], r["rank"], r["word"])
+            for r in tfidf_keywords(df, k=2).collect()
+        )
+        # aa/bb tie on score -> word ASC
+        assert rows == [(1, 1, "aa"), (1, 2, "bb"), (2, 1, "cc")]
+
+    def test_bad_k(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.functions.textstats import tfidf_keywords
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            tfidf_keywords(df, k=0)
