@@ -431,6 +431,28 @@ def q_doc_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM score (textstats.bigram_logprob — the
+    KenLM-perplexity stand-in): every 10th doc carries a planted
+    doc-unique word-salad suffix whose bigrams are unseen elsewhere,
+    provably depressing its mean log probability.  The oracle replays
+    the ENTIRE train+score computation — bigram/unigram counts, V,
+    add-one smoothing, per-bigram ln, and the DECIMAL(30,15)
+    order-independent per-doc sum."""
+    from parsel_spark.functions.textstats import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    salt = F.when(
+        F.pmod(doc_id, F.lit(10)) == 0,
+        F.concat(F.lit(" qq"), doc_id, F.lit(" ww"), doc_id),
+    ).otherwise(F.lit(""))
+    prepared = docs.select(
+        "doc_id", F.concat(F.col("text"), salt).alias("text")
+    )
+    return bigram_logprob(prepared)
+
+
 def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF keywords (textstats.tfidf_keywords, k=3):
     corpus-wide stopwords score exactly 0 (ln 1) and rarities rank
@@ -2892,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_training_batches": q_img_training_batches,
         "doc_corpus_build": q_doc_corpus_build,
         "doc_tfidf_keywords": q_doc_tfidf_keywords,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
     }
 
 
@@ -4838,6 +4861,42 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # bigram LM: counts, V, smoothing, ln and the decimal-exact
+    # per-doc sum all replayed
+    sql["doc_bigram_logprob"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 10 = 0
+                                THEN ' qq' || doc_id || ' ww' || doc_id
+                                ELSE '' END AS text
+            FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), ' +') AS toks
+            FROM p
+        ), occ AS (
+            SELECT t.doc_id, t.toks[i.i + 1] AS a, t.toks[i.i + 2] AS b
+            FROM t, LATERAL (
+                SELECT unnest(range(len(t.toks) - 1)) AS i
+            ) i
+        ), uni AS (
+            SELECT u.x AS a, count(*) AS c_a
+            FROM t, LATERAL (SELECT unnest(t.toks) AS x) u
+            GROUP BY u.x
+        ), bi AS (
+            SELECT a, b, count(*) AS c_ab FROM occ GROUP BY a, b
+        ), v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        s AS (
+            SELECT occ.doc_id,
+                   ln((bi.c_ab + 1)::DOUBLE
+                      / (uni.c_a::DOUBLE + v.v))::DECIMAL(30,15) AS lp
+            FROM occ JOIN bi USING (a, b) JOIN uni USING (a), v
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(sum(lp)::DOUBLE / count(*), 9) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """
 
     # tf-idf keywords: tf/df/ln score + ranked window replayed
     sql["doc_tfidf_keywords"] = """

@@ -493,3 +493,76 @@ def tfidf_keywords(
     return scored.select(
         "*", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+def bigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-trained bigram language-model score — the closest
+    in-sandbox stand-in for KenLM-style perplexity filtering (CCNet,
+    Wenzek et al. 2020): per doc, the mean add-one-smoothed bigram log
+    probability ``mean ln((C(a,b)+1)/(C(a)+V))`` under counts trained
+    on the corpus itself.  Clean text re-uses the corpus's frequent
+    transitions; shuffled/gibberish text hits unseen bigrams and
+    scores sharply lower — the standard quality-ordering signal.
+
+    Cross-engine exactness: every count is an integer, each per-bigram
+    ``ln`` of an integer ratio is the same IEEE double in both
+    engines, and the per-doc SUM accumulates as DECIMAL(30,15) —
+    order-independent — before the final divide+round(9).
+
+    Scale shape: bigram/unigram count tables are one map-side-combined
+    groupBy each (bounded by distinct n-grams, not corpus size); the
+    score join is hash-partitioned on the bigram key; V and N ride as
+    1-row broadcast aggregates.  Train on a ``hash_sample`` at 100 TB
+    (same note as ``char_gram_coverage``)."""
+    from pyspark.sql import functions as _F
+
+    toks = _F.split(_F.lower(_F.trim(_F.col(text_col))), " +")
+    base = docs.select(_F.col(id_col).alias("__id"), toks.alias("toks"))
+    bigrams_expr = _F.when(
+        _F.size("toks") >= 2,
+        _F.expr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+        ),
+    ).otherwise(
+        _F.array().cast("array<struct<a:string,b:string>>")
+    )
+    occ = base.select(
+        "__id", _F.explode_outer(bigrams_expr).alias("bg")
+    ).select("__id", _F.col("bg.a").alias("a"), _F.col("bg.b").alias("b"))
+    uni = base.select(_F.explode("toks").alias("a")).groupBy("a").agg(
+        _F.count(_F.lit(1)).alias("c_a")
+    )
+    bi = (
+        occ.where(_F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(_F.count(_F.lit(1)).alias("c_ab"))
+    )
+    v_df = uni.agg(_F.count(_F.lit(1)).cast("double").alias("__v"))
+    scored = (
+        occ.join(bi, ["a", "b"], "left")
+        .join(uni, "a", "left")
+        .crossJoin(_F.broadcast(v_df))
+        .select(
+            "__id",
+            _F.when(
+                _F.col("a").isNotNull(),
+                _F.log(
+                    (_F.col("c_ab") + 1).cast("double")
+                    / (_F.col("c_a").cast("double") + _F.col("__v"))
+                ).cast("decimal(30,15)"),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        _F.count("lp").cast("long").alias("n_bigrams"),
+        _F.round(
+            _F.sum("lp").cast("double") / _F.count("lp"), 9
+        ).alias("avg_logprob"),
+    ).select(
+        _F.col("__id").alias(id_col), "n_bigrams", "avg_logprob"
+    )

@@ -974,3 +974,47 @@ class TestTfidfKeywords:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             tfidf_keywords(df, k=0)
+
+
+class TestBigramLogprob:
+    def test_hand_computed_small_corpus(self, spark) -> None:
+        import math as _math
+
+        from parsel_spark.functions.textstats import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        # unigrams: a:3 b:3, V=2; bigrams: (a,b):3, (b,a):1
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in bigram_logprob(df).collect()
+        }
+        lp_ab = _math.log((3 + 1) / (3 + 2))
+        lp_ba = _math.log((1 + 1) / (3 + 2))
+        want1 = round((2 * lp_ab + lp_ba) / 3, 9)
+        assert got[1][0] == 3
+        assert _math.isclose(got[1][1], want1, rel_tol=1e-12)
+        assert got[2] == (1, round(lp_ab, 9))
+
+    def test_gibberish_scores_lower(self, spark) -> None:
+        from parsel_spark.functions.textstats import bigram_logprob
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(20)]
+        rows.append((99, "dog the over fox quick lazy jumps brown the"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["avg_logprob"]
+               for r in bigram_logprob(df).collect()}
+        assert got[99] < got[0]
+
+    def test_single_token_doc(self, spark) -> None:
+        from parsel_spark.functions.textstats import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "lonely"), (2, "two words")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+               for r in bigram_logprob(df).collect()}
+        assert got[1] == (0, None)
+        assert got[2][0] == 1
