@@ -2671,6 +2671,50 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected
 
 
+def q_img_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–caption pair MINING (udfs.extract_image_pairs — the LAION
+    og:/alt recipe): planted pages carry og:image + og:title (every
+    13th doc drops the title, exercising the og:description fallback)
+    and an <img> whose src is a TRAP form (upper-case host — proves
+    canonicalization runs) with alt text; every 7th doc's alt is blank
+    and provably yields no alt pair.  The oracle states the mined
+    (doc_id, image_url, caption, source) rows in closed form."""
+    from parsel_spark.functions.udfs import extract_image_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    hostn = F.pmod(doc_id, F.lit(N_DOC_HOSTS))
+    og_title = F.when(
+        F.pmod(doc_id, F.lit(13)) != 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="Caption '),
+            doc_id, F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    alt = F.when(
+        F.pmod(doc_id, F.lit(7)) != 0, F.concat(F.lit("Alt "), doc_id)
+    ).otherwise(F.lit(" "))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:image" content="/img/'),
+        doc_id, F.lit('.jpg">'), og_title,
+        F.lit('<meta property="og:description" content="Desc '),
+        doc_id, F.lit('"></head><body><img src="HTTP://DOCS-'),
+        hostn, F.lit(".TEST/t/"), doc_id, F.lit('" alt="'), alt,
+        F.lit('"></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id", _doc_url(doc_id).alias("url"), html.alias("html")
+    )
+    return pages.select(
+        "doc_id", F.explode(extract_image_pairs("html", "url")).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.image_url").alias("image_url"),
+        F.col("p.caption").alias("caption"),
+        F.col("p.source").alias("source"),
+    )
+
+
 def q_img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-level image dedup (multimodal.caption_dedup): the
     planted repeated captions (every 19th doc ' img ', every 23rd
@@ -2915,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_build": q_doc_corpus_build,
         "doc_tfidf_keywords": q_doc_tfidf_keywords,
         "doc_bigram_logprob": q_doc_bigram_logprob,
+        "img_pair_mining": q_img_pair_mining,
     }
 
 
@@ -4861,6 +4906,24 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # pair mining: mined og/alt rows stated in closed form
+    sql["img_pair_mining"] = f"""
+        SELECT doc_id,
+               'http://docs-' || (doc_id % {N_DOC_HOSTS}) || '.test/img/'
+                   || doc_id || '.jpg' AS image_url,
+               CASE WHEN doc_id % 13 <> 0 THEN 'Caption ' || doc_id
+                    ELSE 'Desc ' || doc_id END AS caption,
+               'og' AS source
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'http://docs-' || (doc_id % {N_DOC_HOSTS}) || '.test/t/'
+                   || doc_id AS image_url,
+               'Alt ' || doc_id AS caption,
+               'alt' AS source
+        FROM documents WHERE doc_id % 7 <> 0
+    """
 
     # bigram LM: counts, V, smoothing, ln and the decimal-exact
     # per-doc sum all replayed

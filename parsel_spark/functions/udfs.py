@@ -562,3 +562,83 @@ def extract_sitemap_entries(column: Column | str) -> Column:
         return pd.Series(out, dtype=object)
 
     return _udf(column)
+
+
+def extract_image_pairs(
+    html_column: Column | str, base_url_column: Column | str
+) -> Column:
+    """Image–caption candidate pair MINING from page markup — the step
+    that turns a crawled page into input_hint-shaped training rows
+    (the public LAION recipe: Open Graph metadata and ``alt`` text are
+    the caption sources):
+
+    * ``og:image`` + (``og:title`` else ``og:description``) → one pair
+      with ``source='og'`` (the page's declared representative image);
+    * every ``<img src alt>`` with non-empty trimmed ``alt`` → a pair
+      with ``source='alt'``.
+
+    Image URLs resolve against the page URL and run RFC-3986
+    canonicalization; captions are whitespace-trimmed.  Returns
+    ``ARRAY<STRUCT<image_url, caption, source>>`` in document order
+    (og first) — same fused one-Python-hop shape as the link
+    extractor; explode + join against the fetch layer downstream."""
+    from .canonical import resolve_url
+
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("image_url", T.StringType()),
+                T.StructField("caption", T.StringType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _udf(payloads: pd.Series, bases: pd.Series) -> pd.Series:
+        out = []
+        for payload, base in zip(payloads, bases):
+            sel = _make_selector(payload, None)
+            pairs: list[dict] = []
+            if sel is not None:
+                try:
+                    metas: dict[str, str] = {}
+                    for m in sel.xpath("//meta[@property and @content]"):
+                        prop = (m.attrib.get("property") or "").strip().lower()
+                        if prop in ("og:image", "og:title", "og:description"):
+                            metas.setdefault(prop, m.attrib["content"])
+                    og_img = metas.get("og:image")
+                    if og_img:
+                        caption = (
+                            metas.get("og:title")
+                            or metas.get("og:description")
+                            or ""
+                        ).strip()
+                        url = resolve_url(base, og_img)
+                        if url is not None and caption:
+                            pairs.append(
+                                {
+                                    "image_url": url,
+                                    "caption": caption,
+                                    "source": "og",
+                                }
+                            )
+                    for img in sel.xpath("//img[@src and @alt]"):
+                        alt = (img.attrib.get("alt") or "").strip()
+                        if not alt:
+                            continue
+                        url = resolve_url(base, img.attrib["src"])
+                        if url is not None:
+                            pairs.append(
+                                {
+                                    "image_url": url,
+                                    "caption": alt,
+                                    "source": "alt",
+                                }
+                            )
+                except Exception:
+                    pairs = []
+            out.append(pairs)
+        return pd.Series(out, dtype=object)
+
+    return _udf(html_column, base_url_column)

@@ -1018,3 +1018,50 @@ class TestBigramLogprob:
                for r in bigram_logprob(df).collect()}
         assert got[1] == (0, None)
         assert got[2][0] == 1
+
+
+class TestImagePairMining:
+    def test_og_and_alt_pairs(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        from parsel_spark.functions.udfs import extract_image_pairs
+
+        html = (
+            "<html><head>"
+            '<meta property="og:image" content="/hero.JPG">'
+            '<meta property="og:title" content=" The  Hero ">'
+            '<meta property="og:description" content="fallback">'
+            "</head><body>"
+            '<img src="HTTP://A.TEST/x/../a.png" alt="first alt">'
+            '<img src="/b.png" alt="   ">'       # blank alt dropped
+            '<img src="/c.png">'                 # no alt dropped
+            "</body></html>"
+        )
+        df = spark.createDataFrame(
+            [("http://a.test/page", html)], "url string, html string"
+        )
+        (row,) = df.select(
+            extract_image_pairs("html", "url").alias("p")
+        ).collect()
+        pairs = [(p["image_url"], p["caption"], p["source"]) for p in row["p"]]
+        assert pairs == [
+            ("http://a.test/hero.JPG", "The  Hero", "og"),
+            ("http://a.test/a.png", "first alt", "alt"),
+        ]
+
+    def test_og_description_fallback_and_no_pairs(self, spark) -> None:
+        from parsel_spark.functions.udfs import extract_image_pairs
+
+        html = (
+            '<meta property="og:image" content="/i.png">'
+            '<meta property="og:description" content="desc only">'
+        )
+        df = spark.createDataFrame(
+            [("http://a.test/", html), ("http://a.test/2", "<p>none</p>")],
+            "url string, html string",
+        )
+        rows = {r["url"]: r["p"] for r in df.select(
+            "url", extract_image_pairs("html", "url").alias("p")
+        ).collect()}
+        assert rows["http://a.test/"][0]["caption"] == "desc only"
+        assert rows["http://a.test/2"] == []
