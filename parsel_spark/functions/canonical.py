@@ -129,8 +129,17 @@ def canonicalize_url(url: str | None) -> str | None:
         return url
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    # IDN hosts: keep as-is (synthetic corpus is ASCII); strip trailing dot
     host = host.rstrip(".")
+    # IDN hosts → punycode (RFC 3490 ToASCII via the stdlib idna
+    # codec) — one crawl identity for 'münchen.example' and
+    # 'xn--mnchen-3ya.example'; ASCII hosts skip the check entirely
+    # (the fast path above never reaches here for them anyway), and a
+    # malformed label keeps its input form (recovering, never raises)
+    if host and not host.isascii():
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass
     port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):

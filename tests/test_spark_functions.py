@@ -1065,3 +1065,36 @@ class TestImagePairMining:
         ).collect()}
         assert rows["http://a.test/"][0]["caption"] == "desc only"
         assert rows["http://a.test/2"] == []
+
+
+class TestIdnCanonicalization:
+    def test_unicode_host_becomes_punycode(self) -> None:
+        from parsel_spark.functions.canonical import canonicalize_url
+
+        # RFC 3490 ToASCII: one crawl identity for both spellings
+        assert (
+            canonicalize_url("http://münchen.example/straße")
+            == "http://xn--mnchen-3ya.example/stra%C3%9Fe"
+        )
+        assert (
+            canonicalize_url("HTTP://MÜNCHEN.example:80/a")
+            == "http://xn--mnchen-3ya.example/a"
+        )
+        # already-punycode and plain-ascii hosts unchanged
+        assert (
+            canonicalize_url("http://xn--mnchen-3ya.example/a")
+            == "http://xn--mnchen-3ya.example/a"
+        )
+        assert (
+            canonicalize_url("http://plain.example/ok")
+            == "http://plain.example/ok"
+        )
+
+    def test_malformed_idn_label_recovers(self) -> None:
+        from parsel_spark.functions.canonical import canonicalize_url
+
+        # an overlong label the idna codec refuses: keep input form,
+        # never raise (recovering contract)
+        bad = "http://" + "ü" * 80 + ".example/x"
+        out = canonicalize_url(bad)
+        assert out is not None and out.endswith(".example/x")
