@@ -1922,6 +1922,37 @@ def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(spark.table(name), b=10)
 
 
+def q_crawl_idn_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host canonicalization through the vectorized UDF
+    (canonical.canonicalize_udf): unicode hosts ('münchen'/'büro'/
+    'тест' families, upper-cased every 2nd doc to stack case folding on
+    top) map to their RFC 3490 punycode — one crawl identity per
+    logical host; plain-ASCII doc urls pass through byte-identical.
+    The oracle states the expected punycode literals in closed form
+    (the stdlib idna codec implements the same public ToASCII every
+    crawler uses)."""
+    from parsel_spark.functions.canonical import canonicalize_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    m = F.pmod(doc_id, F.lit(4))
+    host = (
+        F.when(m == 0, F.lit("münchen"))
+        .when(m == 1, F.lit("büro"))
+        .when(m == 2, F.lit("тест"))
+        .otherwise(F.lit("plain"))
+    )
+    host = F.when(
+        F.pmod(doc_id, F.lit(2)) == 0, F.upper(host)
+    ).otherwise(host)
+    url = F.concat(
+        F.lit("http://"), host, F.lit(".example/p/"), doc_id
+    )
+    return docs.select(
+        "doc_id", canonicalize_udf(url).alias("canonical_url")
+    )
+
+
 def q_crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (linkgraph.pagerank, 3 power-method rounds,
     d=0.85) over a deterministic host graph synthesized from documents:
@@ -2960,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_keywords": q_doc_tfidf_keywords,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "img_pair_mining": q_img_pair_mining,
+        "crawl_idn_canonical": q_crawl_idn_canonical,
     }
 
 
@@ -4906,6 +4938,18 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # IDN canonicalization: expected punycode stated as literals
+    sql["crawl_idn_canonical"] = """
+        SELECT doc_id,
+               'http://' || CASE doc_id % 4
+                   WHEN 0 THEN 'xn--mnchen-3ya'
+                   WHEN 1 THEN 'xn--bro-hoa'
+                   WHEN 2 THEN 'xn--e1aybc'
+                   ELSE 'plain' END
+               || '.example/p/' || doc_id AS canonical_url
+        FROM documents
+    """
 
     # pair mining: mined og/alt rows stated in closed form
     sql["img_pair_mining"] = f"""
