@@ -1922,6 +1922,71 @@ def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(spark.table(name), b=10)
 
 
+def q_stream_host_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min: the same Zipf-ish host synthesis as
+    crawl_host_frequency arrives as a stream; the counter matrix is a
+    streaming groupBy(r, slot).count (complete mode into a memory sink
+    — sketch state is ≤ d·w rows), finished by the batch point-query +
+    exact-count join.  One oracle, two execution models — the
+    continuous heavy-hitter monitor."""
+    import tempfile
+
+    from parsel_spark.operators.dedup import md5_hash60
+    from parsel_spark.operators.sketches import cm_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    m10 = F.pmod(F.col("doc_id"), F.lit(10))
+    host = (
+        F.when(m10 < 5, F.lit("big-a"))
+        .when(m10 < 8, F.lit("big-b"))
+        .otherwise(F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(50))))
+    )
+    visits = docs.select(host.alias("host"))
+    tmp = tempfile.mkdtemp(prefix="parsel_spark_stream_cm_")
+    in_dir = os.path.join(tmp, "in")
+    visits.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("host string").parquet(in_dir)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    md5_hash60(F.concat(F.col("host"), F.lit(f"#cm{r}"))),
+                    F.lit(256),
+                ).alias("slot"),
+            )
+            for r in range(4)
+        ]
+    )
+    state_stream = (
+        stream.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.slot").alias("slot"))
+        .groupBy("r", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"cm_state_{abs(hash(tmp)) % 10**9}"
+    query = (
+        state_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.table(name)
+    keys = visits.distinct()
+    est = cm_estimate(state, keys, "host", d=4, w=256)
+    exact = visits.groupBy("host").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return exact.join(est, "host").select(
+        "host",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("one_sided"),
+    )
+
+
 def q_crawl_idn_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDN host canonicalization through the vectorized UDF
     (canonical.canonicalize_udf): unicode hosts ('münchen'/'büro'/
@@ -2669,6 +2734,18 @@ def q_emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_component(_read(spark, sf_dir, "embeddings"), iters=3)
 
 
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (similarity.knn_graph, k=3): every
+    vector's ranked top-3 among its hyperplane-LSH bucket candidates —
+    the batch primitive graph-ANN builds start from, bucketed, never
+    all-pairs.  Same deterministic plane family as the other LSH rows;
+    the oracle embeds the plane literals and replays bucket → pair
+    join → rounded cosine → per-vector ranked cut."""
+    from parsel_spark.operators.similarity import knn_graph
+
+    return knn_graph(_read(spark, sf_dir, "embeddings"), k=3)
+
+
 def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: power-iteration component → per-vector projection
     coordinate (the dimension-reduction step an ANN index runs before
@@ -2992,6 +3069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "img_pair_mining": q_img_pair_mining,
         "crawl_idn_canonical": q_crawl_idn_canonical,
+        "stream_host_frequency": q_stream_host_frequency,
+        "emb_knn_graph": q_emb_knn_graph,
     }
 
 
@@ -4939,6 +5018,32 @@ def oracle_sql() -> dict[str, str]:
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
 
+    # kNN graph: plane literals + bucket join + per-vector ranked cut
+    sql["emb_knn_graph"] = f"""
+        WITH planes(p, vec) AS (
+            VALUES {plane_rows}
+        ), b AS (
+            SELECT e.vec_id, e.embedding,
+                   sum(CASE WHEN {_dot("e.embedding", "p.vec")} > 0
+                            THEN (1 << p.p) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding
+        ), pr AS (
+            SELECT a.vec_id AS vec_id, bb.vec_id AS neighbor,
+                   round({_dot("a.embedding", "bb.embedding")}
+                         / ({_norm("a.embedding")}
+                            * {_norm("bb.embedding")}), 4) + 0.0 AS sim
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+        )
+        SELECT vec_id, neighbor, sim, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, neighbor ASC
+            ) AS rank
+            FROM pr
+        ) WHERE rank <= 3
+    """
+
     # IDN canonicalization: expected punycode stated as literals
     sql["crawl_idn_canonical"] = """
         SELECT doc_id,
@@ -5174,6 +5279,8 @@ def oracle_sql() -> dict[str, str]:
                est.est_count >= ex.exact_count AS one_sided
         FROM ex JOIN est USING (host)
     """
+    # streaming count-min: identical sketch, streaming counter agg
+    sql["stream_host_frequency"] = sql["crawl_host_frequency"]
 
     # winnowing clusters: planted near-copies, full min-gram recompute
     # + one fingerprint window

@@ -613,3 +613,55 @@ def top_component(
             ).alias("x")
         ).localCheckpoint(eager=True)
     return x.select(F.posexplode("x").alias("dim", "component"))
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """k-NN GRAPH construction — every vector's top-``k`` neighbors
+    among its hyperplane-LSH bucket candidates: the batch primitive
+    graph-based ANN indexes and graph clustering start from (public
+    NN-Descent/HNSW-build lineage reduced to the one-bucket-probe
+    round a Spark pass can express).  Output: ``(vec_id, neighbor,
+    sim, rank)``, rank 1 = closest, deterministic (rounded cosine
+    DESC, neighbor ASC).
+
+    Candidates come ONLY from the vector's own bucket (never
+    all-pairs — the 100 TB contract); a vector alone in its bucket
+    emits no edges, and true neighbors hashed elsewhere are missed —
+    the documented recall boundary (lower ``n_planes`` for bigger
+    buckets, or union multiple plane seeds for multi-probe).
+
+    Scale shape: ONE hash(bucket) exchange reused by both self-join
+    sides (ReusedExchange), pair volume ~N²/2^planes spread evenly,
+    then a per-vector ranked window on the same partitioning."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    blocked = embeddings.withColumn(
+        "block", lsh_bucket(F.col("embedding"), planes)
+    ).repartition(F.col("block"))
+    pairs = blocked.alias("a").join(
+        blocked.alias("b"),
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor"),
+        (sim + F.lit(0.0)).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor").asc()
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

@@ -269,3 +269,48 @@ class TestTopComponent:
         )
         with _pytest.raises(ValueError):
             top_component(df, iters=0)
+
+
+class TestKnnGraph:
+    def test_neighbors_within_bucket_ranked(self, spark) -> None:
+        from parsel_spark.operators.similarity import knn_graph
+
+        # co-directional family + an orthogonal singleton
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.1, 0.0, 0.0]),
+            (2, [1.0, 0.5, 0.0, 0.0]),
+            (3, [-1.0, -2.0, -1.0, -5.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {}
+        for r in knn_graph(df, k=2, n_planes=2, dim=4).collect():
+            got.setdefault(r["vec_id"], []).append(
+                (r["rank"], r["neighbor"], r["sim"])
+            )
+        # 0's nearest is 1 (cos ~0.999) then 2 (cos ~0.894)
+        n0 = sorted(got[0])
+        assert [n for _, n, _ in n0] == [1, 2]
+        assert n0[0][2] > n0[1][2]
+        # every listed neighbor pair is mutual-bucket — ranks start at 1
+        for edges in got.values():
+            assert min(r for r, _, _ in edges) == 1
+
+    def test_k_bounds_and_determinism(self, spark) -> None:
+        import pytest as _pytest
+
+        from parsel_spark.operators.similarity import knn_graph
+
+        rows = [
+            (i, [float((i * 3 + d) % 7 - 3) for d in range(4)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, knn_graph(df, k=3, dim=4).collect()))
+        b = sorted(
+            map(tuple, knn_graph(df.repartition(7), k=3, dim=4).collect())
+        )
+        assert a == b
+        assert all(t[3] <= 3 for t in a)
+        with _pytest.raises(ValueError):
+            knn_graph(df, k=0)
