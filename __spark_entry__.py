@@ -1886,30 +1886,11 @@ def q_stream_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(tmp, "in")
     urls.write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema("url string").parquet(in_dir)
-    # the register computation is the same column algebra as
-    # hll_registers, inlined over the stream (b=10)
-    from parsel_spark.operators.dedup import md5_hash60
+    # hll_registers is pure select/groupBy column algebra — the SAME
+    # operator runs on the stream (one implementation, two engines)
+    from parsel_spark.operators.sketches import hll_registers
 
-    p_bits = 50
-    h = md5_hash60(F.col("url"))
-    regs_stream = (
-        stream.select(h.alias("__h"))
-        .select(
-            F.expr(f"__h div {1 << p_bits}").alias("bucket"),
-            (
-                F.lit(p_bits)
-                - F.when(
-                    F.pmod(F.col("__h"), F.lit(1 << p_bits)) > 0,
-                    F.length(
-                        F.bin(F.pmod(F.col("__h"), F.lit(1 << p_bits)))
-                    ),
-                ).otherwise(F.lit(0))
-                + F.lit(1)
-            ).alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("M"))
-    )
+    regs_stream = hll_registers(stream, "url", b=10)
     name = f"hll_regs_{abs(hash(tmp)) % 10**9}"
     query = (
         regs_stream.writeStream.format("memory")
@@ -1931,8 +1912,7 @@ def q_stream_host_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous heavy-hitter monitor."""
     import tempfile
 
-    from parsel_spark.operators.dedup import md5_hash60
-    from parsel_spark.operators.sketches import cm_estimate
+    from parsel_spark.operators.sketches import cm_estimate, cm_sketch
 
     docs = _read(spark, sf_dir, "documents")
     m10 = F.pmod(F.col("doc_id"), F.lit(10))
@@ -1946,24 +1926,9 @@ def q_stream_host_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(tmp, "in")
     visits.write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema("host string").parquet(in_dir)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                F.pmod(
-                    md5_hash60(F.concat(F.col("host"), F.lit(f"#cm{r}"))),
-                    F.lit(256),
-                ).alias("slot"),
-            )
-            for r in range(4)
-        ]
-    )
-    state_stream = (
-        stream.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.r").alias("r"), F.col("p.slot").alias("slot"))
-        .groupBy("r", "slot")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # cm_sketch is pure explode/groupBy column algebra — the SAME
+    # operator runs on the stream
+    state_stream = cm_sketch(stream, "host", d=4, w=256)
     name = f"cm_state_{abs(hash(tmp)) % 10**9}"
     query = (
         state_stream.writeStream.format("memory")
@@ -5105,9 +5070,14 @@ def oracle_sql() -> dict[str, str]:
                       / (uni.c_a::DOUBLE + v.v))::DECIMAL(30,15) AS lp
             FROM occ JOIN bi USING (a, b) JOIN uni USING (a), v
         )
-        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               round(sum(lp)::DOUBLE / count(*), 9) AS avg_logprob
-        FROM s GROUP BY doc_id
+        SELECT t.doc_id,
+               coalesce(g.n, 0)::BIGINT AS n_bigrams,
+               g.avg_logprob
+        FROM t LEFT JOIN (
+            SELECT doc_id, count(*) AS n,
+                   round(sum(lp)::DOUBLE / count(*), 9) AS avg_logprob
+            FROM s GROUP BY doc_id
+        ) g USING (doc_id)
     """
 
     # tf-idf keywords: tf/df/ln score + ranked window replayed

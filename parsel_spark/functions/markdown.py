@@ -56,31 +56,9 @@ def _norm(text: str) -> str:
 
 
 def _inline(node) -> str:
-    """Flatten a node's content under inline rules (no block breaks)."""
-    parts: list[str] = []
-    for child in node.children:
-        if isinstance(child, TextNode):
-            parts.append(child.data)
-        elif isinstance(child, Element):
-            tag = child.local_name.lower()
-            if tag in _DROP:
-                continue
-            if tag == "br":
-                parts.append("\n")
-                continue
-            inner = _inline(child)
-            if tag == "a":
-                href = child.get("href")
-                text = _norm(inner)
-                parts.append(f"[{text}]({href})" if href else text)
-            elif tag in _INLINE_WRAP:
-                mark = _INLINE_WRAP[tag]
-                text = _norm(inner)
-                parts.append(f"{mark}{text}{mark}" if text else "")
-            else:
-                parts.append(inner)
-        # comments / PIs contribute nothing
-    return " ".join(p for p in (s for s in parts) if p != "")
+    """Flatten a node's content under inline rules (no block breaks) —
+    the single implementation; see :func:`_inline_without`."""
+    return _inline_without(node, skip=set())
 
 
 def _text_verbatim(node) -> str:
@@ -118,6 +96,11 @@ def _list_items(el, out: list[str], depth: int, ordered: bool) -> None:
 
 
 def _inline_without(node, skip: set[int]) -> str:
+    """Inline renderer (skipping nodes whose ids are in ``skip`` —
+    the nested-list carve-out).  ``_inline`` is this with an empty
+    skip set; keeping ONE body means every inline rule (br, links,
+    emphasis, drop tags) behaves identically in list items, paragraph
+    runs, headings and quotes."""
     parts: list[str] = []
     for child in node.children:
         if id(child) in skip:
@@ -127,6 +110,9 @@ def _inline_without(node, skip: set[int]) -> str:
         elif isinstance(child, Element):
             tag = child.local_name.lower()
             if tag in _DROP:
+                continue
+            if tag == "br":
+                parts.append("\n")
                 continue
             inner = _inline(child)
             if tag == "a":
@@ -139,6 +125,7 @@ def _inline_without(node, skip: set[int]) -> str:
                 parts.append(f"{mark}{text}{mark}" if text else "")
             else:
                 parts.append(inner)
+        # comments / PIs contribute nothing
     return " ".join(p for p in parts if p != "")
 
 

@@ -382,15 +382,19 @@ def vocab_topk(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("__doc").alias("n_docs"),
     )
+    # TakeOrdered first (orderBy().limit(k) — per-partition top-k then a
+    # k-row merge, never a single-task sort of the full vocabulary),
+    # THEN rank the k survivors with the same total order — the global
+    # row_number window only ever sees k rows
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
-    return (
-        counts.select(
-            "word",
-            "n_occurrences",
-            "n_docs",
-            F.row_number().over(w).alias("rank"),
-        )
-        .where(F.col("rank") <= k)
+    return top.select(
+        "word",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).alias("rank"),
     )
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 from typing import Iterable
+from urllib.parse import urlsplit
 
 import numpy as np
 import pandas as pd
@@ -257,11 +258,23 @@ def robots_filter(
         with_host = with_host.withColumn("host", F.parse_url("url", F.lit("HOST")))
     # path-less URLs ('http://host') default to '/' — the oracle and the
     # udf mode both use ``urlsplit(url).path or '/'``; parse_url returns
-    # an empty path there, which would make every deny prefix miss
+    # an empty path there, which would make every deny prefix miss.
+    # RFC 9309/Google semantics match against path + '?' + query (so
+    # 'Disallow: /*?sessionid=' works and '/*.php$' does NOT match
+    # '/x.php?a=1') — the query rides the match target when present
     with_host = with_host.withColumn(
         "path",
-        F.coalesce(
-            F.nullif(F.parse_url("url", F.lit("PATH")), F.lit("")), F.lit("/")
+        F.concat(
+            F.coalesce(
+                F.nullif(F.parse_url("url", F.lit("PATH")), F.lit("")),
+                F.lit("/"),
+            ),
+            F.coalesce(
+                F.concat(
+                    F.lit("?"), F.parse_url("url", F.lit("QUERY"))
+                ),
+                F.lit(""),
+            ),
         ),
     )
     joined = with_host.join(F.broadcast(robots), "host", "left")
@@ -292,6 +305,17 @@ def _load_shard(
             n_items=int(state_pdf["n_items"].iloc[0]),
         )
     return BloomShard(m_bits, k)
+
+
+def _robots_match_target(url: str) -> str:
+    """path + '?' + query (query included per the RFC 9309/Google
+    convention) with the path-less default '/' — the python twin of the
+    relational mode's match-target column."""
+    parts = urlsplit(url)
+    target = parts.path or "/"
+    if parts.query:
+        target += "?" + parts.query
+    return target
 
 
 def robots_allowed_py(
@@ -424,7 +448,7 @@ def bloom_prefilter(
             out["robots_allowed"] = np.fromiter(
                 (
                     robots_allowed_py(
-                        h, urlsplit(u).path or "/", rules_map
+                        h, _robots_match_target(u), rules_map
                     )
                     for u, h in zip(cand_pdf["url"], cand_pdf["host"])
                 ),
@@ -638,7 +662,7 @@ def shard_gate(
             rules_map = robots_bc.value
             out["robots_allowed"] = np.fromiter(
                 (
-                    robots_allowed_py(h, urlsplit(u).path or "/", rules_map)
+                    robots_allowed_py(h, _robots_match_target(u), rules_map)
                     for u, h in zip(urls, cand_pdf["host"])
                 ),
                 dtype=bool,

@@ -73,8 +73,8 @@ def hll_oracle_sql(source_sql: str, expr: str, b: int = 10) -> str:
             SELECT bucket, max(rho) AS M FROM r GROUP BY bucket
         ), agg AS (
             SELECT count(*) AS n_nonzero,
-                   sum(1::BIGINT << ({p_bits} + 1 - M))::BIGINT
-                       AS s_present
+                   coalesce(sum(1::BIGINT << ({p_bits} + 1 - M)),
+                            0)::BIGINT AS s_present
             FROM regs
         )
         SELECT {m} AS m, n_nonzero::BIGINT AS n_nonzero,
@@ -154,8 +154,14 @@ def hll_estimate_from_registers(regs: DataFrame, b: int = 10) -> DataFrame:
         alpha = 0.673
     scaled = regs.agg(
         F.count(F.lit(1)).alias("n_nonzero"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {p_bits} + 1 - M)")
+        # coalesce: an EMPTY corpus has zero register rows — the sum
+        # must be 0, not NULL, so the small-range correction yields
+        # m*ln(m/m) = 0.0 rather than a NULL estimate
+        F.coalesce(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {p_bits} + 1 - M)")
+            ),
+            F.lit(0).cast("long"),
         ).alias("s_present"),
     )
     n_nonzero = F.col("n_nonzero")

@@ -74,7 +74,10 @@ class OracleCrawler:
         rules = self.robots.get(parts.hostname or "")
         if rules is None:
             return True
+        # match target includes the query (RFC 9309/Google convention)
         path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
         deny_len = max(
             (
                 len(p)

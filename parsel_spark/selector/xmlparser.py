@@ -246,7 +246,9 @@ def parse_xml(
             builder.start(
                 match.group("starttag"), attrs, match.group("selfclose") == "/"
             )
-    if pos < len(text):
+    if pos < len(text) and not builder.depth_limited:
+        # trailing text; when the depth limit aborted the loop the rest
+        # of the input is DROPPED (libxml2-parity), not leaked as text
         builder._append_text_parts(text[pos:])
     doc = builder.finish()
     doc.base = base_url

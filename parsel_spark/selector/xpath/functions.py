@@ -959,7 +959,13 @@ def _format_duration(months: int, seconds: float) -> str:
         if secs == int(secs):
             time_part += f"{int(secs)}S"
         else:
-            time_part += f"{secs}S"
+            # canonical decimal form, not float repr: 0.1+0.2 must print
+            # PT0.3S, never PT0.30000000000000004S; 9 fractional digits
+            # then trailing zeros stripped (sub-nanosecond residue
+            # canonicalizes away)
+            dec = f"{secs:.9f}".rstrip("0").rstrip(".")
+            if dec not in ("0", ""):
+                time_part += f"{dec}S"
     if time_part:
         out += "T" + time_part
     return ("-" if neg else "") + out

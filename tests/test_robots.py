@@ -334,7 +334,7 @@ class TestWildcardPatterns:
             robots_filter,
         )
 
-        deny = ["/*.php$", "/private*"]
+        deny = ["/*.php$", "/private*", "/*?*session=*"]
         allow = ["/private/ok*"]
         table = spark.createDataFrame(
             [("a.test", deny, allow, 1.0, 8)],
@@ -344,8 +344,11 @@ class TestWildcardPatterns:
         )
         urls = [
             "http://a.test/index.php",        # denied (anchored wildcard)
-            "http://a.test/index.php?x=1",    # denied too: path is /index.php
+            # match target includes the query (RFC 9309/Google):
+            # '/index.php?x=1' does NOT end in .php -> the anchor misses
+            "http://a.test/index.php?x=1",
             "http://a.test/index.php/extra",  # allowed: anchor misses
+            "http://a.test/x?a=1&session=9",  # denied via query wildcard
             "http://a.test/private/no",       # denied
             "http://a.test/private/okay",     # allowed override (longer)
             "http://a.test/public/a.html",    # allowed
@@ -355,13 +358,16 @@ class TestWildcardPatterns:
         ).select("url", F.xxhash64("url").alias("url_hash"))
         jvm = {r["url"] for r in robots_filter(links, table).collect()}
         assert jvm == {
+            "http://a.test/index.php?x=1",
             "http://a.test/index.php/extra",
             "http://a.test/private/okay",
             "http://a.test/public/a.html",
         }
+        from parsel_spark.operators.frontier import _robots_match_target
+
         rules_map = {"a.test": (tuple(deny), tuple(allow))}
         for url in urls:
             parts = urlsplit(url)
             assert robots_allowed_py(
-                parts.hostname, parts.path or "/", rules_map
+                parts.hostname, _robots_match_target(url), rules_map
             ) == (url in jvm), url

@@ -496,6 +496,8 @@ class TestSelection:
             assert any("huge_tree" in str(m.message) for m in w)
         assert len(sel.xpath("//a")) <= 256
         assert len(sel.xpath("//tail")) == 0
+        # and the dropped input must not LEAK as text content either
+        assert "tail" not in (sel.xpath("string(/)").get() or "")
         sel = sscls(text=content, type="xml")
         assert len(sel.xpath("//a")) == lvl
         assert len(sel.xpath("//tail")) == 1

@@ -133,3 +133,18 @@ class TestCountMin:
             cm_sketch(df, "host", d=0)
         with pytest.raises(ValueError):
             cm_estimate(df, df, "host", w=1)
+
+
+def test_hll_empty_corpus_estimates_zero(spark) -> None:
+    import duckdb
+
+    from parsel_spark.operators.sketches import hll_cardinality, hll_oracle_sql
+
+    empty = spark.createDataFrame([], "url string")
+    (row,) = hll_cardinality(empty, "url").collect()
+    assert row["n_nonzero"] == 0
+    assert row["est_distinct"] == 0.0
+    (drow,) = duckdb.sql(
+        hll_oracle_sql("SELECT 'x' AS v WHERE 1 = 0", "v")
+    ).fetchall()
+    assert (row["m"], row["n_nonzero"], row["est_distinct"]) == drow

@@ -578,3 +578,11 @@ class TestExsltDateArithmetic:
         )
         bad = Selector(text="<r><d>P1D</d><d>zz</d></r>", type="xml")
         assert bad.xpath("date:sum(//d)", namespaces=self.NS).get() == ""
+
+
+def test_duration_fractional_seconds_canonical() -> None:
+    from parsel_spark.selector.xpath.functions import _format_duration
+
+    assert _format_duration(0, 0.1 + 0.2) == "PT0.3S"
+    assert _format_duration(0, 1.5) == "PT1.5S"
+    assert _format_duration(0, 90.25) == "PT1M30.25S"
