@@ -728,6 +728,47 @@ def q_selector_exslt_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_selector_exslt_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXSLT date: ARITHMETIC through the distributed UDF layer:
+    date:add (day durations, incl. month-boundary carries) and
+    date:difference (against a fixed anchor) over the same closed-form
+    pub dates, checked against DuckDB's NATIVE date arithmetic
+    (make_date + INTERVAL, date_diff) — two independent calendar
+    implementations agreeing value-for-value, including the sign
+    convention on differences."""
+    from parsel_spark.functions.udfs import xpath_getall
+
+    NS = {"date": "http://exslt.org/dates-and-times"}
+    docs = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    pub = F.concat(
+        (F.lit(2000) + F.pmod(doc_id, F.lit(30))).cast("string"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(12))).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(28))).cast("string"), 2, "0"),
+    )
+    dur_days = F.pmod(doc_id, F.lit(45))
+    xml = F.concat(
+        F.lit("<doc><pub>"), pub, F.lit("</pub><dur>P"), dur_days,
+        F.lit("D</dur></doc>"),
+    )
+    pages = docs.select("doc_id", xml.alias("xml"))
+
+    def first(q: str) -> F.Column:
+        return F.element_at(
+            xpath_getall("xml", q, type="xml", namespaces=NS), 1
+        )
+
+    return pages.select(
+        "doc_id",
+        first("date:add(string(//pub), string(//dur))").alias("due_date"),
+        first("date:difference(string(//pub), '2015-06-15')").alias(
+            "diff_to_anchor"
+        ),
+    )
+
+
 def q_crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SITEMAP ingestion (sitemaps.org protocol): per-host sitemap XML
     is synthesized JVM-side from the documents table (every doc url
@@ -3036,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_idn_canonical": q_crawl_idn_canonical,
         "stream_host_frequency": q_stream_host_frequency,
         "emb_knn_graph": q_emb_knn_graph,
+        "selector_exslt_date_math": q_selector_exslt_date_math,
     }
 
 
@@ -4982,6 +5024,28 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming variant: identical sketch, streaming register agg
     sql["stream_url_cardinality"] = sql["crawl_url_cardinality"]
+
+    # date arithmetic: the engine's calendar vs DuckDB's native one
+    sql["selector_exslt_date_math"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   make_date(2000 + (doc_id % 30),
+                             1 + (doc_id % 12),
+                             1 + (doc_id % 28)) AS pub,
+                   doc_id % 45 AS n
+            FROM documents
+        ), x AS (
+            SELECT doc_id,
+                   strftime(pub + to_days(n::INT), '%Y-%m-%d') AS due_date,
+                   date_diff('day', pub, DATE '2015-06-15') AS dd
+            FROM d
+        )
+        SELECT doc_id, due_date,
+               CASE WHEN dd = 0 THEN 'PT0S'
+                    WHEN dd > 0 THEN 'P' || dd || 'D'
+                    ELSE '-P' || (-dd) || 'D' END AS diff_to_anchor
+        FROM x
+    """
 
     # kNN graph: plane literals + bucket join + per-vector ranked cut
     sql["emb_knn_graph"] = f"""
