@@ -126,12 +126,13 @@ def crawl_bench(spark, n_pages: int, waves: int) -> dict:
     }
     seeds = synth_seeds(spark, cfg, n_seeds=n_pages // 2, spread=True)
 
-    # best-of-2: the sandbox box is shared and co-tenant load swings wall
-    # times up to 3× (see BENCH/BASELINE.md); two timed runs bound the
-    # noise while results stay deterministic (identical totals asserted)
+    # best-of-3: the sandbox box is shared and co-tenant BURSTS last
+    # ~30-60s (see BENCH/BASELINE.md round-5 window log) — two runs of a
+    # ~10s loop can both land inside one burst, three rarely do; results
+    # stay deterministic (identical totals asserted)
     elapsed = float("inf")
     totals: dict[str, int] = {}
-    for _attempt in range(2):
+    for _attempt in range(3):
         with tempfile.TemporaryDirectory() as tmp:
             run = CrawlRun(
                 spark, SnapshotCatalog(tmp), pages, robots,
@@ -232,7 +233,8 @@ def main() -> None:
         for name in bench_set:
             fn = queries[name]
             runs = []
-            for _ in range(2):
+            # min-of-3 (was 2): see the crawl_bench burst note
+            for _ in range(3):
                 start = time.perf_counter()
                 run_noop(fn(spark, SF_DIR))
                 runs.append(round(time.perf_counter() - start, 3))
