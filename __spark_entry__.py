@@ -692,16 +692,18 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
 
-def q_selector_exslt_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXSLT ``date:`` module THROUGH the distributed UDF layer: XML
-    docs carry a closed-form pub date per doc_id; xpath with the opt-in
-    dates-and-times namespace must recover year / month / leap flag /
-    day-in-year, which the oracle recomputes with native SQL date
-    functions — two independent date implementations agreeing value-
-    for-value."""
-    from parsel_spark.functions.udfs import xpath_getall
+#: opt-in EXSLT dates-and-times namespace (both selector_exslt_* rows)
+_EXSLT_DATE_NS = {"date": "http://exslt.org/dates-and-times"}
 
-    NS = {"date": "http://exslt.org/dates-and-times"}
+
+def _exslt_pub_pages(
+    spark: SparkSession, sf_dir: str, with_duration: bool = False
+) -> DataFrame:
+    """(doc_id, xml) pages carrying the closed-form per-doc pub date
+    (year 2000+id%30, month 1+id%12, day 1+id%28) — the SINGLE source
+    of the date synthesis both EXSLT date rows and their oracles state;
+    ``with_duration`` adds the <dur>P{id%45}D</dur> element the
+    arithmetic row consumes."""
     docs = _read(spark, sf_dir, "documents")
     doc_id = F.col("doc_id")
     pub = F.concat(
@@ -711,13 +713,31 @@ def q_selector_exslt_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("-"),
         F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(28))).cast("string"), 2, "0"),
     )
-    xml = F.concat(F.lit("<doc><pub>"), pub, F.lit("</pub></doc>"))
-    pages = docs.select("doc_id", xml.alias("xml"))
+    parts = [F.lit("<doc><pub>"), pub, F.lit("</pub>")]
+    if with_duration:
+        parts += [F.lit("<dur>P"), F.pmod(doc_id, F.lit(45)), F.lit("D</dur>")]
+    parts.append(F.lit("</doc>"))
+    return docs.select("doc_id", F.concat(*parts).alias("xml"))
 
-    def first(q: str) -> F.Column:
-        return F.element_at(
-            xpath_getall("xml", q, type="xml", namespaces=NS), 1
-        )
+
+def _exslt_first(q: str) -> F.Column:
+    """First xpath result under the opt-in date namespace."""
+    from parsel_spark.functions.udfs import xpath_getall
+
+    return F.element_at(
+        xpath_getall("xml", q, type="xml", namespaces=_EXSLT_DATE_NS), 1
+    )
+
+
+def q_selector_exslt_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXSLT ``date:`` module THROUGH the distributed UDF layer: XML
+    docs carry a closed-form pub date per doc_id; xpath with the opt-in
+    dates-and-times namespace must recover year / month / leap flag /
+    day-in-year, which the oracle recomputes with native SQL date
+    functions — two independent date implementations agreeing value-
+    for-value."""
+    pages = _exslt_pub_pages(spark, sf_dir)
+    first = _exslt_first
 
     return pages.select(
         "doc_id",
@@ -736,29 +756,8 @@ def q_selector_exslt_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     (make_date + INTERVAL, date_diff) — two independent calendar
     implementations agreeing value-for-value, including the sign
     convention on differences."""
-    from parsel_spark.functions.udfs import xpath_getall
-
-    NS = {"date": "http://exslt.org/dates-and-times"}
-    docs = _read(spark, sf_dir, "documents")
-    doc_id = F.col("doc_id")
-    pub = F.concat(
-        (F.lit(2000) + F.pmod(doc_id, F.lit(30))).cast("string"),
-        F.lit("-"),
-        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(12))).cast("string"), 2, "0"),
-        F.lit("-"),
-        F.lpad((F.lit(1) + F.pmod(doc_id, F.lit(28))).cast("string"), 2, "0"),
-    )
-    dur_days = F.pmod(doc_id, F.lit(45))
-    xml = F.concat(
-        F.lit("<doc><pub>"), pub, F.lit("</pub><dur>P"), dur_days,
-        F.lit("D</dur></doc>"),
-    )
-    pages = docs.select("doc_id", xml.alias("xml"))
-
-    def first(q: str) -> F.Column:
-        return F.element_at(
-            xpath_getall("xml", q, type="xml", namespaces=NS), 1
-        )
+    pages = _exslt_pub_pages(spark, sf_dir, with_duration=True)
+    first = _exslt_first
 
     return pages.select(
         "doc_id",

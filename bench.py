@@ -226,9 +226,9 @@ def main() -> None:
             "q_revenue_by_nation",
             "q_top_orders_per_customer",
         ]
-        # best-of-2 within the window: the box is shared/noisy, so a
-        # co-tenant spike during one run must not print as a fake
-        # per-query regression; both raw runs ship in the artifact
+        # min-of-N within the window (N=3; see crawl_bench's burst
+        # note): a co-tenant spike during one run must not print as a
+        # fake per-query regression; ALL raw runs ship in the artifact
         query_runs: dict[str, list[float]] = {}
         for name in bench_set:
             fn = queries[name]
@@ -252,7 +252,7 @@ def main() -> None:
         "extras": extras,
     }
     if MODE != "crawl-only":
-        out["query_runs"] = query_runs  # both raw runs; queries = min
+        out["query_runs"] = query_runs  # all raw runs; queries = min
     print(json.dumps(out))
     spark.stop()
 

@@ -194,10 +194,13 @@ def run_level(cpus: int) -> dict:
     # best-of-2 timed runs (determinism asserted across both): the first
     # big crawl carries JVM JIT/codegen ramp-up — a 10^10-URL crawler
     # runs for days, so steady state is the honest regime; co-tenant
-    # noise on this shared box (wall swings up to 3×) is also bounded
+    # noise on this shared box (wall swings up to 3×) is also bounded.
+    # min-of-3 (was 2): the r5 window log (BENCH/BASELINE.md) shows
+    # 30-60s bursts that can cover two consecutive runs of one arm and
+    # print as a fake scaling regression — same noise model as bench.py
     elapsed = float("inf")
     totals: tuple | None = None
-    for _attempt in range(2):
+    for _attempt in range(3):
         with tempfile.TemporaryDirectory() as tmp:
             run = CrawlRun(
                 spark, SnapshotCatalog(tmp), pages, robots,
