@@ -180,3 +180,38 @@ class TestSamplingProperties:
             for r in shard_rows:
                 assert r["seq_id"] * 50 + r["offset"] == run
                 run += r["n_tokens"]
+
+
+# -- robots pattern twins: python regex matcher vs the LIKE translation --
+
+_robots_chars = st.text(
+    alphabet="ab/*.$?%_\\", min_size=0, max_size=12
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pattern=_robots_chars, path=_robots_chars)
+def test_robots_pattern_python_equals_like_translation(pattern, path):
+    """The RFC 9309 matcher's two implementations — the python regex
+    twin (udf/cogroup/oracle modes) and the LIKE translation (the
+    relational mode, evaluated here by DuckDB exactly as Spark's
+    `F.like` does) — must agree on EVERY (pattern, path), including
+    LIKE metacharacters (%/_), backslashes, mid-pattern '$' and
+    adjacent wildcards."""
+    import duckdb
+
+    from parsel_spark.functions.robots import robots_pattern_matches
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    esc = (
+        core.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+    )
+    like_pat = esc if anchored else esc + "%"
+    (got,) = duckdb.sql(
+        "SELECT ? LIKE ? ESCAPE '\\'", params=[path, like_pat]
+    ).fetchone()
+    assert got is robots_pattern_matches(pattern, path), (pattern, path)
