@@ -24,8 +24,44 @@ N_DOC_HOSTS = 7
 N_SEED_DOCS = 10
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _spread(df: DataFrame) -> DataFrame:
+    """Floor a scan's parallelism at the session's default parallelism.
+
+    The bench tables are single-row-group parquet files, so the reader
+    cannot split them: every scan yields ONE partition and everything up
+    to the first exchange — including Arrow-batched parse UDFs and
+    expression-dense projections — runs on one core of a 32-core
+    machine (guide §6: scan-parallelism floor, the
+    ``spark.sql.files.minPartitionNum`` idea, which cannot help here
+    because a one-row-group file has a single split).  One round-robin
+    repartition of the (tiny) input spreads that map work; when the
+    input already carries >= default-parallelism partitions — any real
+    multi-file table, and anything at production scale — this is a
+    no-op, so the fix is scale-adaptive, not a local[32] constant.
+    Results are unchanged: partitioning never affects row values, and
+    the driver canonicalizes row order.
+
+    OPT-IN per query (``_read(..., spread=True)``): it pays only where
+    the pre-exchange per-row work is heavy — Arrow parse UDFs,
+    expression-dense HOF projections, LSH/banding ahead of a pair join
+    (measured 2-5x there).  For cheap-JVM-scan queries the extra
+    exchange + 32-task scheduling costs more than single-core mapping
+    of a few thousand rows saves (measured 2-4x SLOWER on the TPC-H
+    rows), so those keep the plain scan."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic backends
+        return df
+    return df.repartition(par) if n < par else df
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return _spread(df) if spread else df
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +290,7 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions import textstats as ts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         ts.token_count().cast("long").alias("n_tokens"),
@@ -266,7 +302,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions import textstats as ts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.round(ts.stopword_ratio(), 6).alias("stopword_ratio"),
@@ -277,7 +313,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions import textstats as ts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return ts.lang_id_df(docs, keep=["doc_id"])
 
 
@@ -413,7 +449,7 @@ def q_doc_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     per page, map-only (same fused UDF shape as the extractors)."""
     from parsel_spark.functions.markdown import html_to_markdown
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     with_n = docs.crossJoin(F.broadcast(n_df))
     doc_id = F.col("doc_id")
@@ -531,7 +567,7 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_count, identical pattern replayed in the oracle."""
     from parsel_spark.functions.textstats import bpe_token_count
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", bpe_token_count().cast("long").alias("n_bpe_tokens")
     )
@@ -540,7 +576,7 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents", spread=True), threshold=0.35)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +587,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
-        _read(spark, sf_dir, "documents"), max_hamming=6, bits=120
+        _read(spark, sf_dir, "documents", spread=True), max_hamming=6, bits=120
     )
 
 
@@ -565,7 +601,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash SQL) and closes it transitively with a recursive CTE."""
     from parsel_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_pairs(docs, threshold=0.35)
     return dup_clusters(pairs, docs)
 
@@ -579,7 +615,7 @@ def q_doc_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     from parsel_spark.functions import textstats as ts
     from parsel_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_pairs(docs, threshold=0.35)
     clusters = dup_clusters(pairs, docs)
     # 6dp-rounded BEFORE the argmax so the pick is bit-identical to the
@@ -610,7 +646,7 @@ def q_doc_jaccard_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.8, block_col=None
+        _read(spark, sf_dir, "documents", spread=True), threshold=0.8, block_col=None
     )
 
 
@@ -625,7 +661,7 @@ def q_doc_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import repeated_ngram_spans
 
     return repeated_ngram_spans(
-        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+        _read(spark, sf_dir, "documents", spread=True), n=5, min_docs=2
     )
 
 
@@ -637,7 +673,7 @@ def q_doc_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import remove_repeated_ngrams
 
     return remove_repeated_ngrams(
-        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+        _read(spark, sf_dir, "documents", spread=True), n=5, min_docs=2
     )
 
 
@@ -687,7 +723,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a small benchmark suite."""
     from parsel_spark.operators.decontam import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     return decontaminate(docs, ev, n=5, threshold=0.3)
 
@@ -777,7 +813,7 @@ def q_crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the oracle states directly."""
     from parsel_spark.functions.udfs import extract_sitemap
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     per_host = (
         docs.select(
             F.pmod("doc_id", F.lit(N_DOC_HOSTS)).alias("host"),
@@ -820,7 +856,7 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor_text) rows through the one-parse extract_anchors UDF."""
     from parsel_spark.functions.udfs import extract_anchors
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     with_n = docs.crossJoin(F.broadcast(n_df))
     doc_id = F.col("doc_id")
@@ -857,7 +893,7 @@ def q_crawl_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import extract_anchors
     from parsel_spark.operators.linkgraph import anchor_rollup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     n_df = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     with_n = docs.crossJoin(F.broadcast(n_df))
     doc_id = F.col("doc_id")
@@ -930,7 +966,7 @@ def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count*len/len(doc) implementations; filters compare > threshold."""
     from parsel_spark.operators.dedup import top_ngram_stats
 
-    return top_ngram_stats(_read(spark, sf_dir, "documents"), n=2)
+    return top_ngram_stats(_read(spark, sf_dir, "documents", spread=True), n=2)
 
 
 def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,7 +977,7 @@ def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, gram)."""
     from parsel_spark.operators.dedup import dup_ngram_coverage
 
-    return dup_ngram_coverage(_read(spark, sf_dir, "documents"), n=5)
+    return dup_ngram_coverage(_read(spark, sf_dir, "documents", spread=True), n=5)
 
 
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,7 +990,7 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.textstats import gopher_quality_flags
     from parsel_spark.operators.dedup import top_ngram_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     flags = docs.select("doc_id", *gopher_quality_flags())
     rep = top_ngram_stats(docs, n=2).select(
         "doc_id", (F.col("top_ngram_frac") <= 0.2).alias("ok_repetition")
@@ -985,7 +1021,7 @@ def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.sampling import cap_per_group
     from parsel_spark.functions.textstats import bpe_token_count
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     gate = q_doc_quality_filter(spark, sf_dir).where("keep").select("doc_id")
     host = F.concat(
         F.lit("docs-"), F.pmod(F.col("doc_id"), F.lit(N_DOC_HOSTS)),
@@ -1097,7 +1133,7 @@ def q_doc_clean_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import remove_repeated_ngrams
 
     cleaned = remove_repeated_ngrams(
-        _read(spark, sf_dir, "documents"), n=5, min_docs=2
+        _read(spark, sf_dir, "documents", spread=True), n=5, min_docs=2
     )
     return cleaned.select(
         "doc_id",
@@ -1118,7 +1154,7 @@ def q_doc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep exactly the content, which the oracle states in closed form."""
     from parsel_spark.functions.maintext import main_text
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     page = F.concat(
         F.lit(
             "<html><head><script>var x=1;</script><style>.b{}</style>"
@@ -1142,7 +1178,7 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"),
+        _read(spark, sf_dir, "embeddings", spread=True),
         threshold=0.30,
         block_col=None,
         round_to=4,
@@ -1254,7 +1290,7 @@ def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings = _read(spark, sf_dir, "embeddings")
     return embeddings.select(
-        "vec_id", "label", F.round(norm(F.col("embedding")), 4).alias("l2_norm")
+        "vec_id", "label", F.round(norm(F.col("embedding"), 64), 4).alias("l2_norm")
     )
 
 
@@ -1279,7 +1315,7 @@ def q_crawl_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     second canonicalize pass)."""
     from parsel_spark.functions.udfs import extract_canonical_links
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pages = _doc_pages(docs)
     return pages.select(
         "doc_id",
@@ -1292,7 +1328,7 @@ def q_crawl_frontier_wave1(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-seen seed URLs (bloom-style prefilter + exact anti-join)."""
     from parsel_spark.functions.udfs import extract_canonical_links
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     seeds = docs.filter(F.col("doc_id") < N_SEED_DOCS)
     pages = _doc_pages(seeds, corpus=docs)
     links = (
@@ -1308,7 +1344,7 @@ def q_crawl_frontier_wave1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_selector_caption_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import xpath_getall
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pages = _doc_pages(docs)
     return pages.select(
         "doc_id",
@@ -1321,7 +1357,7 @@ def q_selector_caption_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_selector_re_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import re_extract
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", F.explode(re_extract("text", r"\b(s\w+)")).alias("match")
     )
@@ -1336,7 +1372,7 @@ def q_selector_drop_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     css_getall UDF, canonicalize UDF)."""
     from parsel_spark.functions.udfs import extract_canonical_links
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pages = _doc_pages(docs)
     return pages.select(
         "doc_id",
@@ -1350,7 +1386,7 @@ def q_selector_jmespath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JMESPath over a JSON payload column built from the documents."""
     from parsel_spark.functions.udfs import jmespath_getall
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     payload = F.to_json(
         F.struct(
             F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias(
@@ -2700,7 +2736,7 @@ def q_emb_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-cosine → threshold in full."""
     from parsel_spark.operators.decontam import semantic_decontaminate
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     eval_set = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
     return semantic_decontaminate(
         emb, eval_set, threshold=0.30, method="lsh",
@@ -2721,7 +2757,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated-by-lower-id rule."""
     from parsel_spark.operators.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     assigned, _ = _ivf_index_for(spark, sf_dir)
     return semantic_dedup(emb, assigned, threshold=0.4, round_to=4)
 
@@ -2748,7 +2784,7 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     join → rounded cosine → per-vector ranked cut."""
     from parsel_spark.operators.similarity import knn_graph
 
-    return knn_graph(_read(spark, sf_dir, "embeddings"), k=3)
+    return knn_graph(_read(spark, sf_dir, "embeddings", spread=True), k=3)
 
 
 def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

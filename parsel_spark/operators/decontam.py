@@ -8,13 +8,14 @@ reproductions of it): any training doc sharing too many token n-grams
 with a benchmark doc leaks test data.
 
 Scale shape (100 TB corpus, small eval set): the eval side collapses to
-a DISTINCT set of 8-byte gram hashes.  The default plan broadcasts it
-as ONE array and each doc computes ``array_intersect`` in place —
-MAP-ONLY, zero shuffles (the corpus's per-doc distinct gram array is
-built JVM-side: split / transform / array_distinct).  For eval sets
-too large for a single in-memory array, ``method="join"`` explodes doc
-grams and broadcast-joins instead (one map-side-combined shuffle).
-Never all-pairs, no Python in the hot path either way.
+a DISTINCT set of 8-byte gram hashes.  The default plan explodes doc
+grams and broadcast-hash-joins them against that table (one
+map-side-combined shuffle; the hash table builds once per task).  The
+``method="array"`` alternative broadcasts the set as ONE in-place
+array — zero shuffles, but ``array_intersect`` rebuilds the eval hash
+set per row, an O(docs × eval_grams) CPU cliff at scale (see
+``decontaminate``).  Never all-pairs, no Python in the hot path either
+way.
 
 Cross-engine: gram hashing is the same 60-bit md5 used by the dedup
 family (``md5_hash60``), so a DuckDB oracle replays the whole
@@ -58,7 +59,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     eval_text_col: str | None = None,
-    method: str = "array",
+    method: str = "join",
 ) -> DataFrame:
     """(id, total_ngrams, overlap_ngrams, overlap_frac, contaminated)
     for every doc in ``docs``: the fraction of the doc's DISTINCT token
@@ -72,16 +73,20 @@ def decontaminate(
 
     ``method`` picks the physical plan (identical semantics):
 
-    * ``"array"`` (default): the distinct eval-gram set collapses to a
-      single broadcast ARRAY and each doc computes
+    * ``"join"`` (DEFAULT — the 100 TB plan): explode doc grams,
+      broadcast-hash-join against the eval-gram table, re-aggregate per
+      doc (one map-side-combined shuffle).  The join probes one shared
+      hash table per task;
+    * ``"array"``: the distinct eval-gram set collapses to a single
+      broadcast ARRAY and each doc computes
       ``size(array_intersect(doc_grams, eval_grams))`` in place —
-      MAP-ONLY, zero shuffles, the right plan while the eval set fits
-      an executor (an 8-byte hash per gram: ~10M benchmark grams =
-      ~80 MB — comfortably within a broadcast);
-    * ``"join"``: explode doc grams, broadcast-hash-join against the
-      eval-gram table, re-aggregate per doc (one map-side-combined
-      shuffle) — the fallback when the eval set is too large for a
-      single in-memory array."""
+      map-only, zero shuffles, BUT ``array_intersect`` rebuilds the
+      eval-side hash set PER ROW, so cost is O(docs × eval_grams):
+      memory fit is not the binding constraint, per-row CPU is, and at
+      ~10^10 docs × 10^7 grams the plan inverts hard against the join
+      (measured equal at bench scale — the join default costs nothing
+      locally and removes the scale cliff).  Keep it for small eval
+      sets on wide clusters where the extra shuffle dominates."""
     if method not in ("array", "join"):
         raise ValueError(f"method must be 'array' or 'join', got {method!r}")
     eval_grams = (
@@ -184,7 +189,9 @@ def semantic_decontaminate(
         cand = t.join(e, "block")
     else:
         cand = train.crossJoin(F.broadcast(ev))
-    sim = F.round(cosine("embedding", "__ev_emb"), round_to) + F.lit(0.0)
+    # dim enables the unrolled codegen dot/norm (bit-identical values,
+    # guarded fallback for other widths — similarity.dot)
+    sim = F.round(cosine("embedding", "__ev_emb", dim), round_to) + F.lit(0.0)
     best = cand.groupBy(id_col).agg(F.max(sim).alias("max_sim"))
     out = train.select(id_col).join(best, id_col, "left")
     return out.select(

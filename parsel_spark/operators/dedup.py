@@ -272,6 +272,43 @@ def minhash_sig_udf(num_hashes: int = 32):
     return _sig
 
 
+def minhash_sig_from_hashes_udf(num_hashes: int = 32):
+    """Signature from PRE-HASHED shingles (``array<long>`` of
+    ``md5_hash60`` values): only 8-byte ints cross the JVM↔Python
+    boundary and land as one numpy array per row — the Arrow→pandas
+    conversion of a STRING-list column materializes a Python string
+    object per shingle, which dominated the old path's stage time
+    (guide §4.1: control what crosses the boundary).  The per-k mixing
+    is the same numpy broadcast as ``minhash_sig_udf``; values are
+    bit-identical (pinned in tests) because ``md5_hash60`` (JVM
+    expression) == ``_md5_hash60_py``."""
+    a_k, b_k, c_k, d_k = _mix_constants(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def _sig(hash_lists: pd.Series) -> pd.Series:
+        out = []
+        for hashes in hash_lists:
+            if hashes is None:
+                out.append(None)
+                continue
+            h = np.asarray(hashes, dtype=np.int64)[:, None]
+            lane1 = (a_k[None, :] * (h >> 30) + b_k[None, :]) % MERSENNE_P
+            lane2 = (
+                c_k[None, :] * (h & _LANE_MASK) + d_k[None, :]
+            ) % MERSENNE_P
+            out.append((lane1 * (1 << 31) + lane2).min(axis=0))
+        return pd.Series(out)
+
+    return _sig
+
+
+def _shingle_table(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, shingles) — the pure-JVM shingle projection (split /
+    transform / slice), map-side, no Python."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
+    return docs.select("doc_id", _shingles(toks, shingle_n).alias("shingles"))
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -291,14 +328,20 @@ def minhash_signatures(
     array_min columns makes Catalyst's project-collapse inline (and
     re-evaluate) the shingle construction per hash.
 
-    The signature itself is computed by ``minhash_sig_udf`` (Arrow +
-    numpy, same exact values — see its docstring for why it beats the
-    interpreted higher-order expressions); ``minhash_signatures_expr``
-    keeps the pure-expression variant as the cross-check reference."""
+    The signature itself is computed from JVM-side ``md5_hash60``
+    shingle hashes (codegen'd md5 — the expensive variable-length hash
+    never runs in Python) by ``minhash_sig_from_hashes_udf`` (Arrow +
+    numpy min-mixing over int64 arrays, same exact values);
+    ``minhash_signatures_expr`` keeps the pure-expression variant as
+    the cross-check reference."""
     toks = F.split(F.lower(F.trim(F.col("text"))), TOKENIZE_REGEX)
     shingles = _shingles(toks, shingle_n)
-    with_shingles = docs.select("doc_id", shingles.alias("shingles"))
-    sig = minhash_sig_udf(num_hashes)(F.col("shingles"))
+    with_shingles = docs.select(
+        "doc_id", shingles.alias("shingles")
+    ).withColumn(
+        "sh_hashes", F.transform("shingles", lambda s: md5_hash60(s))
+    )
+    sig = minhash_sig_from_hashes_udf(num_hashes)(F.col("sh_hashes"))
     return with_shingles.select("doc_id", sig.alias("sig"), "shingles")
 
 
@@ -333,20 +376,33 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate generation, then exact
-    shingle-Jaccard verification of candidates only."""
+    shingle-Jaccard verification of candidates only.
+
+    Plan shape (guide §8: decide with small rows, attach payloads
+    last): the band table carries ONLY ``(doc_id, band_idx,
+    band_hash)`` — 20-odd bytes/row — so the candidate self-join never
+    replicates the shingle arrays ``bands``× through an exchange (the
+    previous shape did, and its candidate dedup sort-aggregated full
+    arrays).  The self-join is pinned SHUFFLE_HASH on the band keys:
+    both sides are the same subtree ending in the same exchange, so
+    the signature UDF runs ONCE and the second side is a
+    ReusedExchange — the broadcast conversion the optimizer would
+    otherwise pick duplicates the whole signature pipeline including
+    the Python stage (measured 2-4x on the bench corpus, varying with
+    which plan AQE landed on).  Candidates collapse to distinct
+    ``(doc_a, doc_b)`` pairs (hash aggregate over 16-byte rows), and
+    the shingle arrays for exact Jaccard verification re-attach by
+    joining the candidate ids back against a map-side shingle scan —
+    at scale AQE broadcasts the (tiny) candidate side, so the shingle
+    table never shuffles at all."""
     rows_per_band = num_hashes // bands
     signed = minhash_signatures(docs, num_hashes, shingle_n)
-    # shuffle barrier: materializes the signatures once and lets the
-    # self-join below reuse ONE exchange for both sides (ReusedExchange)
-    # instead of recomputing signatures per side
-    signed = signed.repartition(F.col("doc_id"))
     # the band IDENTITY is the comma-joined signature slice (what the
     # oracle joins on); Spark joins on its xxhash64 so only a fixed
     # 8-byte key shuffles, not an ~80-byte string — identical candidate
     # sets modulo a ~2^-64 hash collision
     banded = signed.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -366,8 +422,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    left = banded.alias("a").hint("SHUFFLE_HASH")
+    right = banded.alias("b").hint("SHUFFLE_HASH")
     candidates = (
         left.join(
             right,
@@ -378,14 +434,27 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
+    )
+    # exact-verify payloads attach AFTER the candidate decision: one
+    # map-side shingle scan (pure JVM split/slice — no second Python
+    # pass), joined on the candidate ids
+    sh_tbl = _shingle_table(docs, shingle_n)
+    pairs = candidates.join(
+        sh_tbl.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        sh_tbl.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        ),
+        "doc_b",
     )
     inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return candidates.select(
+    return pairs.select(
         "doc_a",
         "doc_b",
         F.round(inter.cast("double") / union.cast("double"), 6).alias("jac"),
@@ -463,6 +532,73 @@ def _simhash60_batch(texts: pd.Series) -> pd.Series:
 
 def simhash_col(text_col: str = "text"):
     return F.pandas_udf(_simhash60_batch, "long")(F.col(text_col))
+
+
+def _word_md5_segments(text_col: str, segments: int = 1):
+    """JVM-side per-word md5 segment hashes: ``array<string>`` of word
+    md5 hex digests computed ONCE (codegen), then one ``array<long>``
+    per 60-bit segment (hex chars 1-15 / 16-30) — what the simhash vote
+    UDFs consume so only 8-byte ints cross the Python boundary (same
+    boundary discipline as ``minhash_sig_from_hashes_udf``)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE_REGEX)
+    md5s = F.transform(words, lambda w: F.md5(w))
+    segs = []
+    for seg in range(segments):
+        start = 1 + 15 * seg
+        segs.append(
+            F.transform(
+                md5s,
+                lambda m: F.conv(F.substring(m, start, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        )
+    return segs
+
+
+def _simhash_votes(seg_arrays: "list") -> "list[int | None]":
+    """numpy ±1 bit votes over pre-hashed word segments (one 60-bit
+    lane per input array) — the shared kernel of the vote UDFs."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out: list[int | None] = []
+    for hashes in seg_arrays:
+        if hashes is None:
+            out.append(None)
+            continue
+        h = np.asarray(hashes, dtype=np.int64)
+        bits = (h[:, None] >> shifts[None, :]) & 1
+        votes = (2 * bits - 1).sum(axis=0)
+        out.append(int(((votes >= 0).astype(np.int64) << shifts).sum()))
+    return out
+
+
+def simhash_from_hashes_col(text_col: str = "text"):
+    """60-bit simhash with JVM-side word hashing + numpy votes —
+    bit-identical to ``simhash_expr``/``simhash_col`` (pinned in
+    tests); the md5 of every word runs codegen'd in the JVM and only
+    ``array<long>`` crosses to Python."""
+    (seg1,) = _word_md5_segments(text_col, 1)
+
+    @F.pandas_udf("long")
+    def _vote(seg: pd.Series) -> pd.Series:
+        return pd.Series(_simhash_votes(seg), dtype="object")
+
+    return _vote(seg1)
+
+
+def simhash120_from_hashes_col(text_col: str = "text"):
+    """120-bit twin of :func:`simhash_from_hashes_col` — two 60-bit
+    lanes from one JVM md5 pass; values bit-identical to
+    ``simhash120_col`` / ``simhash_expr(seg=0/1)``."""
+    seg1, seg2 = _word_md5_segments(text_col, 2)
+
+    @F.pandas_udf("sh1 long, sh2 long")
+    def _vote(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"sh1": _simhash_votes(s1), "sh2": _simhash_votes(s2)}
+        )
+
+    return _vote(seg1, seg2)
 
 
 def _simhash120_batch(texts: pd.Series) -> pd.DataFrame:
@@ -561,11 +697,11 @@ def simhash_pairs(
     widths = simhash_band_widths(max_hamming, bits=bits)
     assert len(widths) >= max_hamming + 1  # pigeonhole recall guard
     offsets = [sum(widths[:c]) for c in range(len(widths))]
-    # simhash{,120}_col = Arrow/numpy twins of simhash_expr(seg=0/1)
-    # (identical values, ~3× faster than the interpreted 60-lambda vote
-    # expression)
+    # simhash{,120}_from_hashes_col = JVM-md5 + numpy-vote twins of
+    # simhash_expr(seg=0/1): identical values; word hashing stays
+    # codegen'd in the JVM and only int64 arrays cross to Python
     if bits == 60:
-        hashed = docs.select("doc_id", simhash_col().alias("sh1"))
+        hashed = docs.select("doc_id", simhash_from_hashes_col().alias("sh1"))
         sh_cols = ["sh1"]
         chunk_exprs = [
             F.shiftrightunsigned("sh1", offsets[c]).bitwiseAND(
@@ -575,22 +711,25 @@ def simhash_pairs(
         ]
     else:
         hashed = docs.select(
-            "doc_id", simhash120_col().alias("s")
+            "doc_id", simhash120_from_hashes_col().alias("s")
         ).select("doc_id", F.col("s.sh1").alias("sh1"), F.col("s.sh2").alias("sh2"))
         sh_cols = ["sh1", "sh2"]
         chunk_exprs = [
             _chunk120(F.col("sh1"), F.col("sh2"), offsets[c], widths[c])
             for c in range(len(widths))
         ]
-    # shuffle barrier: one simhash pass + ReusedExchange on self-join
-    hashed = hashed.repartition(F.col("doc_id"))
     chunks = hashed.select(
         "doc_id",
         *sh_cols,
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
-    left = chunks.alias("a")
-    right = chunks.alias("b")
+    # SHUFFLE_HASH pins the self-join to one exchange per side on the
+    # chunk keys; both sides are the same subtree, so the simhash UDF
+    # runs ONCE and the second side is a ReusedExchange.  (A broadcast
+    # conversion would duplicate the whole fingerprint pipeline —
+    # Python stage included — same failure mode as minhash_lsh_pairs.)
+    left = chunks.alias("a").hint("SHUFFLE_HASH")
+    right = chunks.alias("b").hint("SHUFFLE_HASH")
     cand = (
         left.join(
             right,

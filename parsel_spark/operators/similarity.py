@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from ..sources.synth import _mix
 
 
-def dot(a, b) -> Column:
+def _as_col(a) -> Column:
+    return F.col(a) if isinstance(a, str) else a
+
+
+def _fold_dot(a, b) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -26,30 +30,109 @@ def dot(a, b) -> Column:
     )
 
 
-def norm(a) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def _fold_sq(a) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def _chain_sum_sql(terms: list[str], zero: str = "0.0D") -> str:
+    """``((zero + t0) + t1) + ...`` — EXACTLY the IEEE addition sequence
+    of ``aggregate(..., lit(0.0), acc + v)`` (including the leading
+    ``zero +``, which normalizes a ``-0.0`` first term the same way the
+    fold's initial accumulator does), as ONE SQL string.  A flat column
+    tree built term-by-term with the python DSL costs hundreds of py4j
+    round-trips PER EXPRESSION at plan-construction time (measured:
+    multi-second driver overhead per query); one ``F.expr`` parse is
+    O(1) round-trips for the same tree."""
+    acc = zero
+    for t in terms:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+def dot(a, b, dim: int | None = None) -> Column:
+    """Sequential-fold dot product (the cross-engine contract: DuckDB
+    replays the same left-to-right IEEE fold).
+
+    ``dim`` (when the caller knows the embedding width) swaps in an
+    UNROLLED flat expression for vectors of exactly that length —
+    bit-identical values (same element order, same addition sequence,
+    same float→double casts) but whole-stage-codegen-able, where the
+    higher-order ``aggregate``/``zip_with`` fold is interpreted
+    per-element per-row (guide §4.1: prefer built-in expression trees
+    over per-element lambda interpretation on hot paths).  Vectors of
+    any OTHER length fall back to the fold via a size guard, so the
+    semantics are unchanged for every input."""
+    if dim is None or not (isinstance(a, str) and isinstance(b, str)):
+        return _fold_dot(_as_col(a), _as_col(b))
+    unrolled = F.expr(
+        _chain_sum_sql(
+            [
+                f"(CAST(get({a}, {i}) AS DOUBLE) * "
+                f"CAST(get({b}, {i}) AS DOUBLE))"
+                for i in range(dim)
+            ]
+        )
+    )
+    ca, cb = _as_col(a), _as_col(b)
+    return F.when(
+        (F.size(ca) == dim) & (F.size(cb) == dim), unrolled
+    ).otherwise(_fold_dot(ca, cb))
+
+
+def norm(a, dim: int | None = None) -> Column:
+    """Sequential-fold L2 norm; ``dim`` as in :func:`dot`."""
+    if dim is None or not isinstance(a, str):
+        return F.sqrt(_fold_sq(_as_col(a)))
+    unrolled = F.expr(
+        _chain_sum_sql(
+            [
+                f"(CAST(get({a}, {i}) AS DOUBLE) * "
+                f"CAST(get({a}, {i}) AS DOUBLE))"
+                for i in range(dim)
+            ]
+        )
+    )
+    ca = _as_col(a)
+    return F.sqrt(
+        F.when(F.size(ca) == dim, unrolled).otherwise(_fold_sq(ca))
+    )
+
+
+def cosine(a, b, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _cosine_pre(a, b, norm_a, norm_b, dim: int | None = None) -> Column:
+    """``cosine`` with the two norms PRECOMPUTED per vector (carried as
+    columns through the candidate join) instead of re-evaluated per
+    pair: ``norm_x`` must be ``norm(x, dim)`` of the same row, so the
+    quotient is value-identical — the per-pair work drops from one dot
+    + two norms to one dot (guide §2.3: move per-pair work to per-row
+    where algebra allows)."""
+    return dot(a, b, dim) / (_as_col(norm_a) * _as_col(norm_b))
 
 
 def knn_bruteforce(
-    embeddings: DataFrame, query_id: int, k: int = 10, round_to: int = 4
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of ``query_id`` (excluded itself).
 
     The query vector joins in via a broadcast cross-join (1 row), so the
     scan side never shuffles; similarity is rounded for deterministic
-    tie ordering across engines."""
+    tie ordering across engines.  The query's norm rides the broadcast
+    (computed once, not once per scanned row); ``dim`` enables the
+    unrolled codegen dot/norm (bit-identical — see :func:`dot`)."""
     query = embeddings.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("query_embedding")
+        F.col("embedding").alias("query_embedding"),
+        norm("embedding", dim).alias("__qn"),
     )
     scored = (
         embeddings.filter(F.col("vec_id") != query_id)
@@ -57,7 +140,16 @@ def knn_bruteforce(
         .select(
             "vec_id",
             (
-                F.round(cosine("embedding", "query_embedding"), round_to)
+                F.round(
+                    _cosine_pre(
+                        "embedding",
+                        "query_embedding",
+                        norm("embedding", dim),
+                        "__qn",
+                        dim,
+                    ),
+                    round_to,
+                )
                 + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
             ).alias("sim"),
         )
@@ -113,6 +205,7 @@ def knn_lsh(
     query = bucketed.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("query_embedding"),
         F.col("bucket").alias("query_bucket"),
+        norm("embedding", dim).alias("__qn"),
     )
     probe_dist = F.bit_count(
         F.col("bucket").bitwiseXOR(F.col("query_bucket")).cast("long")
@@ -125,7 +218,16 @@ def knn_lsh(
         .select(
             "vec_id",
             (
-                F.round(cosine("embedding", "query_embedding"), round_to)
+                F.round(
+                    _cosine_pre(
+                        "embedding",
+                        "query_embedding",
+                        norm("embedding", dim),
+                        "__qn",
+                        dim,
+                    ),
+                    round_to,
+                )
                 + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
             ).alias("sim"),
         )
@@ -174,16 +276,28 @@ def embedding_near_dup_pairs(
             min_block_ratio, force=force,
         )
         blocked = embeddings.withColumn("block", F.col(block_col))
-    # shuffle barrier: compute buckets once, ReusedExchange on self-join
-    blocked = blocked.repartition(F.col("block"))
-    left = blocked.alias("a")
-    right = blocked.alias("b")
+    # per-vector norm computed ONCE and carried through the block
+    # exchange (value-identical to re-deriving it per pair — see
+    # _cosine_pre); shuffle barrier: compute buckets once,
+    # ReusedExchange on self-join
+    blocked = blocked.select(
+        "vec_id", "embedding", "block", norm("embedding", dim).alias("__nrm")
+    )
+    # SHUFFLE_HASH pins one hash(block) exchange per side; identical
+    # subtrees => the bucket+norm projection runs once, the second side
+    # is a ReusedExchange (a broadcast conversion would evaluate the
+    # whole projection twice)
+    left = blocked.alias("a").hint("SHUFFLE_HASH")
+    right = blocked.alias("b").hint("SHUFFLE_HASH")
     pairs = left.join(
         right,
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    sim = F.round(
+        _cosine_pre("a.embedding", "b.embedding", "a.__nrm", "b.__nrm", dim),
+        round_to,
+    )
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
@@ -196,9 +310,7 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _dist2(a, b) -> Column:
-    """Squared L2 distance as the SAME left-to-right IEEE fold on both
-    engines (DuckDB twin: list_reduce over the zipped squares)."""
+def _fold_dist2(a, b) -> Column:
     return F.aggregate(
         F.zip_with(
             a, b, lambda x, y: (x.cast("double") - y.cast("double"))
@@ -209,14 +321,38 @@ def _dist2(a, b) -> Column:
     )
 
 
-def _assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def _dist2(a, b, dim: int | None = None) -> Column:
+    """Squared L2 distance as the SAME left-to-right IEEE fold on both
+    engines (DuckDB twin: list_reduce over the zipped squares).
+    ``dim`` swaps in the unrolled codegen form for exactly-``dim``
+    vectors — bit-identical, guarded fallback (see :func:`dot`)."""
+    if dim is None or not (isinstance(a, str) and isinstance(b, str)):
+        return _fold_dist2(_as_col(a), _as_col(b))
+
+    def term(i: int) -> str:
+        d = (
+            f"(CAST(get({a}, {i}) AS DOUBLE) - "
+            f"CAST(get({b}, {i}) AS DOUBLE))"
+        )
+        return f"({d} * {d})"
+
+    unrolled = F.expr(_chain_sum_sql([term(i) for i in range(dim)]))
+    ca, cb = _as_col(a), _as_col(b)
+    return F.when(
+        (F.size(ca) == dim) & (F.size(cb) == dim), unrolled
+    ).otherwise(_fold_dist2(ca, cb))
+
+
+def _assign_clusters(
+    embeddings: DataFrame, centroids: DataFrame, dim: int | None = 64
+) -> DataFrame:
     """(vec_id, cid): nearest centroid per vector; ``min(struct(dist2,
     cid))`` gives a deterministic argmin with cid tie-break.  Centroids
     broadcast — the vectors never shuffle."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         F.struct(
-            _dist2(F.col("embedding"), F.col("centroid")).alias("d2"),
+            _dist2("embedding", "centroid", dim).alias("d2"),
             F.col("cid").alias("cid"),
         ).alias("cand"),
     )
@@ -230,6 +366,7 @@ def ivf_index(
     n_centroids: int = 16,
     iters: int = 2,
     round_to: int = 6,
+    dim: int | None = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer: k-means with closed-form
     seeding (the ``n_centroids`` smallest vec_ids) and a FIXED number of
@@ -252,7 +389,7 @@ def ivf_index(
         ).alias("centroid"),
     )
     for _ in range(iters):
-        assigned = _assign_clusters(embeddings, centroids)
+        assigned = _assign_clusters(embeddings, centroids, dim)
         exploded = (
             embeddings.join(assigned, "vec_id")
             .select("cid", F.posexplode("embedding").alias("dim", "value"))
@@ -279,7 +416,7 @@ def ivf_index(
                 "cid", F.transform("p", lambda s: s["m"]).alias("centroid")
             )
         )
-    assigned = _assign_clusters(embeddings, centroids)
+    assigned = _assign_clusters(embeddings, centroids, dim)
     return assigned, centroids
 
 
@@ -322,6 +459,7 @@ def knn_ivf(
     iters: int = 2,
     round_to: int = 4,
     index: tuple[DataFrame, DataFrame] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via the IVF index: score only vectors whose
     cluster is among the ``n_probe`` centroids nearest the query.  With
@@ -335,16 +473,17 @@ def knn_ivf(
     if index is not None:
         assigned, centroids = index
     else:
-        assigned, centroids = ivf_index(embeddings, n_centroids, iters)
+        assigned, centroids = ivf_index(embeddings, n_centroids, iters, dim=dim)
     query = embeddings.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("query_embedding")
+        F.col("embedding").alias("query_embedding"),
+        norm("embedding", dim).alias("__qn"),
     )
     probe = (
         centroids.crossJoin(F.broadcast(query))
         .select(
             "cid",
             F.struct(
-                _dist2(F.col("centroid"), F.col("query_embedding")).alias("d2"),
+                _dist2("centroid", "query_embedding", dim).alias("d2"),
                 F.col("cid").alias("c"),
             ).alias("key"),
         )
@@ -361,7 +500,16 @@ def knn_ivf(
         .select(
             "vec_id",
             (
-                F.round(cosine("embedding", "query_embedding"), round_to)
+                F.round(
+                    _cosine_pre(
+                        "embedding",
+                        "query_embedding",
+                        norm("embedding", dim),
+                        "__qn",
+                        dim,
+                    ),
+                    round_to,
+                )
                 + F.lit(0.0)  # -0.0 → +0.0: cross-engine value parity
             ).alias("sim"),
         )
@@ -435,7 +583,7 @@ def quantize_embeddings(
 
 
 def knn_quantized(
-    embeddings: DataFrame, query_id: int, k: int = 10
+    embeddings: DataFrame, query_id: int, k: int = 10, dim: int | None = None
 ) -> DataFrame:
     """Top-k neighbors by QUANTIZED dot product: int8 codes from
     ``quantize_embeddings``, integer dot (exact — every partial sum of
@@ -447,11 +595,31 @@ def knn_quantized(
     query = q.filter(F.col("vec_id") == query_id).select(
         F.col("scale").alias("q_scale"), F.col("qvec").alias("q_qvec")
     )
-    dotq = F.aggregate(
-        F.zip_with("qvec", "q_qvec", lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    def _fold_dotq():
+        return F.aggregate(
+            F.zip_with("qvec", "q_qvec", lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    if dim is None:
+        dotq = _fold_dotq()
+    else:
+        # integer sums are order-exact, so the unrolled codegen form is
+        # trivially value-identical; size guard keeps other widths on
+        # the fold (same discipline as ``dot``)
+        unrolled = F.expr(
+            _chain_sum_sql(
+                [
+                    f"CAST((get(qvec, {i}) * get(q_qvec, {i})) AS BIGINT)"
+                    for i in range(dim)
+                ],
+                zero="CAST(0 AS BIGINT)",
+            )
+        )
+        dotq = F.when(
+            (F.size("qvec") == dim) & (F.size("q_qvec") == dim), unrolled
+        ).otherwise(_fold_dotq())
     scored = (
         q.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(query))
@@ -474,6 +642,7 @@ def semantic_dedup(
     assigned: DataFrame,
     threshold: float = 0.95,
     round_to: int = 4,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Semantic deduplication inside IVF/k-means clusters — the public
     SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient learning
@@ -498,17 +667,23 @@ def semantic_dedup(
     SemDeDup contract (n_centroids scales with N; ~sqrt(N) keeps
     clusters flat).  No Python in the join path; the groupBy(id_b) min
     is map-side combined."""
-    e = (
-        embeddings.join(assigned, "vec_id")
-        .select("vec_id", "cid", "embedding")
-        .repartition(F.col("cid"))
+    # per-vector norm computed ONCE before the cid exchange and carried
+    # as an 8-byte column — value-identical to the per-pair re-derivation
+    # (see _cosine_pre), and the per-pair work drops to one dot
+    e = embeddings.join(assigned, "vec_id").select(
+        "vec_id", "cid", "embedding", norm("embedding", dim).alias("__nrm")
     )
-    pairs = e.alias("a").join(
-        e.alias("b"),
+    # SHUFFLE_HASH: ONE hash(cid) exchange per side, identical subtrees
+    # => ReusedExchange (join+norm projection evaluated once)
+    pairs = e.alias("a").hint("SHUFFLE_HASH").join(
+        e.alias("b").hint("SHUFFLE_HASH"),
         (F.col("a.cid") == F.col("b.cid"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    sim = F.round(
+        _cosine_pre("a.embedding", "b.embedding", "a.__nrm", "b.__nrm", dim),
+        round_to,
+    )
     dominating = pairs.select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
@@ -570,15 +745,32 @@ def top_component(
         ).alias("x")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # unrolled fast path (bit-identical: same element order and
+        # addition sequence; w is already double so the fold applies no
+        # cast to it and neither does the unrolled form)
+        proj_unrolled = F.expr(
+            _chain_sum_sql(
+                [
+                    f"(CAST(get(embedding, {i}) AS DOUBLE) * get(x, {i}))"
+                    for i in range(dim)
+                ]
+            )
+        )
+        proj_fold = F.aggregate(
+            F.zip_with(
+                "embedding", "x", lambda e, w: e.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         projected = embeddings.crossJoin(F.broadcast(x)).select(
             "embedding",
-            F.aggregate(
-                F.zip_with(
-                    "embedding", "x", lambda e, w: e.cast("double") * w
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("proj"),
+            F.when(
+                (F.size("embedding") == dim) & (F.size("x") == dim),
+                proj_unrolled,
+            )
+            .otherwise(proj_fold)
+            .alias("proj"),
         )
         sums = (
             projected.select(
@@ -647,13 +839,20 @@ def knn_graph(
     planes = hyperplanes(dim, n_planes, seed)
     blocked = embeddings.withColumn(
         "block", lsh_bucket(F.col("embedding"), planes)
-    ).repartition(F.col("block"))
-    pairs = blocked.alias("a").join(
-        blocked.alias("b"),
+    ).select(
+        "vec_id", "embedding", "block", norm("embedding", dim).alias("__nrm")
+    )
+    # SHUFFLE_HASH self-join: one hash(block) exchange, reused (see
+    # embedding_near_dup_pairs)
+    pairs = blocked.alias("a").hint("SHUFFLE_HASH").join(
+        blocked.alias("b").hint("SHUFFLE_HASH"),
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     )
-    sim = F.round(cosine("a.embedding", "b.embedding"), round_to)
+    sim = F.round(
+        _cosine_pre("a.embedding", "b.embedding", "a.__nrm", "b.__nrm", dim),
+        round_to,
+    )
     scored = pairs.select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor"),
