@@ -173,7 +173,12 @@ class CrawlRun:
         if self.skew_prune != "auto":
             return None
         if self._n_hosts_memo is None:
-            self._n_hosts_memo = self.robots.count()
+            if self._robots_rules is not None:
+                # caller already holds the rules driver-side: the host
+                # count is its length — no Spark job for the heuristic
+                self._n_hosts_memo = len(self._robots_rules)
+            else:
+                self._n_hosts_memo = self.robots.count()
         return self._n_hosts_memo
 
     def _truncate(self, df: DataFrame) -> DataFrame:
@@ -303,6 +308,13 @@ class CrawlRun:
             "seq",
             F.lit(0).alias("discovered_wave"),
         ).repartition(self.frontier_partitions, "host")
+        # pin ONCE (same discipline as _step's wave pins): the commit
+        # derives frontier table + seen delta + bloom fold from this
+        # frame, and an unpinned plan re-runs seed generation + the
+        # canonicalize UDF once PER derived write (3-4 python passes per
+        # initialize — measured ~2s of the bench loop's fixed cost);
+        # the LogicalRDD leaf keeps the hash(host) layout for wave 1
+        frontier0 = self._pin(frontier0)
 
         # hash(host): carried across waves so the politeness join and the
         # host-state update run co-partitioned (zero exchanges per wave)
