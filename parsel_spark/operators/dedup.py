@@ -793,8 +793,24 @@ def dup_clusters(
     here is the hash-join specialization of the same idea."""
     from pyspark.sql import Observation
 
+    from ..functions.planning import static_planning
+
     spark = pairs.sparkSession
     partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_planning(spark):
+        return _dup_cluster_rounds(
+            pairs, nodes, id_col, max_iters, partitions, Observation
+        )
+
+
+def _dup_cluster_rounds(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int,
+    partitions: int,
+    Observation,
+) -> DataFrame:
     a, b = "doc_a", "doc_b"
     if a not in pairs.columns:  # embedding pairs use vec_a/vec_b
         a, b = "vec_a", "vec_b"

@@ -61,10 +61,24 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    from ..functions.planning import static_planning
+
     spark = edges.sparkSession
     partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = float(damping)
 
+    with static_planning(spark):
+        return _pagerank_rounds(edges, iters, d, src_col, dst_col, partitions)
+
+
+def _pagerank_rounds(
+    edges: DataFrame,
+    iters: int,
+    d: float,
+    src_col: str,
+    dst_col: str,
+    partitions: int,
+) -> DataFrame:
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .repartition(partitions, "src")

@@ -1,0 +1,189 @@
+"""Round-6 optimization pins: every plan-shape change must be
+value-invisible.  These tests pin the optimized paths to their
+reference twins (the same discipline as the existing udf==expr pins).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"alpha beta gamma delta {i} epsilon zeta eta theta iota kappa")
+        for i in range(40)
+    ] + [(100, ""), (101, "one"), (102, "x " * 500)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestUnrolledVectorMath:
+    """dot/norm/_dist2 with ``dim`` must equal the interpreted fold
+    bit-for-bit — same element order, same IEEE addition sequence —
+    including the guarded fallback for vectors of a DIFFERENT width."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import random
+
+        rng = random.Random(7)
+
+        def vec(n):
+            return [rng.uniform(-2, 2) for _ in range(n)]
+
+        rows = [(i, vec(64), vec(64)) for i in range(30)]
+        # wrong widths exercise the size-guard fallback
+        rows += [(100, vec(16), vec(16)), (101, vec(64), vec(16))]
+        return spark.createDataFrame(
+            rows, "vec_id long, a array<float>, b array<float>"
+        )
+
+    def test_dot_norm_dist2_bit_identical(self, vecs):
+        from parsel_spark.operators.similarity import (
+            _dist2,
+            _fold_dist2,
+            _fold_dot,
+            _fold_sq,
+            dot,
+            norm,
+        )
+
+        checks = vecs.select(
+            (dot("a", "b", 64) == _fold_dot(F.col("a"), F.col("b"))).alias(
+                "dot_eq"
+            ),
+            (norm("a", 64) == F.sqrt(_fold_sq(F.col("a")))).alias("n_eq"),
+            (
+                _dist2("a", "b", 64)
+                == _fold_dist2(F.col("a"), F.col("b"))
+            ).alias("d2_eq"),
+        )
+        assert (
+            checks.filter(
+                ~F.coalesce("dot_eq", F.lit(True))
+                | ~F.coalesce("n_eq", F.lit(True))
+                | ~F.coalesce("d2_eq", F.lit(True))
+            ).count()
+            == 0
+        )
+        # NULL-propagation parity: both forms NULL on mismatched widths
+        nulls = vecs.filter(F.col("vec_id") == 101).select(
+            dot("a", "b", 64).isNull().alias("u"),
+            _fold_dot(F.col("a"), F.col("b")).isNull().alias("f"),
+        ).first()
+        assert nulls["u"] == nulls["f"]
+
+    def test_qualified_refs_in_self_join(self, vecs):
+        from parsel_spark.operators.similarity import _fold_dot, dot
+
+        pair = vecs.alias("x").join(
+            vecs.alias("y"), F.col("x.vec_id") < F.col("y.vec_id")
+        )
+        bad = pair.select(
+            (
+                dot("x.a", "y.a", 64)
+                == _fold_dot(F.col("x.a"), F.col("y.a"))
+            ).alias("eq")
+        ).filter(~F.coalesce("eq", F.lit(True))).count()
+        assert bad == 0
+
+
+class TestJvmHashedFingerprints:
+    """The JVM-md5 + numpy paths must equal the engine-reference
+    expressions (the DuckDB oracle replays the expressions)."""
+
+    def test_simhash_from_hashes_equals_expr(self, spark, docs):
+        from parsel_spark.operators.dedup import (
+            simhash_expr,
+            simhash_from_hashes_col,
+        )
+
+        bad = docs.select(
+            simhash_from_hashes_col().alias("n"), simhash_expr().alias("e")
+        ).filter(F.col("n") != F.col("e")).count()
+        assert bad == 0
+
+    def test_simhash120_from_hashes_equals_expr(self, spark, docs):
+        from parsel_spark.operators.dedup import (
+            simhash120_from_hashes_col,
+            simhash_expr,
+        )
+
+        bad = docs.select(
+            simhash120_from_hashes_col().alias("n"),
+            simhash_expr().alias("e1"),
+            simhash_expr(seg=1).alias("e2"),
+        ).filter(
+            (F.col("n.sh1") != F.col("e1")) | (F.col("n.sh2") != F.col("e2"))
+        ).count()
+        assert bad == 0
+
+    def test_minhash_from_hashes_equals_expr(self, spark, docs):
+        from parsel_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_expr,
+        )
+
+        a = minhash_signatures(docs, 16, 3).select("doc_id", "sig")
+        b = minhash_signatures_expr(docs, 16, 3).select(
+            "doc_id", F.col("sig").alias("ref")
+        )
+        assert a.join(b, "doc_id").filter(
+            F.col("sig") != F.col("ref")
+        ).count() == 0
+
+
+class TestStaticPlanning:
+    def test_restores_conf_even_on_error(self, spark):
+        from parsel_spark.functions.planning import static_planning
+
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        with static_planning(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+        with pytest.raises(RuntimeError):
+            with static_planning(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+
+
+class TestMinhashPairShape:
+    def test_lsh_pairs_match_carried_shingle_reference(self, spark):
+        """The decide-then-attach plan must produce exactly the pairs of
+        a straightforward carry-the-shingles reference implementation."""
+        from parsel_spark.operators.dedup import (
+            _shingle_table,
+            minhash_lsh_pairs,
+            minhash_signatures_expr,
+        )
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+        rows += [
+            (10 + i, f"totally different document number {i} with unique words {i}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"], r["jac"])
+            for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+
+        # reference: bands from the expression signatures, pairs by
+        # exact band-slice identity, jaccard from the shingle table
+        signed = minhash_signatures_expr(docs, 32, 3).select("doc_id", "sig")
+        sh = {r["doc_id"]: r["shingles"] for r in _shingle_table(docs, 3).collect()}
+        sigs = {r["doc_id"]: r["sig"] for r in signed.collect()}
+        ref = set()
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                bands_a = [tuple(sigs[a][k * 4:(k + 1) * 4]) for k in range(8)]
+                bands_b = [tuple(sigs[b][k * 4:(k + 1) * 4]) for k in range(8)]
+                if not any(x == y for x, y in zip(bands_a, bands_b)):
+                    continue
+                sa, sb = set(sh[a]), set(sh[b])
+                jac = round(len(sa & sb) / len(set(sh[a]) | set(sh[b])), 6)
+                if jac >= 0.3:
+                    ref.add((a, b, jac))
+        assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in ref}
