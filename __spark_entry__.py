@@ -320,7 +320,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions import textstats as ts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", ts.fingerprint().alias("fingerprint"))
 
 
@@ -410,7 +410,7 @@ def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut."""
     from parsel_spark.functions.textstats import vocab_topk
 
-    return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
+    return vocab_topk(_read(spark, sf_dir, "documents", spread=True), k=100)
 
 
 def q_doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +477,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent per-doc sum."""
     from parsel_spark.functions.textstats import bigram_logprob
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     salt = F.when(
         F.pmod(doc_id, F.lit(10)) == 0,
@@ -497,7 +497,7 @@ def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer ratio is the same IEEE double in both engines."""
     from parsel_spark.functions.textstats import tfidf_keywords
 
-    return tfidf_keywords(_read(spark, sf_dir, "documents"), k=3)
+    return tfidf_keywords(_read(spark, sf_dir, "documents", spread=True), k=3)
 
 
 def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +512,7 @@ def q_doc_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     three page gates in ANSI SQL."""
     from parsel_spark.functions.textstats import c4_quality_flags
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     page = F.concat_ws(
         "\n",
@@ -548,7 +548,7 @@ def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expected output in closed form over the same planted input."""
     from parsel_spark.functions.textstats import redact_pii
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -684,7 +684,7 @@ def _synth_multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc's own text.  ``concat_ws`` skips the NULL conditional line
     identically in Spark and DuckDB, so both engines see byte-identical
     pages."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.concat_ws(
@@ -740,7 +740,7 @@ def _exslt_pub_pages(
     of the date synthesis both EXSLT date rows and their oracles state;
     ``with_duration`` adds the <dur>P{id%45}D</dur> element the
     arithmetic row consumes."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     pub = F.concat(
         (F.lit(2000) + F.pmod(doc_id, F.lit(30))).cast("string"),
@@ -1057,7 +1057,7 @@ def q_crawl_host_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.operators.dedup import top_ngram_stats
     from parsel_spark.operators.frontier import host_quality_priority
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     host = F.concat(
         F.lit("docs-"), F.pmod(F.col("doc_id"), F.lit(N_DOC_HOSTS)), F.lit(".test")
     )
@@ -1550,7 +1550,7 @@ def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     form."""
     from parsel_spark.functions.udfs import extract_canonical_links
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     hostbase = F.concat(
         F.lit("http://docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)), F.lit(".test")
@@ -1668,7 +1668,7 @@ def q_crawl_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.udfs import extract_sitemap_entries
     from parsel_spark.operators.frontier import recrawl_due
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     host = F.concat(
         F.lit("docs-"), F.pmod(doc_id, F.lit(N_DOC_HOSTS)), F.lit(".test")
@@ -2039,7 +2039,7 @@ def q_crawl_idn_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawler uses)."""
     from parsel_spark.functions.canonical import canonicalize_udf
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     m = F.pmod(doc_id, F.lit(4))
     host = (
@@ -2112,7 +2112,7 @@ def q_doc_char_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc integer fraction — in ANSI SQL."""
     from parsel_spark.functions.textstats import char_gram_coverage
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     gib = F.when(
         F.pmod(doc_id, F.lit(10)) == 0,
@@ -2447,7 +2447,7 @@ def q_warc_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsel_spark.functions.textstats import bpe_token_count
     from parsel_spark.sources.warc import read_warc, warc_record_col
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     pages = _doc_pages(docs)
     tmp = tempfile.mkdtemp(prefix="parsel_spark_warc_mt_")
     warc_dir = os.path.join(tmp, "warc")
