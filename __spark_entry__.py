@@ -1030,11 +1030,23 @@ def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(gate, "doc_id").select(
         "doc_id", host.alias("host"), "text"
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # winner-per-md5 as a hash aggregate (min over struct with the
+    # unique doc_id leading — EXACTLY the row_number(orderBy doc_id)==1
+    # pick) instead of a window: map-side partial aggregation combines
+    # duplicates before the exchange and no per-group sort of the text
+    # column happens (guide §2.3 "aggregate before you shuffle")
     reps = (
-        kept.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        kept.groupBy(F.md5("text").alias("__md5"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("host").alias("host"),
+                    F.col("text").alias("text"),
+                )
+            ).alias("__w")
+        )
+        .select("__w.doc_id", "__w.host", "__w.text")
     )
     capped = cap_per_group(reps, "host", cap=40, id_col="doc_id", seed=9)
     return capped.select(
