@@ -57,11 +57,33 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par) if n < par else df
 
 
+#: (path, mtime_ns, size) -> scan partition count.  The plan->RDD
+#: conversion behind ``getNumPartitions`` costs ~100 ms of driver time
+#: per call (measured) and the bench pays it per query run; the count
+#: is a pure function of the file set, so memoize keyed on the stat
+#: signature (a rewritten file invalidates its entry).
+_SCAN_PARTS_MEMO: dict[tuple, int] = {}
+
+
 def _read(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    return _spread(df) if spread else df
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # pragma: no cover - directory tables etc.
+        return _spread(df)
+    if key not in _SCAN_PARTS_MEMO:
+        try:
+            _SCAN_PARTS_MEMO[key] = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - exotic backends
+            return df
+    par = spark.sparkContext.defaultParallelism
+    return df.repartition(par) if _SCAN_PARTS_MEMO[key] < par else df
 
 
 # ---------------------------------------------------------------------------
