@@ -415,7 +415,9 @@ def sort_document_order(nodes: list[Any]) -> list[Any]:
         tid = tree_order.setdefault(id(tree), len(tree_order))
         return (tid, doc_order_key(node))
 
-    # Pre-seed tree order by first appearance.
-    for node in nodes:
-        key(node)
-    return sorted(nodes, key=key)
+    # Decorate-sort-undecorate: each key() walks to the tree root, so
+    # compute it once per node (the pre-seed pass already needed one
+    # full traversal to fix tree order by first appearance).
+    decorated = [(key(node), index, node) for index, node in enumerate(nodes)]
+    decorated.sort(key=lambda item: (item[0], item[1]))
+    return [node for _, _, node in decorated]

@@ -73,6 +73,13 @@ class _TreeBuilder(HTMLParser):
         self.max_depth = max_depth
         self.depth_limited = False
 
+    def updatepos(self, i: int, j: int) -> int:
+        """Skip the base tokenizer's line/column bookkeeping: it scans
+        every consumed chunk for newlines purely to serve ``getpos()``,
+        which this tree builder never calls — the DOM carries its own
+        document-order positions (measured ~5% of the parse)."""
+        return j
+
     # -- insertion helpers -----------------------------------------------
     def _ensure_html(self) -> Element:
         if self.html is None:
