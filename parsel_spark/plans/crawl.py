@@ -59,6 +59,18 @@ CRAWL_LOG_SCHEMA = (
     "seq long"
 )
 
+#: Commit write sizing (guide §6: aim for 128 MB-1 GB output files).
+#: Snapshot url tables are narrow (~100 B/row), so ~1M rows ≈ 100 MB
+#: per file; bloom shards carry a 128 KiB bitmap each, so ~1k shards ≈
+#: 128 MB.  File counts derive from the EXACT per-commit row counts the
+#: loop already tracks (wave observations / the robots rules dict), so
+#: the sizing is scale-adaptive rather than a local[32] constant: a
+#: tiny bench commit writes 1 file per table instead of one per plan
+#: partition, a production commit keeps ~100 MB files, and an unknown
+#: count leaves the plan's own partitioning untouched.
+COMMIT_ROWS_PER_FILE = 1_000_000
+COMMIT_SHARDS_PER_FILE = 1_024
+
 
 class CrawlRun:
     """Wave-synchronous crawl over a pages corpus with snapshot resume."""
@@ -180,6 +192,31 @@ class CrawlRun:
             else:
                 self._n_hosts_memo = self.robots.count()
         return self._n_hosts_memo
+
+    def _host_rows_hint(self) -> int | None:
+        """Host-state row count for commit write sizing: exact when the
+        robots rules are driver-side, the memoized robots count when the
+        skew heuristic already paid for it, else unknown (no Spark job
+        is ever run just for file sizing)."""
+        if self._robots_rules is not None:
+            return len(self._robots_rules)
+        return self._n_hosts_memo
+
+    def _sized_for_write(
+        self,
+        df: DataFrame,
+        rows: int | None,
+        per_file: int = COMMIT_ROWS_PER_FILE,
+    ) -> DataFrame:
+        """Coalesce a commit write down to ~128 MB files from a KNOWN
+        row count (``None``: leave the plan's partitioning alone).
+        ``coalesce`` is a narrow merge over the already-pinned wave
+        outputs — no exchange — and wraps only the write-side frame;
+        the carried state frames never see it."""
+        if rows is None:
+            return df
+        n_files = max(1, -(-int(rows) // per_file))
+        return df.coalesce(n_files) if n_files < self.frontier_partitions else df
 
     def _truncate(self, df: DataFrame) -> DataFrame:
         """Cut lineage so iterative plans cannot grow across waves."""
@@ -313,8 +350,17 @@ class CrawlRun:
         # frame, and an unpinned plan re-runs seed generation + the
         # canonicalize UDF once PER derived write (3-4 python passes per
         # initialize — measured ~2s of the bench loop's fixed cost);
-        # the LogicalRDD leaf keeps the hash(host) layout for wave 1
+        # the LogicalRDD leaf keeps the hash(host) layout for wave 1.
+        # The seed counter rides the pin's action (the pin is eager, so
+        # the metric is available immediately after) — which also makes
+        # the exact row count available BEFORE the commit, for sizing
+        # the commit's output files.
+        obs_seeds = Observation("init_seeds")
+        frontier0 = frontier0.observe(
+            obs_seeds, F.count(F.lit(1)).alias("n")
+        )
         frontier0 = self._pin(frontier0)
+        n_seeds = int(obs_seeds.get["n"])
 
         # hash(host): carried across waves so the politeness join and the
         # host-state update run co-partitioned (zero exchanges per wave)
@@ -327,8 +373,6 @@ class CrawlRun:
         seen = frontier0.select("url", "url_hash")
         empty_bloom = spark.createDataFrame([], fr.BLOOM_SCHEMA)
         bloom = fr.bloom_update(seen, empty_bloom, self.num_shards, kind=self.filter_kind)
-        obs_seen = Observation("init_seen")
-        seen = seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
         crawl_log = spark.createDataFrame([], CRAWL_LOG_SCHEMA)
         self._commit(
             wave=0,
@@ -338,8 +382,12 @@ class CrawlRun:
             bloom=bloom,
             crawl_log_delta=crawl_log,
             metrics=None,
+            row_hints={
+                "frontier": n_seeds,
+                "host_state": self._host_rows_hint(),
+                "seen": n_seeds,
+            },
         )
-        n_seeds = int(obs_seen.get["n"])
         self._amend_metrics(
             {
                 "dequeued": 0,
@@ -618,6 +666,14 @@ class CrawlRun:
             bloom=new_bloom,
             crawl_log_delta=log_delta,
             metrics=totals,
+            row_hints={
+                # exact counts from the wave observations (None: legacy
+                # snapshot without frontier bookkeeping — leave as-is)
+                "frontier": state.get("frontier_rows"),
+                "host_state": self._host_rows_hint(),
+                "seen": int(state.get("pending_rows") or 0),
+                "crawl_log": totals.get("dequeued"),
+            },
         )
         # refresh committed views; keep frontier/host_state in memory
         if state.get("seen_cache") is not None:
@@ -715,6 +771,7 @@ class CrawlRun:
         bloom: DataFrame,
         crawl_log_delta: DataFrame,
         metrics: dict[str, Any] | None,
+        row_hints: dict[str, int | None] | None = None,
     ) -> None:
         # per-partition lineage: shard id + bitmap content hash + counters
         bloom = bloom.cache()
@@ -730,16 +787,28 @@ class CrawlRun:
         if metrics:
             metrics["urls_emitted"] = metrics.get("new_urls", 0)
             metrics["urls_dequeued"] = metrics.get("dequeued", 0)
+        hints = row_hints or {}
         self.catalog.commit(
             wave=wave,
             tables={
-                "frontier": frontier,
-                "host_state": host_state,
-                "bloom": bloom,
+                "frontier": self._sized_for_write(
+                    frontier, hints.get("frontier")
+                ),
+                "host_state": self._sized_for_write(
+                    host_state, hints.get("host_state")
+                ),
+                # the bloom write reads the cache the lineage collect
+                # just populated; shard count is always known
+                "bloom": self._sized_for_write(
+                    bloom, self.num_shards, COMMIT_SHARDS_PER_FILE
+                ),
             },
             appends={
-                "seen": seen_delta,  # cumulative: O(Δ) write per wave
-                "crawl_log": crawl_log_delta,
+                # cumulative: O(Δ) write per wave
+                "seen": self._sized_for_write(seen_delta, hints.get("seen")),
+                "crawl_log": self._sized_for_write(
+                    crawl_log_delta, hints.get("crawl_log")
+                ),
             },
             lineage=lineage,
             metrics=metrics,
