@@ -187,3 +187,71 @@ class TestMinhashPairShape:
                 if jac >= 0.3:
                     ref.add((a, b, jac))
         assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in ref}
+
+
+class TestCommitWriteSizing:
+    """Snapshot commits size their output files from the exact row
+    counts the loop tracks (guide §6): tiny commits write ONE file per
+    table instead of one per plan partition, unknown counts leave the
+    plan's partitioning alone, and the sizing never alters state."""
+
+    def test_sized_for_write_math(self, spark):
+        from parsel_spark.plans.crawl import (
+            COMMIT_ROWS_PER_FILE,
+            CrawlRun,
+        )
+
+        run = CrawlRun.__new__(CrawlRun)  # helper is state-free
+        run.frontier_partitions = 32
+        df = spark.range(100).repartition(16)
+        # unknown count: untouched plan
+        assert run._sized_for_write(df, None) is df
+        # small count: one file
+        assert run._sized_for_write(df, 5).rdd.getNumPartitions() == 1
+        # exactly one file's worth stays one file
+        assert (
+            run._sized_for_write(df, COMMIT_ROWS_PER_FILE)
+            .rdd.getNumPartitions()
+            == 1
+        )
+        # huge count: capped at the plan's own partitioning (coalesce
+        # can only merge) — no wrapper added at/beyond the cap
+        assert run._sized_for_write(df, 10**9) is df
+
+    def test_commit_writes_one_file_per_tiny_table(self, spark, tmp_path):
+        import glob
+        import os
+
+        from parsel_spark.plans.crawl import CrawlRun
+        from parsel_spark.sources.snapshots import SnapshotCatalog
+        from parsel_spark.sources.synth import (
+            SynthConfig,
+            robots_rows,
+            synth_pages,
+            synth_robots,
+            synth_seeds,
+        )
+
+        cfg = SynthConfig(
+            n_pages=120, n_hosts=6, out_degree=4, seed=11, with_images=False
+        )
+        rules = {
+            r["host"]: (tuple(r["deny_prefixes"]), tuple(r["allow_prefixes"]))
+            for r in robots_rows(cfg)
+        }
+        run = CrawlRun(
+            spark,
+            SnapshotCatalog(str(tmp_path)),
+            synth_pages(spark, cfg),
+            synth_robots(spark, cfg),
+            num_shards=8,
+            robots_rules=rules,
+        )
+        run.initialize(synth_seeds(spark, cfg, n_seeds=6))
+        run.run(2)
+        snapshot = run.catalog.load_snapshot()
+        for name, entry in snapshot.tables.items():
+            paths = entry if isinstance(entry, list) else [entry]
+            for p in paths:
+                n_files = len(glob.glob(os.path.join(p, "part-*")))
+                assert n_files <= 1, (name, p, n_files)
