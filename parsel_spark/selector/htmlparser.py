@@ -12,9 +12,49 @@ style CDATA modes) with our own tree construction on top.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from .dom import Comment, Document, Element, TextNode
+
+# -- tokenizer fast paths ---------------------------------------------------
+# One compiled match for the overwhelmingly common WELL-FORMED start tag,
+# replacing the stdlib's whole-tag scan + tag match + per-attribute match
+# loop (3+N regex operations per tag).  The grammar here is STRICTLY
+# NARROWER than html.parser's tolerant one — conservative name charsets,
+# plain-whitespace separators, a single '=' with no surrounding spaces,
+# values fully quoted or bare without [>"'=`] — so any input the fast
+# pattern matches is parsed to the SAME (tag, attrs, end) the stdlib
+# path produces (each fast character class is a subset of the stdlib
+# class in the same position, and the chunk boundaries coincide); every
+# other input falls back to ``HTMLParser.parse_starttag`` unchanged.
+#  NOTE the separator class is the ASCII [ \t\n\r\f], NOT ``\s``: the
+#  stdlib's tag-name class only excludes those five characters, so a
+#  \v or unicode space would join the stdlib's tag name — inputs
+#  containing them must fall back, not fast-parse.  The bare-value
+#  class keeps the full ``\s`` exclusion (a superset exclusion only
+#  narrows the fast grammar, which is always safe).
+_FAST_START = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9.:_-]*)"
+    r"((?:[ \t\n\r\f]+[a-zA-Z_:][a-zA-Z0-9.:_-]*"
+    r"(?:=(?:'[^']*'|\"[^\"]*\"|[^\s>\"'=`]+))?)*)"
+    r"[ \t\n\r\f]*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"[ \t\n\r\f]+([a-zA-Z_:][a-zA-Z0-9.:_-]*)"
+    r"(?:=(?:'([^']*)'|\"([^\"]*)\"|([^\s>\"'=`]+)))?"
+)
+#: same pattern as the stdlib's ``endtagfind`` (anchored use only).
+_FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+#: ``set_cdata_mode`` compiles ``</\s*{elem}\s*>`` on EVERY <script>/
+#: <style> open (one ``re.compile`` cache probe per element); the two
+#: possible patterns are fixed, so build them once.
+_CDATA_INTERESTING = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.I)
+    for elem in HTMLParser.CDATA_CONTENT_ELEMENTS
+}
 
 VOID_ELEMENTS = frozenset(
     """area base basefont br col embed frame hr img input isindex keygen
@@ -79,6 +119,64 @@ class _TreeBuilder(HTMLParser):
         which this tree builder never calls — the DOM carries its own
         document-order positions (measured ~5% of the parse)."""
         return j
+
+    # -- tokenizer fast paths (see module-level pattern notes) -----------
+    def parse_starttag(self, i: int) -> int:
+        """Common-shape start tags in ONE compiled match; anything the
+        narrow grammar rejects falls back to the stdlib tolerant path,
+        so results are identical by construction (pinned against the
+        stdlib parser on every tag of the fuzz + parity corpora)."""
+        m = _FAST_START.match(self.rawdata, i + 1)
+        if m is None:
+            return super().parse_starttag(i)
+        self.lasttag = tag = m.group(1).lower()
+        attrs: list[tuple[str, str | None]] = []
+        raw_attrs = m.group(2)
+        if raw_attrs:
+            for am in _FAST_ATTR.finditer(raw_attrs):
+                value = am.group(2)
+                if value is None:
+                    value = am.group(3)
+                if value is None:
+                    value = am.group(4)
+                # mirror the stdlib exactly: missing value -> None,
+                # empty quoted value -> '', entity refs unescaped only
+                # in non-empty values
+                if value:
+                    value = unescape(value)
+                attrs.append((am.group(1).lower(), value))
+        if m.group(3):
+            # XHTML-style empty tag: <span attr="value" />
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return m.end()
+
+    def parse_endtag(self, i: int) -> int:
+        """Well-formed ``</tag>`` in one anchored match (the stdlib
+        additionally searches for the next ``>`` first); bogus shapes
+        fall back.  Mirrors the stdlib's CDATA handling: inside
+        <script>/<style> a non-matching end tag is literal text, the
+        matching one also clears raw-text mode."""
+        m = _FAST_ENDTAG.match(self.rawdata, i)
+        if m is None:
+            return super().parse_endtag(i)
+        elem = m.group(1).lower()
+        if self.cdata_elem is not None and elem != self.cdata_elem:
+            self.handle_data(m.group(0))
+            return m.end()
+        self.handle_endtag(elem)
+        self.clear_cdata_mode()
+        return m.end()
+
+    def set_cdata_mode(self, elem: str) -> None:
+        self.cdata_elem = elem.lower()
+        pattern = _CDATA_INTERESTING.get(self.cdata_elem)
+        if pattern is None:  # pragma: no cover - fixed stdlib tag set
+            pattern = re.compile(r"</\s*%s\s*>" % self.cdata_elem, re.I)
+        self.interesting = pattern
 
     # -- insertion helpers -----------------------------------------------
     def _ensure_html(self) -> Element:

@@ -255,3 +255,83 @@ class TestCommitWriteSizing:
             for p in paths:
                 n_files = len(glob.glob(os.path.join(p, "part-*")))
                 assert n_files <= 1, (name, p, n_files)
+
+
+class TestTokenizerFastPath:
+    """The start/end-tag fast paths must be OBSERVATIONALLY IDENTICAL
+    to the stdlib tolerant tokenizer they shortcut: any input the
+    narrow grammar matches parses to the same DOM, everything else
+    falls back.  Pinned differentially — the same _TreeBuilder with the
+    stdlib methods restored is the reference."""
+
+    @staticmethod
+    def _builders():
+        from html.parser import HTMLParser
+
+        from parsel_spark.selector.htmlparser import _TreeBuilder
+
+        class _StdBuilder(_TreeBuilder):
+            parse_starttag = HTMLParser.parse_starttag
+            parse_endtag = HTMLParser.parse_endtag
+            set_cdata_mode = HTMLParser.set_cdata_mode
+
+        return _TreeBuilder, _StdBuilder
+
+    @classmethod
+    def _sig(cls, builder_cls, text):
+        from parsel_spark.selector.serializer import serialize
+
+        b = builder_cls()
+        try:
+            b.feed(text)
+            b.close()
+        except Exception:
+            pass
+        b._ensure_html()
+        root = b.document.root_element
+        return serialize(root) if root is not None else ""
+
+    def _check(self, text):
+        fast_cls, std_cls = self._builders()
+        assert self._sig(fast_cls, text) == self._sig(std_cls, text), repr(
+            text
+        )
+
+    @pytest.mark.parametrize(
+        "text",
+        [
+            '<a href=x>t</a>', '<a href="x">t</a>', "<a href='x'>t</a>",
+            '<a href=>t</a>', '<a href==x>', '<a href = x>', '<a href ="x">',
+            '<a foo bar=1 baz>', '<a /css/x>', '<a/ href=x>',
+            '<br/>', '<br />', '<img src=a/>', '<img src=a />',
+            '<a b="c>d">', "<a b='c>d'>", '<a b=c>d>', '<a b="c"d>',
+            '<a b=`x`>', '<a b=x`y>', '<A HREF=X>', '<a\thref=x>',
+            '<a\vhref=x>', '<a\xa0href=x>', '<a b\v=x>', '<a b=\vx>',
+            '<a*b>', '<a:b x:y=1>', '<1a>', '<>', '</>',
+            '<a "b">', '<a b="&amp;">', '<a b=&amp;>', '<a b="&amp">',
+            '<a b="&#65;">', '<a b="">', "<a b=''>", '<a b=x<y>',
+            '<script>var a = "</b>";</script>',
+            '<script>if (a<b) {}</script>x', '<SCRIPT>a</SCRIPT>b',
+            '<script src=x/>after', '<script>a</ script >b',
+            '<script>a</scriptx>b</script>c', '<a href=x', '<a href="x',
+            '<a >', '<a/>text', '<a =x>', '<a b= c>', '<a ä=1>', '<ä>',
+            '</a >', '</ a>', '</a b>', '</a\v>', '</td>x',
+            '<script></STYLE></script>x', '<a\x00b>',
+        ],
+    )
+    def test_handcrafted_tag_shapes(self, text):
+        self._check(text)
+        self._check(f"<html><body>{text}</body></html>")
+
+    def test_fuzz_tag_soup(self):
+        import random
+
+        rng = random.Random(20260822)
+        alphabet = list("<>/='\"` abAB=&;:xy\t\n\v\xa0\f-._") + [
+            "href", "<a", "</a>", "src=", "&amp;", "<script>", "</script>",
+        ]
+        for _ in range(1500):
+            s = "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(1, 60))
+            )
+            self._check(s)
