@@ -29,16 +29,24 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 _SAFE_PATH = "/!$&'()*+,;=:@~-._"
 _SAFE_QUERY = "!$&'()*+,;=:@/?~-._"
+# query keys/values additionally escape the pair separators; computed
+# once (this was rebuilt per key AND per value in the query loop)
+_SAFE_QUERY_KV = _SAFE_QUERY.replace("&", "").replace("=", "")
 
-# fast-path recognizer: URLs that are ALREADY canonical under every rule
-# below (lowercase scheme+host, no port/userinfo/query/fragment/escapes,
-# no dot-segments or empty segments, only chars quote() leaves alone).
-# The slow path is the source of truth; test_canonical_fastpath pins
-# fast(url) == slow(url) over trap corpora.
+# fast-path recognizer: URLs whose only non-canonical features (if any)
+# are an upper-case scheme/host, a default port, or a fragment — the
+# overwhelmingly common shapes link extraction produces.  No userinfo,
+# query, escapes, dot/empty segments or non-default ports: those take
+# the full slow path, which stays the source of truth
+# (test_canonicalize_fastpath_equals_slowpath pins fast == slow).
+# Non-default ports are EXCLUDED on purpose — ``parts.port`` range
+# validation must keep raising where it used to.
 _FAST_RE = re.compile(
     r"^(https?)://"
-    r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"
-    r"(/(?:[a-zA-Z0-9!$&'()*+,;=:@~\-._]+/)*[a-zA-Z0-9!$&'()*+,;=:@~\-._]*)?$"
+    r"([a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)"
+    r"(?::(80|443))?"
+    r"(/(?:[a-zA-Z0-9!$&'()*+,;=:@~\-._]+/)*[a-zA-Z0-9!$&'()*+,;=:@~\-._]*)?$",
+    re.IGNORECASE,
 )
 _DOT_SEGMENT_RE = re.compile(r"/\.\.?(?:/|$)")
 
@@ -115,14 +123,32 @@ def canonicalize_url(url: str | None) -> str | None:
     if not url:
         return url
     # fast path: already-canonical URLs pass through untouched — at crawl
-    # steady state most URLs were canonicalized when first discovered
-    match = _FAST_RE.match(url)
+    # steady state most URLs were canonicalized when first discovered —
+    # and the three cheap-to-normalize shapes (case, default port,
+    # fragment) rebuild without urlsplit.  The fragment is split off
+    # first because canonicalization always drops it; when the remainder
+    # does not fast-match, the ORIGINAL url takes the slow path.
+    base, frag_sep, _ = url.partition("#")
+    match = _FAST_RE.match(base)
     if match is not None:
-        path = match.group(3)
-        if path is None:
-            return url + "/"
-        if not _DOT_SEGMENT_RE.search(path):
-            return url
+        scheme, host, port, path = match.group(1, 2, 3, 4)
+        default_port = (
+            port is None
+            or (port == "80" and len(scheme) == 4)
+            or (port == "443" and len(scheme) == 5)
+        )
+        if default_port and (
+            path is None or not _DOT_SEGMENT_RE.search(path)
+        ):
+            if (
+                not frag_sep
+                and port is None
+                and scheme.islower()
+                and host.islower()
+            ):
+                # already canonical: zero-copy
+                return url if path is not None else url + "/"
+            return f"{scheme.lower()}://{host.lower()}{path or '/'}"
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -164,8 +190,8 @@ def canonicalize_url(url: str | None) -> str | None:
             key, _, value = chunk.partition("=")
             pairs.append(
                 (
-                    _normalize_percent(key, _SAFE_QUERY.replace("&", "").replace("=", "")),
-                    _normalize_percent(value, _SAFE_QUERY.replace("&", "").replace("=", "")),
+                    _normalize_percent(key, _SAFE_QUERY_KV),
+                    _normalize_percent(value, _SAFE_QUERY_KV),
                 )
             )
         pairs.sort()

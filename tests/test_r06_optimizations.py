@@ -335,3 +335,44 @@ class TestTokenizerFastPath:
                 rng.choice(alphabet) for _ in range(rng.randrange(1, 60))
             )
             self._check(s)
+
+
+class TestCanonicalFastPathShapes:
+    """The widened canonical fast path (case/default-port/fragment
+    normalization without urlsplit) must agree byte-for-byte with the
+    slow RFC-3986 path on every shape it accepts — including the raise
+    behavior for out-of-range ports it deliberately does NOT accept."""
+
+    CASES = [
+        "http://a.test/x", "HTTP://A.TEST/x", "http://a.test",
+        "http://a.test#f", "http://a.test:80/x", "https://a.test:443/x",
+        "http://a.test:443/x", "https://a.test:80/x", "http://a.test:8080/x",
+        "http://a.test:080/x", "http://a.test:0/x",
+        "Http://A-b.9.TEST:80/Page/X#frag", "http://a.test/x?b=2&a=1",
+        "http://a.test/..", "http://a.test/a/../b", "http://a.test/a//b",
+        "http://a.test/%2e%2e/x", "http://u@a.test/x", "http://a.test./x",
+        "http://123.45/x", "http://a.test:80", "http://a.test:80#f",
+        "HtTpS://X.Y:443", "http://A.TEST", "HTTPS://A.B#",
+    ]
+
+    @pytest.mark.parametrize("url", CASES)
+    def test_fast_equals_slow(self, url):
+        import re as _re
+
+        from parsel_spark.functions import canonical as C
+
+        def call():
+            try:
+                return ("ok", C.canonicalize_url(url))
+            except Exception as exc:
+                return ("raise", type(exc).__name__)
+
+        fast = call()
+        never = _re.compile(r"(?!x)x")
+        original = C._FAST_RE
+        C._FAST_RE = never
+        try:
+            slow = call()
+        finally:
+            C._FAST_RE = original
+        assert fast == slow
