@@ -628,5 +628,17 @@ def evaluate(
     )
     result = evaluate_ast(ast, ctx)
     if isinstance(result, list):
+        # ('path', …) results are ALREADY document-ordered by
+        # construction: _eval_steps sorts (and dedupes) after every
+        # step that can disturb order — multi-context gathers and
+        # reverse axes — and the remaining single-context forward-axis
+        # traversals yield DFS order directly, as do attribute tails
+        # over ordered owners (their sort keys are (owner_pos, 2,
+        # attr_index)).  Re-sorting would walk to the root per node
+        # just to rebuild keys for a no-op sort — the hot ``//a/@href``
+        # family pays it once per query.  Every other expression kind
+        # (unions, function results, variables) keeps the sort.
+        if ast[0] == "path":
+            return result
         return sort_document_order(result)
     return result

@@ -376,3 +376,35 @@ class TestCanonicalFastPathShapes:
         finally:
             C._FAST_RE = original
         assert fast == slow
+
+
+class TestPathResultsAlreadyOrdered:
+    """evaluate() skips the final document-order sort for ('path', …)
+    ASTs — valid only while every step pipeline output IS doc-ordered.
+    Pin the invariant across axis shapes on real parsed documents."""
+
+    QUERIES = [
+        "//a/@href", "//a", "//div//a", "//p/text()", "//*",
+        "//a/ancestor::*", "//a/parent::*", "//p/preceding-sibling::*",
+        "//a/following::a", "//div[@class]//a/@href", "//a[2]",
+        "//p/..", "//a/@*", "//body//text()", "descendant::a/@href",
+        "//div/child::*", "//a/self::a", "//p/preceding::a",
+        "//li/ancestor-or-self::*",
+    ]
+
+    def test_path_results_equal_their_doc_order_sort(self):
+        from parsel_spark.selector import Selector
+        from parsel_spark.selector.dom import sort_document_order
+        from parsel_spark.selector.xpath.evaluator import evaluate
+
+        html = (
+            "<div class=x><p id=1>a<a href=/1>1</a></p>"
+            "<p>b<a href=/2>2</a><a href=/3>3</a></p></div>"
+            "<ul><li><a href=/4>4</a><li><a href=/5>5</a></ul>"
+            "<div><a href=/6>6</a></div>"
+        )
+        root = Selector(text=html).root
+        for q in self.QUERIES:
+            result = evaluate(q, root)
+            assert isinstance(result, list), q
+            assert result == sort_document_order(result), q
