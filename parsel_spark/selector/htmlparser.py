@@ -129,23 +129,20 @@ class _TreeBuilder(HTMLParser):
         m = _FAST_START.match(self.rawdata, i + 1)
         if m is None:
             return super().parse_starttag(i)
-        self.lasttag = tag = m.group(1).lower()
+        tag, raw_attrs, slash = m.group(1, 2, 3)
+        self.lasttag = tag = tag.lower()
         attrs: list[tuple[str, str | None]] = []
-        raw_attrs = m.group(2)
         if raw_attrs:
             for am in _FAST_ATTR.finditer(raw_attrs):
-                value = am.group(2)
-                if value is None:
-                    value = am.group(3)
-                if value is None:
-                    value = am.group(4)
+                name, v1, v2, v3 = am.group(1, 2, 3, 4)
+                value = v1 if v1 is not None else v2 if v2 is not None else v3
                 # mirror the stdlib exactly: missing value -> None,
                 # empty quoted value -> '', entity refs unescaped only
                 # in non-empty values
                 if value:
                     value = unescape(value)
-                attrs.append((am.group(1).lower(), value))
-        if m.group(3):
+                attrs.append((name.lower(), value))
+        if slash:
             # XHTML-style empty tag: <span attr="value" />
             self.handle_startendtag(tag, attrs)
         else:
