@@ -46,7 +46,11 @@ _FAST_RE = re.compile(
     r"([a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)"
     r"(?::(80|443))?"
     r"(/(?:[a-zA-Z0-9!$&'()*+,;=:@~\-._]+/)*[a-zA-Z0-9!$&'()*+,;=:@~\-._]*)?$",
-    re.IGNORECASE,
+    # ASCII is load-bearing: plain IGNORECASE does unicode casefolding,
+    # under which e.g. U+017F (long s) or U+212A (Kelvin sign) match
+    # [a-z] — and would take hosts that NEED the slow path's IDNA
+    # normalization through the fast path unchanged
+    re.IGNORECASE | re.ASCII,
 )
 _DOT_SEGMENT_RE = re.compile(r"/\.\.?(?:/|$)")
 

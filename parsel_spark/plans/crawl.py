@@ -216,7 +216,10 @@ class CrawlRun:
         if rows is None:
             return df
         n_files = max(1, -(-int(rows) // per_file))
-        return df.coalesce(n_files) if n_files < self.frontier_partitions else df
+        # always wrap: coalesce to >= the frame's partition count is a
+        # no-op, and the frame may carry MORE than frontier_partitions
+        # partitions (multi-wave delta unions are k pinned outputs wide)
+        return df.coalesce(n_files)
 
     def _truncate(self, df: DataFrame) -> DataFrame:
         """Cut lineage so iterative plans cannot grow across waves."""

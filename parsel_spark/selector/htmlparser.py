@@ -48,11 +48,21 @@ _FAST_ATTR = re.compile(
 #: same pattern as the stdlib's ``endtagfind`` (anchored use only).
 _FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 
-#: ``set_cdata_mode`` compiles ``</\s*{elem}\s*>`` on EVERY <script>/
-#: <style> open (one ``re.compile`` cache probe per element); the two
-#: possible patterns are fixed, so build them once.
+#: ``set_cdata_mode`` compiles its raw-text-mode pattern on EVERY
+#: <script>/<style> open (one ``re.compile`` cache probe per element).
+#: The two possible patterns are fixed per interpreter, so capture them
+#: once — by RUNNING the stdlib's own ``set_cdata_mode`` on a probe
+#: parser rather than hardcoding its current regex, so a stdlib whose
+#: pattern differs (e.g. a security-patched html.parser) is mirrored
+#: exactly instead of pinned to this version's behavior.
+def _stdlib_cdata_interesting(elem: str) -> re.Pattern:
+    probe = HTMLParser()
+    HTMLParser.set_cdata_mode(probe, elem)
+    return probe.interesting
+
+
 _CDATA_INTERESTING = {
-    elem: re.compile(r"</\s*%s\s*>" % elem, re.I)
+    elem: _stdlib_cdata_interesting(elem)
     for elem in HTMLParser.CDATA_CONTENT_ELEMENTS
 }
 
@@ -169,10 +179,11 @@ class _TreeBuilder(HTMLParser):
         return m.end()
 
     def set_cdata_mode(self, elem: str) -> None:
-        self.cdata_elem = elem.lower()
-        pattern = _CDATA_INTERESTING.get(self.cdata_elem)
+        pattern = _CDATA_INTERESTING.get(elem.lower())
         if pattern is None:  # pragma: no cover - fixed stdlib tag set
-            pattern = re.compile(r"</\s*%s\s*>" % self.cdata_elem, re.I)
+            super().set_cdata_mode(elem)
+            return
+        self.cdata_elem = elem.lower()
         self.interesting = pattern
 
     # -- insertion helpers -----------------------------------------------

@@ -214,9 +214,13 @@ class TestCommitWriteSizing:
             .rdd.getNumPartitions()
             == 1
         )
-        # huge count: capped at the plan's own partitioning (coalesce
-        # can only merge) — no wrapper added at/beyond the cap
-        assert run._sized_for_write(df, 10**9) is df
+        # huge count: coalesce above the frame's own partition count is
+        # a no-op — the partitioning is untouched
+        assert run._sized_for_write(df, 10**9).rdd.getNumPartitions() == 16
+        # a frame WIDER than frontier_partitions still gets sized (the
+        # multi-wave delta unions are k pinned outputs wide)
+        wide = spark.range(100).repartition(48)
+        assert run._sized_for_write(wide, 5).rdd.getNumPartitions() == 1
 
     def test_commit_writes_one_file_per_tiny_table(self, spark, tmp_path):
         import glob
@@ -353,6 +357,12 @@ class TestCanonicalFastPathShapes:
         "http://a.test/%2e%2e/x", "http://u@a.test/x", "http://a.test./x",
         "http://123.45/x", "http://a.test:80", "http://a.test:80#f",
         "HtTpS://X.Y:443", "http://A.TEST", "HTTPS://A.B#",
+        # unicode casefold tricksters: must take the SLOW path (IDNA /
+        # percent-encoding), which re.ASCII on the fast recognizer
+        # guarantees — U+017F long s, U+212A Kelvin sign, U+0131
+        "http://te\u017ft.example/x", "http://\u0131.test/x",
+        "http://a.test/x\u212a", "http\u017f://a.test/x",
+        "HTTP://te\u017ft.example:80/x#f",
     ]
 
     @pytest.mark.parametrize("url", CASES)
