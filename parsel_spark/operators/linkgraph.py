@@ -102,14 +102,25 @@ def _pagerank_rounds(
     # N as a DISTRIBUTED 1-row scalar (broadcast cross join, no action)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
+    # Intermediate rounds pin LAZILY (eager=False): the RDD is still
+    # marked for local checkpointing — so lineage stays truncated and
+    # every round's plan is O(round-size), exactly as before — but no
+    # per-round driver job runs.  Only the LAST round pins eagerly; its
+    # materialization cascades through the pending checkpoints (each
+    # round's RDD computes exactly once — shared RDD node in the DAG,
+    # checkpointed on first computation), collapsing the loop from
+    # ~3 jobs/round (pin + re-broadcast n_df + dang_df) to one final
+    # job plus the per-round broadcast builds.  Values are untouched:
+    # same exchanges, same partitioning, same per-partition arithmetic
+    # order (pinned vs the unrolled oracle CTE either way).
     ranks = (
         nodes.crossJoin(F.broadcast(n_df))
         .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
         .repartition(partitions, "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    for _ in range(iters):
+    for _round in range(iters):
         # rank share per source = rank/outdeg; nodes absent from outdeg
         # are dangling and contribute to the uniform mass instead
         with_deg = ranks.join(
@@ -153,7 +164,9 @@ def _pagerank_rounds(
             )
             .repartition(partitions, "node")
         )
-        ranks = stepped.localCheckpoint(eager=True)
+        # last round eager: materializes the whole cascade while the
+        # e/nodes/outdeg caches are still live (unpersist follows)
+        ranks = stepped.localCheckpoint(eager=(_round == iters - 1))
     e.unpersist()
     nodes.unpersist()
     outdeg.unpersist()
