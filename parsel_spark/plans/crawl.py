@@ -207,18 +207,29 @@ class CrawlRun:
         df: DataFrame,
         rows: int | None,
         per_file: int = COMMIT_ROWS_PER_FILE,
+        exchange: bool = False,
     ) -> DataFrame:
-        """Coalesce a commit write down to ~128 MB files from a KNOWN
-        row count (``None``: leave the plan's partitioning alone).
-        ``coalesce`` is a narrow merge over the already-pinned wave
-        outputs — no exchange — and wraps only the write-side frame;
+        """Size a commit write to ~128 MB files from a KNOWN row count
+        (``None``: leave the plan's partitioning alone).
+
+        ``exchange=False`` (default) uses ``coalesce`` — a narrow merge,
+        right for the already-pinned wave outputs (LogicalRDD leaves:
+        nothing upstream to starve).  ``exchange=True`` uses
+        ``repartition`` — for a frame whose UNmaterialized upstream
+        must keep its parallelism (the bloom fold cogroup: coalesce(1)
+        would propagate up and run the whole python fold on one core);
+        the exchange moves the same bytes the narrow merge would have
+        pulled cross-executor anyway.  Wraps only the write-side frame;
         the carried state frames never see it."""
         if rows is None:
             return df
         n_files = max(1, -(-int(rows) // per_file))
-        # always wrap: coalesce to >= the frame's partition count is a
-        # no-op, and the frame may carry MORE than frontier_partitions
-        # partitions (multi-wave delta unions are k pinned outputs wide)
+        # always wrap: sizing to >= the frame's partition count is a
+        # no-op for coalesce, and the frame may carry MORE than
+        # frontier_partitions partitions (multi-wave delta unions are k
+        # pinned outputs wide)
+        if exchange:
+            return df.repartition(n_files)
         return df.coalesce(n_files)
 
     def _truncate(self, df: DataFrame) -> DataFrame:
@@ -776,16 +787,32 @@ class CrawlRun:
         metrics: dict[str, Any] | None,
         row_hints: dict[str, int | None] | None = None,
     ) -> None:
-        # per-partition lineage: shard id + bitmap content hash + counters
-        bloom = bloom.cache()
-        lineage = [
-            {
-                "partition_id": int(row["shard_id"]),
-                "bloom_shard_hash": int(row["shard_hash"]),
-                "n_items": int(row["n_items"]),
-            }
-            for row in bloom.select("shard_id", "shard_hash", "n_items").collect()
-        ]
+        # per-partition lineage (shard id + bitmap content hash +
+        # counters) rides the bloom WRITE as an Observation instead of a
+        # separate collect job: the fold cogroup then runs exactly once,
+        # inside the commit's parallel write phase, with no cache.
+        # sort_array pins a deterministic order (Observation merge order
+        # is task-completion order); consumers key by partition_id.
+        obs_lineage = Observation(f"bloom_lineage_w{wave}")
+        bloom = bloom.observe(
+            obs_lineage,
+            F.sort_array(
+                F.collect_list(
+                    F.struct("shard_id", "shard_hash", "n_items")
+                )
+            ).alias("rows"),
+        )
+
+        def lineage_rows():
+            return [
+                {
+                    "partition_id": int(row["shard_id"]),
+                    "bloom_shard_hash": int(row["shard_hash"]),
+                    "n_items": int(row["n_items"]),
+                }
+                for row in obs_lineage.get["rows"]
+            ]
+
         metrics = dict(metrics) if metrics else {}
         if metrics:
             metrics["urls_emitted"] = metrics.get("new_urls", 0)
@@ -800,10 +827,11 @@ class CrawlRun:
                 "host_state": self._sized_for_write(
                     host_state, hints.get("host_state")
                 ),
-                # the bloom write reads the cache the lineage collect
-                # just populated; shard count is always known
+                # shard count is always known; exchange=True keeps the
+                # fold cogroup upstream at full parallelism
                 "bloom": self._sized_for_write(
-                    bloom, self.num_shards, COMMIT_SHARDS_PER_FILE
+                    bloom, self.num_shards, COMMIT_SHARDS_PER_FILE,
+                    exchange=True,
                 ),
             },
             appends={
@@ -813,10 +841,9 @@ class CrawlRun:
                     crawl_log_delta, hints.get("crawl_log")
                 ),
             },
-            lineage=lineage,
+            lineage=lineage_rows,
             metrics=metrics,
         )
-        bloom.unpersist()
 
     def _amend_metrics(self, metrics: dict[str, Any]) -> None:
         """Fill wave counters (observed during the data-file writes) into

@@ -42,6 +42,11 @@ class SnapshotCatalog:
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.metadata_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # schemas of tables THIS catalog object has written: read_table
+        # can then skip parquet schema inference (a 1-task Spark job per
+        # read-back — ~6 such jobs per crawl commit cycle).  Driver-side
+        # metadata only; a fresh process falls back to inference.
+        self._schemas: dict[str, Any] = {}
 
     # -- commit ----------------------------------------------------------
     def commit(
@@ -55,7 +60,12 @@ class SnapshotCatalog:
         """``tables`` are fully rewritten this snapshot; ``appends`` write
         only a DELTA file-set and inherit the parent's files (Iceberg
         manifest-style) — cumulative tables like the seen-set stay O(Δ)
-        per commit instead of O(total)."""
+        per commit instead of O(total).
+
+        ``lineage`` may be a list (used as-is) or a zero-arg callable
+        evaluated AFTER the data writes complete — the hook that lets a
+        caller derive lineage from an ``Observation`` riding one of the
+        write jobs instead of paying a separate collect job."""
         from concurrent.futures import ThreadPoolExecutor
 
         parent = self.current_snapshot_id()
@@ -87,6 +97,12 @@ class SnapshotCatalog:
 
         with ThreadPoolExecutor(max_workers=max(1, len(jobs))) as pool:
             list(pool.map(write, jobs))
+        for name, df in tables.items():
+            self._schemas[name] = df.schema
+        for name, delta in (appends or {}).items():
+            self._schemas[name] = delta.schema
+        if callable(lineage):
+            lineage = lineage()
         snapshot = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent,
@@ -133,7 +149,14 @@ class SnapshotCatalog:
             raise KeyError(f"table {name!r} not in snapshot {snapshot_id}")
         entry = snapshot.tables[name]
         paths = entry if isinstance(entry, list) else [entry]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        schema = self._schemas.get(name)
+        if schema is not None:
+            # schema known from this object's own commit: skip parquet
+            # footer inference (and its 1-task Spark job).  Every delta
+            # of a table is written with the same schema by construction.
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     def history(self) -> list[Snapshot]:
         out = []
