@@ -64,18 +64,37 @@ def _spread(df: DataFrame) -> DataFrame:
 #: signature (a rewritten file invalidates its entry).
 _SCAN_PARTS_MEMO: dict[tuple, int] = {}
 
+#: (path, mtime_ns, size) -> StructType.  ``spark.read.parquet`` infers
+#: the schema from the footer on EVERY call (~70 ms of driver time per
+#: table per query run); the schema is a pure function of the file set,
+#: so memoize it the same way as the partition count.  Every query
+#: still scans the parquet data itself — this caches metadata only.
+_SCAN_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _stat_key(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:  # pragma: no cover - directory tables etc.
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
 
 def _read(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False
 ) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
-    df = spark.read.parquet(path)
+    key = _stat_key(path)
+    schema = _SCAN_SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCAN_SCHEMA_MEMO[key] = df.schema
     if not spread:
         return df
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:  # pragma: no cover - directory tables etc.
+    if key is None:  # pragma: no cover - directory tables etc.
         return _spread(df)
     if key not in _SCAN_PARTS_MEMO:
         try:

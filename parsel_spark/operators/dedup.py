@@ -401,26 +401,24 @@ def minhash_lsh_pairs(
     # oracle joins on); Spark joins on its xxhash64 so only a fixed
     # 8-byte key shuffles, not an ~80-byte string — identical candidate
     # sets modulo a ~2^-64 hash collision
+    # band array as ONE F.expr parse — the DSL listcomp built ~50
+    # Column objects (element_at/cast/concat_ws/xxhash64 per band) at
+    # hundreds of py4j round-trips per query construction; the SQL
+    # string states the identical expression tree
+    band_terms = ", ".join(
+        "xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"CAST(element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
     banded = signed.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(f"array({band_terms})")).alias(
+            "band_idx", "band_hash"
+        ),
     )
     left = banded.alias("a").hint("SHUFFLE_HASH")
     right = banded.alias("b").hint("SHUFFLE_HASH")

@@ -68,37 +68,46 @@ def dot(a, b, dim: int | None = None) -> Column:
     semantics are unchanged for every input."""
     if dim is None or not (isinstance(a, str) and isinstance(b, str)):
         return _fold_dot(_as_col(a), _as_col(b))
-    unrolled = F.expr(
-        _chain_sum_sql(
-            [
-                f"(CAST(get({a}, {i}) AS DOUBLE) * "
-                f"CAST(get({b}, {i}) AS DOUBLE))"
-                for i in range(dim)
-            ]
-        )
+    unrolled = _chain_sum_sql(
+        [
+            f"(CAST(get({a}, {i}) AS DOUBLE) * "
+            f"CAST(get({b}, {i}) AS DOUBLE))"
+            for i in range(dim)
+        ]
     )
-    ca, cb = _as_col(a), _as_col(b)
-    return F.when(
-        (F.size(ca) == dim) & (F.size(cb) == dim), unrolled
-    ).otherwise(_fold_dot(ca, cb))
+    # guard + fold fallback spelled in the SAME F.expr parse: the DSL
+    # when/otherwise + zip_with/aggregate construction costs ~25 py4j
+    # round-trips per call at plan-construction time for the identical
+    # CASE/aggregate tree
+    fold = (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN (size({a}) = {dim}) AND (size({b}) = {dim}) "
+        f"THEN {unrolled} ELSE {fold} END"
+    )
 
 
 def norm(a, dim: int | None = None) -> Column:
     """Sequential-fold L2 norm; ``dim`` as in :func:`dot`."""
     if dim is None or not isinstance(a, str):
         return F.sqrt(_fold_sq(_as_col(a)))
-    unrolled = F.expr(
-        _chain_sum_sql(
-            [
-                f"(CAST(get({a}, {i}) AS DOUBLE) * "
-                f"CAST(get({a}, {i}) AS DOUBLE))"
-                for i in range(dim)
-            ]
-        )
+    unrolled = _chain_sum_sql(
+        [
+            f"(CAST(get({a}, {i}) AS DOUBLE) * "
+            f"CAST(get({a}, {i}) AS DOUBLE))"
+            for i in range(dim)
+        ]
     )
-    ca = _as_col(a)
-    return F.sqrt(
-        F.when(F.size(ca) == dim, unrolled).otherwise(_fold_sq(ca))
+    fold = (
+        f"aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"SQRT(CASE WHEN size({a}) = {dim} THEN {unrolled} ELSE {fold} END)"
     )
 
 
@@ -168,14 +177,62 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(embedding, planes: list[list[float]]) -> Column:
-    bucket = F.lit(0)
+    """Hyperplane LSH bucket id as ONE ``F.expr`` parse.
+
+    The original DSL construction (``F.array`` of 64 ``F.lit`` per
+    plane + a ``zip_with``/``aggregate`` fold per plane) cost hundreds
+    of py4j round-trips at plan-construction time (~0.5 s per query)
+    and ran the projections as interpreted higher-order functions per
+    row.  The SQL string states the SAME algebra: per plane, the
+    unrolled ``((0.0D + t0) + t1)…`` chain when the vector has exactly
+    the plane's width (bit-identical to the fold — same element order,
+    same addition sequence, same float→double casts, and ``x * ±1.0D``
+    is an exact IEEE sign operation), else the very same
+    ``aggregate(zip_with(...))`` fold spelled in SQL lambda syntax."""
+    emb_sql = embedding if isinstance(embedding, str) else None
+    if emb_sql is None:
+        # Column input: recover the simple-attribute name when possible
+        # (every internal call site passes a plain column); any exotic
+        # Column falls back to the legacy DSL construction below.
+        try:
+            name = embedding._jc.toString()
+        except Exception:  # pragma: no cover - py4j edge
+            name = ""
+        if name.isidentifier():
+            emb_sql = name
+    if emb_sql is None:  # pragma: no cover - exotic Column expressions
+        bucket = F.lit(0)
+        for index, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(
+                dot(embedding, plane_col) > 0, F.lit(1 << index)
+            ).otherwise(F.lit(0))
+            bucket = bucket + bit
+        return bucket
+
+    def lit_d(v: float) -> str:
+        return f"{v!r}D"
+
+    bits = ["0"]
     for index, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(embedding, plane_col) > 0, F.lit(1 << index)).otherwise(
-            F.lit(0)
+        unrolled = _chain_sum_sql(
+            [
+                f"(CAST(get({emb_sql}, {i}) AS DOUBLE) * {lit_d(v)})"
+                for i, v in enumerate(plane)
+            ]
         )
-        bucket = bucket + bit
-    return bucket
+        plane_arr = f"array({', '.join(lit_d(v) for v in plane)})"
+        fold = (
+            f"aggregate(zip_with({emb_sql}, {plane_arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        proj = (
+            f"CASE WHEN size({emb_sql}) = {len(plane)} "
+            f"THEN {unrolled} ELSE {fold} END"
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0.0D THEN {1 << index} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
 
 
 def knn_lsh(
@@ -336,11 +393,18 @@ def _dist2(a, b, dim: int | None = None) -> Column:
         )
         return f"({d} * {d})"
 
-    unrolled = F.expr(_chain_sum_sql([term(i) for i in range(dim)]))
-    ca, cb = _as_col(a), _as_col(b)
-    return F.when(
-        (F.size(ca) == dim) & (F.size(cb) == dim), unrolled
-    ).otherwise(_fold_dist2(ca, cb))
+    unrolled = _chain_sum_sql([term(i) for i in range(dim)])
+    # guard + fold fallback in the same single parse (see dot())
+    fold = (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN (size({a}) = {dim}) AND (size({b}) = {dim}) "
+        f"THEN {unrolled} ELSE {fold} END"
+    )
 
 
 def _assign_clusters(
