@@ -737,6 +737,19 @@ def semantic_dedup(
     e = embeddings.join(assigned, "vec_id").select(
         "vec_id", "cid", "embedding", norm("embedding", dim).alias("__nrm")
     )
+    # Pin the pair join's hash(cid) layout with an EXPLICIT repartition:
+    # the join needs this exchange anyway (this replaces the planner's
+    # ENSURE_REQUIREMENTS exchange, it does not add one), but a
+    # planner-inserted exchange is AQE-coalescible on its (tiny)
+    # shuffle bytes — which are blind to the quadratic within-cell pair
+    # explosion and the per-pair dot on the OTHER side of the join —
+    # measured: the whole pair stage coalesced to ONE task at bench
+    # scale.  REPARTITION_BY_NUM pins the count; derived from
+    # defaultParallelism, so it scales with the cluster, and the
+    # effective parallelism stays bounded by distinct cids (the
+    # SemDeDup contract scales n_centroids with N).
+    n_pair = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(n_pair, "cid")
     # SHUFFLE_HASH: ONE hash(cid) exchange per side, identical subtrees
     # => ReusedExchange (join+norm projection evaluated once)
     pairs = e.alias("a").hint("SHUFFLE_HASH").join(
