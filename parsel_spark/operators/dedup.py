@@ -726,6 +726,13 @@ def simhash_pairs(
     # runs ONCE and the second side is a ReusedExchange.  (A broadcast
     # conversion would duplicate the whole fingerprint pipeline —
     # Python stage included — same failure mode as minhash_lsh_pairs.)
+    # The explicit repartition replaces the planner's exchange with a
+    # REPARTITION_BY_NUM one AQE cannot coalesce: the chunk shuffle's
+    # bytes are small but the join EXPANDS pairs on the other side of
+    # it (AQE coalesced this stage to 2 tasks at bench scale); n
+    # derives from defaultParallelism, so it scales with the cluster.
+    n_pair = docs.sparkSession.sparkContext.defaultParallelism
+    chunks = chunks.repartition(n_pair, "chunk_idx", "chunk")
     left = chunks.alias("a").hint("SHUFFLE_HASH")
     right = chunks.alias("b").hint("SHUFFLE_HASH")
     cand = (
