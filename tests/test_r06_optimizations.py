@@ -418,3 +418,106 @@ class TestPathResultsAlreadyOrdered:
             result = evaluate(q, root)
             assert isinstance(result, list), q
             assert result == sort_document_order(result), q
+
+
+class TestLshBucketSingleParse:
+    """``lsh_bucket`` built from one F.expr parse must equal the legacy
+    DSL construction (array-of-lits + interpreted fold per plane)
+    bit-for-bit — across exact-width, short, long, empty and NULL
+    vectors (the fallback branch) and for qualified column refs."""
+
+    def _legacy(self, embedding, planes):
+        from parsel_spark.operators.similarity import dot
+
+        bucket = F.lit(0)
+        for index, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(
+                dot(embedding, plane_col) > 0, F.lit(1 << index)
+            ).otherwise(F.lit(0))
+            bucket = bucket + bit
+        return bucket
+
+    def test_matches_legacy_all_widths(self, spark):
+        import random
+
+        from parsel_spark.operators.similarity import hyperplanes, lsh_bucket
+
+        rng = random.Random(11)
+        dim = 8
+        planes = hyperplanes(dim, 5, seed=3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)
+        ] + [
+            (100, [0.5] * 3),            # short -> fallback branch
+            (101, [0.25] * (dim + 4)),   # long -> fallback branch
+            (102, []),                   # empty
+            (103, None),                 # NULL vector
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = df.select(
+            "vec_id", lsh_bucket("embedding", planes).alias("b")
+        ).collect()
+        want = df.select(
+            "vec_id", self._legacy(F.col("embedding"), planes).alias("b")
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_column_input_uses_same_values(self, spark):
+        from parsel_spark.operators.similarity import hyperplanes, lsh_bucket
+
+        planes = hyperplanes(4, 3, seed=5)
+        df = spark.createDataFrame(
+            [(1, [0.1, -0.2, 0.3, -0.4])], "vec_id long, embedding array<float>"
+        )
+        a = df.select(lsh_bucket("embedding", planes).alias("b")).collect()
+        b = df.select(lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+        assert a == b
+
+
+class TestCatalogSchemaMemo:
+    """read_table with the memoized write schema must return the same
+    schema and rows as cold inference (a fresh catalog object)."""
+
+    def test_memo_matches_inference(self, spark, tmp_path):
+        from parsel_spark.sources.snapshots import SnapshotCatalog
+
+        root = str(tmp_path / "cat")
+        cat = SnapshotCatalog(root)
+        df = spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 1.5)], "id long, s string, x double"
+        )
+        delta = spark.createDataFrame([(3, "c")], "id long, s string")
+        cat.commit(wave=0, tables={"t": df}, appends={"d": delta})
+        warm_t = cat.read_table(spark, "t")
+        warm_d = cat.read_table(spark, "d")
+        cold = SnapshotCatalog(root)  # no memo -> footer inference
+        cold_t = cold.read_table(spark, "t")
+        cold_d = cold.read_table(spark, "d")
+        assert warm_t.schema == cold_t.schema
+        assert warm_d.schema == cold_d.schema
+        assert sorted(map(tuple, warm_t.collect())) == sorted(
+            map(tuple, cold_t.collect())
+        )
+        assert sorted(map(tuple, warm_d.collect())) == sorted(
+            map(tuple, cold_d.collect())
+        )
+
+
+class TestLineageCallable:
+    """SnapshotCatalog.commit accepts a zero-arg callable for lineage,
+    evaluated after the data writes (the Observation hook)."""
+
+    def test_callable_lineage_lands_in_metadata(self, spark, tmp_path):
+        from parsel_spark.sources.snapshots import SnapshotCatalog
+
+        cat = SnapshotCatalog(str(tmp_path / "cat"))
+        df = spark.createDataFrame([(1,)], "id long")
+        snap = cat.commit(
+            wave=0,
+            tables={"t": df},
+            lineage=lambda: [{"partition_id": 0, "n_items": 1}],
+        )
+        assert snap.lineage == [{"partition_id": 0, "n_items": 1}]
+        reread = cat.load_snapshot(snap.snapshot_id)
+        assert reread.lineage == snap.lineage
