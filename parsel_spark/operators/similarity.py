@@ -180,15 +180,15 @@ def lsh_bucket(embedding, planes: list[list[float]]) -> Column:
     """Hyperplane LSH bucket id as ONE ``F.expr`` parse.
 
     The original DSL construction (``F.array`` of 64 ``F.lit`` per
-    plane + a ``zip_with``/``aggregate`` fold per plane) cost hundreds
-    of py4j round-trips at plan-construction time (~0.5 s per query)
-    and ran the projections as interpreted higher-order functions per
-    row.  The SQL string states the SAME algebra: per plane, the
-    unrolled ``((0.0D + t0) + t1)…`` chain when the vector has exactly
-    the plane's width (bit-identical to the fold — same element order,
-    same addition sequence, same float→double casts, and ``x * ±1.0D``
-    is an exact IEEE sign operation), else the very same
-    ``aggregate(zip_with(...))`` fold spelled in SQL lambda syntax."""
+    plane + a per-plane fold built through python lambda HOFs) cost
+    hundreds of py4j round-trips at plan-construction time (~0.5 s per
+    query).  The SQL string states the IDENTICAL
+    ``aggregate(zip_with(...))`` fold per plane — same expression tree,
+    one parse.  The fold stays the runtime form on purpose: bucketing
+    is per-ROW work, and the per-action whole-stage-codegen cost of an
+    unrolled 6×64-term variant measured 1.5-2× SLOWER end-to-end at
+    bench scale (same finding as the knn scan sides in session 1 —
+    per-row paths keep the fold; per-PAIR paths use ``dot(dim=...)``)."""
     emb_sql = embedding if isinstance(embedding, str) else None
     if emb_sql is None:
         # Column input: recover the simple-attribute name when possible
@@ -215,23 +215,13 @@ def lsh_bucket(embedding, planes: list[list[float]]) -> Column:
 
     bits = ["0"]
     for index, plane in enumerate(planes):
-        unrolled = _chain_sum_sql(
-            [
-                f"(CAST(get({emb_sql}, {i}) AS DOUBLE) * {lit_d(v)})"
-                for i, v in enumerate(plane)
-            ]
-        )
         plane_arr = f"array({', '.join(lit_d(v) for v in plane)})"
         fold = (
             f"aggregate(zip_with({emb_sql}, {plane_arr}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, v) -> acc + v)"
         )
-        proj = (
-            f"CASE WHEN size({emb_sql}) = {len(plane)} "
-            f"THEN {unrolled} ELSE {fold} END"
-        )
-        bits.append(f"(CASE WHEN ({proj}) > 0.0D THEN {1 << index} ELSE 0 END)")
+        bits.append(f"(CASE WHEN ({fold}) > 0.0D THEN {1 << index} ELSE 0 END)")
     return F.expr(" + ".join(bits))
 
 
