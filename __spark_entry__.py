@@ -1525,12 +1525,29 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # max 2-gram multiplicity per row.  The original recount —
+    # aggregate over the DISTINCT grams of a filter-count against the
+    # full gram array — is O(|distinct| × |grams|) of interpreted
+    # lambda steps per row (~330k for a 600-token doc; measured 174 s
+    # for the whole stream at sf0.1).  Sorting the grams groups equal
+    # values adjacently, so ONE O(n) fold tracking (previous value,
+    # current run length, best run) computes the IDENTICAL maximum
+    # multiplicity; empty arrays still yield 0 (the fold returns the
+    # initial best).  Same values, ~500× less per-row work.
     top_cnt = F.aggregate(
-        F.array_distinct(grams),
-        F.lit(0),
-        lambda acc, g: F.greatest(
-            acc, F.size(F.filter(grams, lambda x: x == g))
+        F.sort_array(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     ok_rep = (top_cnt * 2 / F.size(toks)) <= 0.2
     flagged = stream.select(
