@@ -806,12 +806,16 @@ def top_component(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = embeddings.sparkSession
+    # intermediate rounds pin LAZILY (lineage still truncated at first
+    # materialization; only the last round's pin runs a driver job and
+    # cascades the earlier ones) — the same job-collapse as pagerank's
+    # lazy pins; values are untouched
     x = spark.range(1).select(
         F.array(
             *[F.lit(1.0 if i == 0 else 0.0) for i in range(dim)]
         ).alias("x")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    ).localCheckpoint(eager=False)
+    for _round in range(iters):
         # unrolled fast path (bit-identical: same element order and
         # addition sequence; w is already double so the fold applies no
         # cast to it and neither does the unrolled form)
@@ -870,7 +874,7 @@ def top_component(
             F.transform(
                 "y", lambda v: F.round(v / F.sqrt(norm2), round_to)
             ).alias("x")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=(_round == iters - 1))
     return x.select(F.posexplode("x").alias("dim", "component"))
 
 
