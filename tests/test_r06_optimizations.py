@@ -521,3 +521,64 @@ class TestLineageCallable:
         assert snap.lineage == [{"partition_id": 0, "n_items": 1}]
         reread = cat.load_snapshot(snap.snapshot_id)
         assert reread.lineage == snap.lineage
+
+
+class TestSortedRunLengthRecount:
+    """The stream quality gate's max-2gram-multiplicity fold (sorted
+    run-length) must equal the original quadratic distinct×filter-count
+    recount on every shape: dup-free, all-same, ties, empty, one-token,
+    messy whitespace."""
+
+    def test_matches_quadratic_recount(self, spark):
+        from parsel_spark.operators.dedup import seq_tokens_col
+
+        rows = [
+            (0, "a b c d e f"),
+            (1, "a b a b a b a b"),
+            (2, "x x x x x x"),
+            (3, ""),
+            (4, "one"),
+            (5, "p q p q r s r s r s"),
+            (6, "  spaced   out  tokens   here  "),
+            (7, "t " * 200),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = seq_tokens_col("text")
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        quadratic = F.aggregate(
+            F.array_distinct(grams),
+            F.lit(0),
+            lambda acc, g: F.greatest(
+                acc, F.size(F.filter(grams, lambda x: x == g))
+            ),
+        )
+        runlength = F.aggregate(
+            F.sort_array(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        out = df.select(
+            "doc_id", quadratic.alias("q"), runlength.alias("r")
+        ).collect()
+        for row in out:
+            assert row["q"] == row["r"], row
